@@ -1,0 +1,46 @@
+"""Table catalog: schema-checked Parquet loads + temp-view registration.
+
+Replaces the reference's files-as-IR convention (each stage re-reads the
+previous stage's CSV with inferSchema — SURVEY.md §3) with one load point
+that applies the explicit schemas from :mod:`schemas` and registers SQL
+views, so the DataFrame and SQL surfaces share one set of plans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with its declared schema.
+
+    The schema is passed to the reader (not asserted post-hoc) so the scan
+    never pays an inference pass and column pruning works from the plan root.
+    """
+    if name not in TESTDATA_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
+    df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # parquet TIMESTAMP(NANOS) arrives as int64 ns (nanosAsLong); convert
+        # with integer division — ns epochs exceed double's 2^53, so `div`,
+        # never `/`. Truncation (floor) matches DuckDB's epoch_us on ns.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load every testdata table; optionally register each as a temp view."""
+    tables = {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+    if register_views:
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,49 @@
+"""Cross-engine-stable hashing primitives.
+
+Spark's ``hash()``/``xxhash64()`` and DuckDB's ``hash()`` are different
+algorithms, so every hash the oracle must replay is built on ``md5`` hex
+strings — bit-identical in both engines. Conventions:
+
+  * stable_int32(col): first 8 md5 hex chars → int via base-16 conv.
+    DuckDB replays it with a per-hex-char ``strpos('0123456789abcdef', c)``
+    polynomial (no ``conv`` there) — same value.
+  * MinHash "permutation" i  ≡  md5(i || ':' || shingle), minimized
+    LEXICOGRAPHICALLY (fixed-width hex ⇒ lexicographic = numeric order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def stable_hex(col: Column | str, nchars: int = 8) -> Column:
+    """First ``nchars`` of md5 hex — a stable string hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c), 1, nchars)
+
+
+def stable_int32(col: Column | str) -> Column:
+    """Stable non-negative 32-bit integer hash (as LongType)."""
+    return F.conv(stable_hex(col, 8), 16, 10).cast("long")
+
+
+def duckdb_hex_to_int(hex_expr: str, nchars: int = 8) -> str:
+    """DuckDB SQL fragment: parse ``nchars`` hex chars to a BIGINT.
+
+    Horner-form polynomial over strpos-decoded chars; used by oracle SQL to
+    replay :func:`stable_int32`.
+    """
+    acc = "0"
+    for i in range(1, nchars + 1):
+        acc = (
+            f"({acc}) * 16 + (strpos('0123456789abcdef', "
+            f"substr({hex_expr}, {i}, 1)) - 1)"
+        )
+    return f"CAST({acc} AS BIGINT)"
+
+
+def minhash_key(perm: Column | int, shingle: Column) -> Column:
+    """md5 keyed by permutation id — one 'hash function' per permutation."""
+    p = F.lit(perm) if isinstance(perm, int) else perm
+    return F.md5(F.concat_ws(":", p.cast("string"), shingle))

@@ -1,0 +1,250 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Extension surface for training-data pipelines (task brief; the reference
+only dedups by id at ingest — SURVEY.md §2.5 A3). Every variant is pure
+DataFrame ops on md5-based hashes (functions.hashing) so the DuckDB oracle
+replays them exactly.
+
+Scale design notes (these run over the full corpus at 100 TB):
+  * Exact: one hash-groupBy — map-side partial agg, single shuffle.
+  * MinHash: signatures via ONE aggregation (k min-columns, no k× row
+    blowup); LSH banding shuffles (band_id, band_key) — candidate pairs
+    only ever co-group docs that collide, never O(n²).
+  * Blocked Jaccard: joins docs only through shingles with document
+    frequency ≤ max_df (stopword-shingle pruning bounds the blowup).
+  * SimHash: explode+agg with 32 conditional-sum columns — partial-agg
+    friendly; near-pairs via 4×8-bit band collision + bit_count verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.functions.hashing import minhash_key, stable_int32
+from qa_data_pipeline_rag_llm_spark.functions.text import normalize_text, word_shingles
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups on normalized text: (fingerprint, canonical id,
+    n_dups). Groups of size 1 included so output is total."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) pairs, distinct — the set representation used by both
+    MinHash and exact Jaccard."""
+    return (
+        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns mh0..mh{k-1}, each the
+    lexicographic MIN of md5(perm:shingle) (fixed-width hex ⇒ numeric order)."""
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(minhash_key(i, F.col("shingle"))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH banding, verified with exact
+    Jaccard over the shingle sets: (doc_a, doc_b, jaccard)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"mh{b * rows + r}" for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols).select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc", "bk.band_id", "bk.band_key")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(
+        cand, _doc_shingles(df, text_col, id_col, shingle_n), jaccard_threshold
+    )
+
+
+def _verify_jaccard(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from their distinct-shingle sets."""
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(shingles.alias("sa"), pairs.doc_a == F.col("sa.doc"))
+        .join(
+            shingles.alias("sb"),
+            (pairs.doc_b == F.col("sb.doc"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("na"), inter.doc_a == F.col("na.doc"))
+        .join(sizes.alias("nb"), inter.doc_b == F.col("nb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na.n") + F.col("nb.n") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 20,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs, blocked through shared shingles.
+
+    Docs are only compared if they share a shingle whose document frequency
+    is ≤ ``max_df`` — the standard stopword-shingle pruning that keeps the
+    candidate set near-linear at corpus scale.
+    """
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") > 1) & (F.col("df") <= max_df))
+        .select("shingle")
+    )
+    blocked = sh.join(rare, "shingle")
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    nbits: int = 32,
+) -> DataFrame:
+    """Per-doc ``nbits``-bit SimHash over word shingles: (doc, simhash).
+
+    Bit b of the fingerprint = sign of Σ_shingles (±1 by bit b of the
+    shingle's stable 32-bit hash). Ties (sum == 0) resolve to 0.
+    """
+    sh = _doc_shingles(df, text_col, id_col, shingle_n).withColumn(
+        "h", stable_int32(F.col("shingle"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(nbits)
+    ]
+    sums = sh.groupBy("doc").agg(*bit_aggs)
+    fp = sums.select(
+        "doc",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+                for b in range(nbits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``,
+    candidate-blocked by collision on any of four 8-bit bands."""
+    fp = simhash_fingerprints(df, text_col, id_col, shingle_n)
+    banded = fp.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col("simhash"), b * 8)
+                    .bitwiseAND(F.lit(255))
+                    .alias("band_key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band_id", "bk.band_key")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

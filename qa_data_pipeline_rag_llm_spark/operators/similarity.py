@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (M4, S7) + embedding near-dup.
+
+The reference's vector path is an external Qdrant index searched top-1
+(``/root/reference/app2.py:32-45``, ``PLATFORM-contextual-Chunking.py:
+137-174``). Here vectors are a Parquet ``array<float>`` column and
+similarity is relational:
+
+  * brute-force cosine top-k — the exact baseline; a rank over one
+    zip_with/aggregate projection, fully distributed, no index.
+  * sign-random-projection LSH — the scale path: 16 deterministic
+    hyperplanes (weights derived from md5 so the DuckDB oracle can replay
+    them), bucket by signature band, rank only within colliding buckets.
+
+At 100 TB the brute-force path is a broadcast of the (small) probe set
+against a full scan — linear, shuffle-free; the LSH path cuts the scanned
+candidate set by orders of magnitude at recall < 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
+from qa_data_pipeline_rag_llm_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every probe row.
+
+    ``probes`` is expected to be small — it is broadcast, so the candidate
+    scan never shuffles; only the per-probe top-k rank does.
+    """
+    scored = vectors.join(F.broadcast(probes)).filter(
+        F.col(id_col) != F.col(probe_id)
+    ).select(
+        F.col(probe_id),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(probe_vec)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, id_col, "sim", "rank")
+    )
+
+
+def _hyperplanes(spark, dims: int, planes: int) -> DataFrame:
+    """Deterministic hyperplane weights: w(p,d) = hexval(md5('p,d')[:8]) /
+    2^31 − 1  ∈ [−1, 1). Tiny (dims×planes rows) — always broadcast."""
+    return (
+        spark.range(planes)
+        .withColumnRenamed("id", "plane")
+        .crossJoin(spark.range(dims).withColumnRenamed("id", "dim"))
+        .select(
+            "plane",
+            "dim",
+            (
+                stable_int32(F.concat_ws(",", "plane", "dim"))
+                / F.lit(float(2**31))
+                - F.lit(1.0)
+            ).alias("w"),
+        )
+    )
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection signature per vector: (id, sig) with
+    sig = Σ_p 2^p · [Σ_d vec[d]·w(p,d) > 0]."""
+    spark = vectors.sparkSession
+    dims = len(vectors.select(vec_col).first()[0])
+    hp = _hyperplanes(spark, dims, planes)
+    exploded = vectors.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "val")
+    )
+    proj = (
+        exploded.join(F.broadcast(hp), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("proj"))
+    )
+    return proj.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("plane"))).otherwise(
+                F.lit(0.0)
+            )
+        )
+        .cast("long")
+        .alias("sig")
+    )
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    planes: int = 16,
+    cosine_threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: SRP-signature collision (exact match on
+    all ``planes`` bits) → verify cosine ≥ threshold. (doc pairs + sim)."""
+    sig = srp_signatures(vectors, planes, id_col, vec_col)
+    v = vectors.join(sig, id_col)
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), "sig")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    return pairs.filter(F.col("sim") >= cosine_threshold)
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    planes: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing ≥1 signature band
+    with the probe, then exact cosine rank within candidates."""
+    sig_v = srp_signatures(vectors, planes, id_col, vec_col)
+    sig_p = srp_signatures(
+        probes.select(
+            F.col(probe_id).alias(id_col), F.col(probe_vec).alias(vec_col)
+        ),
+        planes,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias(probe_id), F.col("sig").alias("psig"))
+
+    nbands = planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def bands(sig_col: str, out: str) -> list:
+        return [
+            F.shiftright(F.col(sig_col), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"{out}{b}")
+            for b in range(nbands)
+        ]
+
+    v = vectors.join(sig_v, id_col).select(id_col, vec_col, *bands("sig", "vb"))
+    p = probes.join(F.broadcast(sig_p), probe_id).select(
+        probe_id, probe_vec, *bands("psig", "pb")
+    )
+    band_match = None
+    for b in range(nbands):
+        cond = F.col(f"vb{b}") == F.col(f"pb{b}")
+        band_match = cond if band_match is None else (band_match | cond)
+    cand = v.join(F.broadcast(p), band_match & (F.col(id_col) != F.col(probe_id)))
+    scored = cand.select(
+        probe_id,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(probe_vec)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, id_col, "sim", "rank")
+    )

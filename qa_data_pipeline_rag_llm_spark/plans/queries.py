@@ -1,0 +1,479 @@
+"""The query registry — single source of truth for the engine's surface.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data
+extensions) appears here as a :class:`QuerySpec`:
+
+  * ``spark``  — (SparkSession, sf_dir) → DataFrame, built from the
+    operator library. This is what the driver smoke-runs and benches.
+  * ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet
+    views (None only for genuinely non-SQL-expressible ops; the driver
+    then records a weaker rows-only check).
+  * ``bench``  — include in bench.py's headline set.
+
+Determinism contract: every query's output is a total function of its
+input (explicit tie-breaks, sorted arrays, decimal-exact aggregation of
+doubles, rounded float outputs) so order-insensitive value-hash compares
+are stable. Column names are identical on both sides by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.catalog import load_table
+
+# Money/measure columns arrive as doubles; all sums go through fixed-point
+# decimals so aggregation is EXACT and order-independent in both engines.
+DEC = "decimal(12,4)"
+
+
+def _dec(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def _money(c) -> F.Column:
+    """Exact sum of a double measure, emitted as a rounded double."""
+    return F.round(F.sum(_dec(c)).cast("double"), 2)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, bench: bool = False, doc: str = ""
+) -> Callable:
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, bench, doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Relational core (TPC-H-shaped; SURVEY.md §7 stage 2 generic surface)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE), 2) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+           CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    doc="TPC-H Q1 shape: full-scan groupBy with 8 aggregates (A-family).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _money("l_quantity").alias("sum_qty"),
+        _money("l_extendedprice").alias("sum_base_price"),
+        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4).alias("avg_price"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4)))) AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+    doc="TPC-H Q3 shape: 3-way join + agg + deterministic top-10 (J1/O-family).",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4)))) AS DOUBLE), 2) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name
+    """,
+    bench=True,
+    doc="TPC-H Q5 shape: star join through broadcast dims → fact agg.",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "orders_by_month",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Timestamp bucketing agg (the reference keeps dates untyped — §1.2).",
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money("o_totalprice").alias("total"),
+        )
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) WHERE rank <= 3
+    """,
+    bench=True,
+    doc="W1: top-k per group with deterministic tie-break "
+    "(REDDIT-Nettoyage-Comms.py:63-67 shape).",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.ranking import top_k_per_group
+
+    return top_k_per_group(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_by=["o_custkey"],
+        order_by=[F.desc("o_totalprice"), F.col("o_orderkey")],
+        k=3,
+        keep_rank=True,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "order_line_ids",
+    """
+    SELECT o.o_orderkey,
+           COALESCE(array_to_string(list_sort(list(l.l_linenumber)), ','), '') AS line_ids,
+           COUNT(l.l_orderkey) AS n_lines
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    bench=True,
+    doc="J1+A1: parent ⟕ sorted collect_list of child ids "
+    "(REDDIT-jointure.py:67-75 shape, order pinned per SURVEY §2.5).",
+)
+def order_line_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias("line_ids"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        o.join(grouped, o.o_orderkey == grouped.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("line_ids", F.lit("")).alias("line_ids"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "semi_customers_urgent",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    doc="P8/J2: left semi join replacing the reference's pandas isin "
+    "(PLATFORM-GenerationLLM.py:163-164).",
+)
+def semi_customers_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.joins import semi_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Anti join (generic surface, SURVEY §7 stage 2).",
+)
+def anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.joins import anti_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "union_dedup_parts",
+    """
+    SELECT DISTINCT p_brand, p_type FROM (
+      SELECT p_brand, p_type FROM part WHERE p_size >= 40
+      UNION ALL
+      SELECT p_brand, p_type FROM part WHERE p_retailprice > 1500
+    )
+    """,
+    doc="U1: unionByName + dedup (PLATFORM-Merge.py:56; dedup per README.md:48).",
+)
+def union_dedup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") >= 40).select("p_brand", "p_type")
+    b = p.filter(F.col("p_retailprice") > 1500).select("p_brand", "p_type")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "notin_filter_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE event_type NOT IN ('error', 'view')
+    GROUP BY event_type
+    """,
+    doc="P3: NOT-IN filter (REDDIT-Nettoyage-Comms.py:49 shape) + distinct count.",
+)
+def notin_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(~F.col("event_type").isin("error", "view"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "regex_filter_documents",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE NOT regexp_matches(text, 'hash (join|agg)') AND lang = 'en'
+    """,
+    doc="P4: regex anti-filter (REDDIT-Nettoyage-Comms.py:76-88 shape; "
+    "pattern kept to the Java∩RE2 dialect).",
+)
+def regex_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        ~F.col("text").rlike("hash (join|agg)") & (F.col("lang") == "en")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "point_lookup_order",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    """,
+    doc="P7: equality point lookup (PLATFORM-GenerationLLM.py:66 shape).",
+)
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_pl")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM __orders_pl
+        WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM __orders_pl)
+        """
+    )
+
+
+@register(
+    "rollup_lineitem",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-set rollup (generic OLAP surface; absent in reference §2.5).",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_money("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "pivot_user_events",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (generic OLAP surface).",
+)
+def pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id", *[F.coalesce(t, F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    )
+    SELECT user_id,
+           COUNT(DISTINCT sess_id) AS n_sessions,
+           COUNT(*) AS n_events,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id
+    """,
+    bench=True,
+    doc="Sessionization via lag+cumsum (streaming-adjacent batch pattern; "
+    "extension — reference has no event-time ops, SURVEY §2.11).",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
+    with_flag = ev.withColumn(
+        "new_sess", F.when(gap > 1800 * 1_000_000, 1).otherwise(0)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_flag.withColumn("sess_id", F.sum("new_sess").over(w_cum))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sess_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "total_value"
+        ),
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window (batch form; streaming twin in "
+    "streaming/events.py shares this shape).",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "total_value"
+        ),
+    )
