@@ -3,15 +3,17 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count-style action (collect on the already
-small/aggregated results) after a warm-up of the input scans; timings are
-wall-clock per query, metric = total.
+Methodology: each query executes to a `noop` sink (full plan runs, nothing
+is shipped to the Python driver — collect() would measure row pickling, not
+the engine). One untimed warmup of the input scans + each plan, then the
+median of 3 timed runs per query.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -22,6 +24,12 @@ from qa_data_pipeline_rag_llm_spark.catalog import load_all  # noqa: E402
 from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY  # noqa: E402
 from qa_data_pipeline_rag_llm_spark.session import get_spark  # noqa: E402
 
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,8 +37,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM + file-system caches so per-query numbers measure the
-    # plans, not first-touch costs.
+    # Warm up JVM + FS cache so timed runs measure the plans.
     for df in load_all(spark, sf_dir, register_views=False).values():
         df.count()
 
@@ -38,10 +45,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in bench_names:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        rows = spec.spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        execute(spec.spark(spark, sf_dir))  # untimed warmup of this plan
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            execute(spec.spark(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

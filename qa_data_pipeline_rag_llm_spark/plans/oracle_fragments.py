@@ -1,0 +1,81 @@
+"""DuckDB SQL fragment builders mirroring :mod:`functions.text` / `hashing`.
+
+Every fragment is the exact DuckDB replay of one engine Column expression,
+so oracle SQL for the text/dedup/similarity families can be composed instead
+of hand-maintained. Cross-engine contract (probed, 2026-08-13):
+
+  * ``regexp_replace(..., 'g')``     ≡ Spark ``regexp_replace`` (global)
+  * ``string_split``                 ≡ Spark ``split`` (non-overlapping, no
+    trailing-empty trim when the Spark side passes limit=-1)
+  * ``md5``                          ≡ Spark ``md5`` (hex string)
+  * list slice ``xs[i:j]`` 1-based inclusive ≡ Spark ``slice(xs, i, n)``
+  * ``>>``/``&``/``xor``/``bit_count`` on BIGINT ≡ Spark bitwise ops
+"""
+
+from __future__ import annotations
+
+from qa_data_pipeline_rag_llm_spark.functions.hashing import duckdb_hex_to_int
+from qa_data_pipeline_rag_llm_spark.functions.text import LANG_STOPWORDS
+
+
+def norm(c: str) -> str:
+    """functions.text.normalize_text"""
+    return f"trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def toks(c: str) -> str:
+    """functions.text.tokens"""
+    return f"string_split({norm(c)}, ' ')"
+
+
+def token_count(c: str) -> str:
+    """functions.text.token_count (Spark F.size → INT; cast to match)"""
+    return (
+        f"CASE WHEN len({norm(c)}) = 0 THEN 0 "
+        f"ELSE CAST(len({toks(c)}) AS INTEGER) END"
+    )
+
+
+def shingles(c: str, n: int) -> str:
+    """functions.text.word_shingles"""
+    t = toks(c)
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n} + 2), "
+        f"i -> array_to_string(({t})[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({t}, ' ')] END"
+    )
+
+
+def stable_int32(expr: str) -> str:
+    """functions.hashing.stable_int32"""
+    return duckdb_hex_to_int(f"md5({expr})", 8)
+
+
+def stopword_hits(c: str, lang: str) -> str:
+    """functions.text.stopword_hits (split-count, non-overlapping)"""
+    padded = f"(' ' || {norm(c)} || ' ')"
+    parts = [
+        f"(len(string_split({padded}, ' {w} ')) - 1)"
+        for w in LANG_STOPWORDS[lang]
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def lang_id(score_col: dict[str, str], default: str = "und") -> str:
+    """functions.text.lang_id — replays the fold literally: iterate langs in
+    reverse code order; strict '>' so the last-wrapped (earliest-iterated,
+    reverse-greatest) code wins ties. ``score_col`` maps lang → SQL column
+    holding that language's stopword hits."""
+    best_lang = f"'{default}'"
+    best_score = "0"
+    for lang in sorted(score_col, reverse=True):
+        s = score_col[lang]
+        best_lang = f"CASE WHEN {s} > ({best_score}) THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"greatest({s}, {best_score})"
+    return best_lang
+
+
+def fingerprint(c: str) -> str:
+    """functions.text.fingerprint"""
+    return f"md5({norm(c)})"

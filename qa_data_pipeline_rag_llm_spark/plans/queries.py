@@ -26,19 +26,47 @@ from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.catalog import load_table
 
-# Money/measure columns arrive as doubles; all sums go through fixed-point
-# decimals so aggregation is EXACT and order-independent in both engines.
-DEC = "decimal(12,4)"
+# Money/measure columns arrive as doubles; all sums are EXACT and
+# order-independent in both engines: scale to integers (round(x·10^4) —
+# TPC-H money has 4 fractional digits), multiply/subtract as longs (simple
+# integer codegen — nested DECIMAL multiplies make Spark generate enormous
+# whole-stage code that takes ~45 s to Janino-compile), accumulate into
+# DECIMAL(38,0) (no overflow at any corpus size), cast to double once at
+# the end. Per-row long products stay < 2^63 for prices < ~9·10^6.
+SCALE = 10_000
 
 
-def _dec(c) -> F.Column:
+def _sl(c) -> F.Column:
+    """Scaled-long money value: round(x·10^4) as BIGINT."""
     col = F.col(c) if isinstance(c, str) else c
-    return col.cast(DEC)
+    return F.round(col * SCALE).cast("long")
+
+
+def _exact_sum(scaled_col: F.Column, scale: int) -> F.Column:
+    """Exact decimal sum of a scaled-long expr, as un-scaled double."""
+    return F.sum(scaled_col.cast("decimal(38,0)")).cast("double") / F.lit(
+        float(scale)
+    )
 
 
 def _money(c) -> F.Column:
-    """Exact sum of a double measure, emitted as a rounded double."""
-    return F.round(F.sum(_dec(c)).cast("double"), 2)
+    """Exact sum of a double money column, emitted as a rounded double."""
+    return F.round(_exact_sum(_sl(c), SCALE), 2)
+
+
+def o_sl(c: str) -> str:
+    """Oracle twin of _sl."""
+    return f"CAST(round({c} * {SCALE}) AS BIGINT)"
+
+
+def o_exact_sum(scaled_expr: str, scale: int) -> str:
+    """Oracle twin of _exact_sum."""
+    return f"CAST(SUM(CAST({scaled_expr} AS DECIMAL(38,0))) AS DOUBLE) / {float(scale)}"
+
+
+def o_money(c: str) -> str:
+    """Oracle twin of _money."""
+    return f"round({o_exact_sum(o_sl(c), SCALE)}, 2)"
 
 
 @dataclass
@@ -74,15 +102,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE), 2) AS DOUBLE) AS sum_charge,
-           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
-           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_price,
-           CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+           {o_money("l_quantity")} AS sum_qty,
+           {o_money("l_extendedprice")} AS sum_base_price,
+           round({o_exact_sum(f"{o_sl('l_extendedprice')} * ({SCALE} - {o_sl('l_discount')})", SCALE * SCALE)}, 2) AS sum_disc_price,
+           round({o_exact_sum(f"{o_sl('l_extendedprice')} * ({SCALE} - {o_sl('l_discount')}) * ({SCALE} + {o_sl('l_tax')})", SCALE**3)}, 2) AS sum_charge,
+           round({o_exact_sum(o_sl("l_quantity"), SCALE)} / COUNT(*), 4) AS avg_qty,
+           round({o_exact_sum(o_sl("l_extendedprice"), SCALE)} / COUNT(*), 4) AS avg_price,
+           round({o_exact_sum(o_sl("l_discount"), SCALE)} / COUNT(*), 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -92,25 +120,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    one = F.lit(SCALE).cast("long")
+    disc_price = _sl("l_extendedprice") * (one - _sl("l_discount"))
+    charge = disc_price * (one + _sl("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _money("l_quantity").alias("sum_qty"),
         _money("l_extendedprice").alias("sum_base_price"),
-        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
-        F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
-        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4).alias("avg_price"),
-        F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        F.round(_exact_sum(disc_price, SCALE * SCALE), 2).alias("sum_disc_price"),
+        F.round(_exact_sum(charge, SCALE**3), 2).alias("sum_charge"),
+        F.round(_exact_sum(_sl("l_quantity"), SCALE) / F.count("*"), 4).alias("avg_qty"),
+        F.round(_exact_sum(_sl("l_extendedprice"), SCALE) / F.count("*"), 4).alias("avg_price"),
+        F.round(_exact_sum(_sl("l_discount"), SCALE) / F.count("*"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
 
+_O_REV = f"{o_sl('l_extendedprice')} * ({SCALE} - {o_sl('l_discount')})"
+
+
+def _rev() -> F.Column:
+    return _sl("l_extendedprice") * (F.lit(SCALE).cast("long") - _sl("l_discount"))
+
+
 @register(
     "q3_top_orders",
-    """
+    f"""
     SELECT o.o_orderkey,
-           CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4)))) AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           round({o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)}, 2) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority AS priority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -127,12 +163,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .agg(F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -146,9 +181,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_nation_revenue",
-    """
+    f"""
     SELECT n.n_name AS nation,
-           CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4)))) AS DOUBLE), 2) AS DOUBLE) AS revenue
+           round({o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)}, 2) AS revenue
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
                   JOIN orders o ON o.o_custkey = c.c_custkey
@@ -164,14 +199,13 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .agg(F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("revenue"))
     )
 
 
@@ -180,10 +214,10 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            COUNT(*) AS n_orders,
-           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE), 2) AS DOUBLE) AS total
+           {total} AS total
     FROM orders
     GROUP BY 1
-    """,
+    """.format(total=o_money("o_totalprice")),
     doc="Timestamp bucketing agg (the reference keeps dates untyped — §1.2).",
 )
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,10 +399,10 @@ def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2) AS DOUBLE) AS sum_qty,
+           {sum_qty} AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
+    """.format(sum_qty=o_money("l_quantity")),
     doc="Grouping-set rollup (generic OLAP surface; absent in reference §2.5).",
 )
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,3 +511,9 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# Extension families register on import (bottom import: `register`/`_t`
+# must already be defined; keeps one REGISTRY for __spark_entry__/tests).
+from qa_data_pipeline_rag_llm_spark.plans import queries_text  # noqa: E402,F401

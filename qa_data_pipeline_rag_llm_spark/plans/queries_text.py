@@ -1,0 +1,283 @@
+"""Registry entries: text analysis + deduplication over ``documents``.
+
+Extension surface for training-data pipelines (task brief; the reference
+dedups only by id at ingest — SURVEY.md §2.5 A3). Oracle SQL is composed
+from :mod:`plans.oracle_fragments` so each DuckDB query replays the engine
+expressions exactly.
+
+Scale notes: text_stats is a shuffle-free codegen'd projection; the dedup
+families shuffle once on (doc) for signatures and once on band keys for
+candidates — candidate generation is LSH-bounded, never O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.functions.text import LANG_STOPWORDS, lang_id
+from qa_data_pipeline_rag_llm_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from qa_data_pipeline_rag_llm_spark.operators.textstats import text_stats
+from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+# MinHash/SimHash knobs — shared by the Spark plan and its oracle twin.
+NUM_PERM = 16
+BANDS = 4
+SHINGLE_N = 3
+JACCARD_T = 0.2
+SIMHASH_N = 2
+MAX_HAMMING = 6
+NGRAM_MAX_DF = 20
+
+
+def _quality_sql(select_ids: str) -> str:
+    """Oracle twin of functions.text.quality_score + text_stats columns."""
+    hits = {lang: O.stopword_hits("text", lang) for lang in LANG_STOPWORDS}
+    return f"""
+    WITH s AS (
+      SELECT {select_ids}, text,
+             {hits["de"]} AS s_de, {hits["en"]} AS s_en,
+             {hits["es"]} AS s_es, {hits["fr"]} AS s_fr,
+             {O.token_count("text")} AS n_tokens,
+             len(coalesce(text, '')) AS raw_len,
+             len(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g')) AS alpha,
+             len({O.norm("text")}) AS norm_len
+      FROM documents)
+    SELECT {select_ids},
+      {O.lang_id({lang: f"s_{lang}" for lang in LANG_STOPWORDS})} AS lang_pred,
+      n_tokens,
+      round(0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (CASE WHEN raw_len > 0 THEN alpha / raw_len ELSE 0.0 END)
+          + 0.2 * (CASE WHEN n_tokens > 0 AND (norm_len / n_tokens) >= 2.5
+                         AND (norm_len / n_tokens) <= 12.0 THEN 1.0 ELSE 0.0 END)
+          + 0.2 * (CASE WHEN n_tokens > 0
+                        THEN least((s_en + s_fr) / n_tokens * 10.0, 1.0)
+                        ELSE 0.0 END), 6) AS quality,
+      {O.fingerprint("text")} AS fingerprint
+    FROM s
+    """
+
+
+@register(
+    "text_stats_documents",
+    _quality_sql("doc_id"),
+    bench=True,
+    doc="Language-ID + token count + quality score + fingerprint per doc "
+    "(training-data extension; one shuffle-free projection).",
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH pred AS (
+      SELECT lang, {O.lang_id({lang: O.stopword_hits("text", lang)
+                               for lang in LANG_STOPWORDS})} AS lang_pred
+      FROM documents)
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    doc="Labeled-vs-predicted language confusion counts.",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", lang_id("text").alias("lang_pred")).groupBy(
+        "lang", "lang_pred"
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "dedup_exact_documents",
+    f"""
+    SELECT {O.fingerprint("text")} AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup groups on normalized-text fingerprint (hash groupBy; "
+    "single shuffle with map-side partial agg).",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _sh_cte(n: int) -> str:
+    return (
+        "sh AS (SELECT DISTINCT doc, shingle FROM "
+        f"(SELECT doc_id AS doc, unnest({O.shingles('text', n)}) AS shingle "
+        "FROM documents))"
+    )
+
+
+def _sig_cte(num_perm: int) -> str:
+    mins = ", ".join(
+        f"min(md5({i} || ':' || shingle)) AS mh{i}" for i in range(num_perm)
+    )
+    return f"sig AS (SELECT doc, {mins} FROM sh GROUP BY doc)"
+
+
+@register(
+    "minhash_signatures_documents",
+    f"""
+    WITH {_sh_cte(SHINGLE_N)}, {_sig_cte(NUM_PERM)}
+    SELECT * FROM sig
+    """,
+    bench=True,
+    doc=f"MinHash signatures ({NUM_PERM} perms, {SHINGLE_N}-shingles): one "
+    "explode + one k-column min aggregation — no per-perm row blowup.",
+)
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_perm=NUM_PERM, shingle_n=SHINGLE_N
+    ).withColumnRenamed("doc_id", "doc")
+
+
+def _jaccard_tail(threshold: float) -> str:
+    """cand(doc_a, doc_b) + sh → verified jaccard pairs (oracle twin of
+    operators.dedup._verify_jaccard)."""
+    return f"""
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON c.doc_a = sa.doc
+      JOIN sh sb ON c.doc_b = sb.doc AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON i.doc_a = na.doc
+    JOIN sizes nb ON i.doc_b = nb.doc
+    WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= {threshold}
+    """
+
+
+_BAND_ROWS = NUM_PERM // BANDS
+_BAND_KEYS = ", ".join(
+    "md5(concat_ws('|', "
+    + ", ".join(f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+    + f")) AS band{b}"
+    for b in range(BANDS)
+)
+_BANDED_UNION = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band_id, band{b} AS band_key FROM bands"
+    for b in range(BANDS)
+)
+
+
+@register(
+    "minhash_near_dups",
+    f"""
+    WITH {_sh_cte(SHINGLE_N)}, {_sig_cte(NUM_PERM)},
+    bands AS (SELECT doc, {_BAND_KEYS} FROM sig),
+    banded AS ({_BANDED_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc < b.doc),
+    {_jaccard_tail(JACCARD_T)}
+    """,
+    doc=f"MinHash-LSH near-dup pairs ({BANDS} bands × {_BAND_ROWS} rows), "
+    "verified with exact Jaccard — only band-colliding docs are compared.",
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=JACCARD_T,
+    )
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    f"""
+    WITH {_sh_cte(SHINGLE_N)},
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) > 1 AND COUNT(*) <= {NGRAM_MAX_DF}),
+    blocked AS (SELECT sh.doc, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM blocked a JOIN blocked b
+        ON a.shingle = b.shingle AND a.doc < b.doc),
+    {_jaccard_tail(JACCARD_T)}
+    """,
+    doc=f"Exact n-gram-Jaccard near-dups blocked through shingles with "
+    f"document frequency ≤ {NGRAM_MAX_DF} (stopword-shingle pruning keeps "
+    "candidates near-linear).",
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        max_df=NGRAM_MAX_DF,
+        threshold=JACCARD_T,
+    )
+
+
+def _simhash_ctes(nbits: int, shingle_n: int) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(nbits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(nbits)
+    )
+    return f"""
+    hsh AS (SELECT doc, {O.stable_int32("shingle")} AS h FROM sh),
+    sums AS (SELECT doc, {sums} FROM hsh GROUP BY doc),
+    fp AS (SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM sums)
+    """
+
+
+@register(
+    "simhash_documents",
+    f"""
+    WITH {_sh_cte(SIMHASH_N)}, {_simhash_ctes(32, SIMHASH_N)}
+    SELECT doc, simhash FROM fp
+    """,
+    doc="32-bit SimHash fingerprints over word 2-shingles (partial-agg "
+    "friendly conditional-sum formulation).",
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(
+        _t(spark, sf_dir, "documents"), shingle_n=SIMHASH_N
+    )
+
+
+@register(
+    "simhash_near_dups",
+    f"""
+    WITH {_sh_cte(SIMHASH_N)}, {_simhash_ctes(32, SIMHASH_N)},
+    banded AS (
+      SELECT doc, simhash, t.b AS band_id,
+             (simhash >> CAST(t.b * 8 AS INTEGER)) & 255 AS band_key
+      FROM fp CROSS JOIN range(4) t(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+             bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc < b.doc)
+    SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+    FROM pairs WHERE hamming <= {MAX_HAMMING}
+    """,
+    doc=f"SimHash near-dups (hamming ≤ {MAX_HAMMING}), candidate-blocked by "
+    "8-bit band collisions.",
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=SIMHASH_N,
+        max_hamming=MAX_HAMMING,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
