@@ -54,23 +54,19 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(spark, dims: int, planes: int) -> DataFrame:
-    """Deterministic hyperplane weights: w(p,d) = hexval(md5('p,d')[:8]) /
-    2^31 − 1  ∈ [−1, 1). Tiny (dims×planes rows) — always broadcast."""
-    return (
-        spark.range(planes)
-        .withColumnRenamed("id", "plane")
-        .crossJoin(spark.range(dims).withColumnRenamed("id", "dim"))
-        .select(
-            "plane",
-            "dim",
-            (
-                stable_int32(F.concat_ws(",", "plane", "dim"))
-                / F.lit(float(2**31))
-                - F.lit(1.0)
-            ).alias("w"),
-        )
-    )
+def hyperplane_weights(dims: int, planes: int) -> list[list[float]]:
+    """Deterministic hyperplane weights, computed driver-side (tiny):
+    w(p,d) = hexval(md5('p,d')[:8]) / 2^31 − 1 ∈ [−1, 1). Exactly
+    representable doubles, so SQL literals replay them bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
 
 
 def srp_signatures(
@@ -80,27 +76,26 @@ def srp_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Sign-random-projection signature per vector: (id, sig) with
-    sig = Σ_p 2^p · [Σ_d vec[d]·w(p,d) > 0]."""
-    spark = vectors.sparkSession
+    sig = Σ_p 2^p · [Σ_d vec[d]·w(p,d) > 0].
+
+    Each projection is an index-order fold over the vector against a
+    literal weight array — a deterministic double sum (explode+groupBy
+    would sum in shuffle order, which is not reproducible), inlined into
+    one codegen'd projection with zero shuffles.
+    """
     dims = len(vectors.select(vec_col).first()[0])
-    hp = _hyperplanes(spark, dims, planes)
-    exploded = vectors.select(
-        F.col(id_col), F.posexplode(vec_col).alias("dim", "val")
-    )
-    proj = (
-        exploded.join(F.broadcast(hp), "dim")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("proj"))
-    )
-    return proj.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("plane"))).otherwise(
-                F.lit(0.0)
-            )
+    weights = hyperplane_weights(dims, planes)
+    sig = None
+    for p in range(planes):
+        w = F.array(*[F.lit(x) for x in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        .cast("long")
-        .alias("sig")
-    )
+        bit = F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return vectors.select(F.col(id_col), sig.alias("sig"))
 
 
 def embedding_near_dup(

@@ -1,0 +1,215 @@
+"""Registry entries: similarity search, embedding dedup, clustering.
+
+Spark-first re-expression of the reference's vector path (Qdrant cosine
+top-k — ``/root/reference/app2.py:32-45``, collection build
+``PLATFORM-contextual-Chunking.py:137-174``) plus the training-data
+extensions (ANN at scale, embedding near-dup).
+
+Cross-engine precision contract (probed 2026-08-13): DuckDB's
+``list_dot_product`` over ``DOUBLE[]`` casts is bit-identical to the
+engine's index-order ``F.aggregate(zip_with(...))`` fold, so cosine scores
+hash-match exactly after round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.clustering import (
+    kmeans_assign,
+    similar_items,
+)
+from qa_data_pipeline_rag_llm_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup,
+    hyperplane_weights,
+    srp_signatures,
+)
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+DIMS = 64          # driver testdata embedding width (TESTDATA profile)
+PLANES = 16
+N_PROBES = 5       # probe set = vec_id < N_PROBES (deterministic, tiny)
+TOP_K = 5
+NEAR_DUP_COS = 0.8
+
+
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+    )
+
+
+_O_COS = (
+    "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))), 6)"
+)
+
+
+@register(
+    "cosine_topk_embeddings",
+    f"""
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, e.vec_id, {_O_COS} AS sim
+      FROM embeddings e
+      JOIN embeddings p ON p.vec_id < {N_PROBES} AND e.vec_id != p.vec_id)
+    SELECT probe_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {TOP_K}
+    """,
+    bench=True,
+    doc="M4/S7: exact brute-force cosine top-k — broadcast probe set against "
+    "a full scan (linear, shuffle-free before the per-probe rank).",
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(
+        _t(spark, sf_dir, "embeddings"), _probes(spark, sf_dir), k=TOP_K
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _weights_sql(p: int) -> str:
+    w = hyperplane_weights(DIMS, PLANES)[p]
+    return "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+
+
+def _o_sig(tbl: str) -> str:
+    """Oracle twin of operators.similarity.srp_signatures."""
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST({tbl}.embedding AS DOUBLE[]), {_weights_sql(p)}) > 0 "
+        f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        for p in range(PLANES)
+    )
+    return f"({bits})"
+
+
+@register(
+    "srp_signatures_embeddings",
+    f"""
+    SELECT vec_id, {_o_sig("embeddings")} AS sig FROM embeddings
+    """,
+    doc=f"Sign-random-projection signatures ({PLANES} deterministic "
+    "hyperplanes; index-order folds, zero shuffles).",
+)
+def srp_signatures_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srp_signatures(_t(spark, sf_dir, "embeddings"), planes=PLANES)
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH sig AS (SELECT vec_id, {_o_sig("embeddings")} AS sig FROM embeddings),
+    v AS (SELECT e.vec_id, e.embedding, s.sig
+          FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+    FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= {NEAR_DUP_COS}
+    """,
+    doc="Embedding-cosine near-dup pairs: full 16-bit SRP-signature "
+    "collision blocks candidates; exact cosine verifies.",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"),
+        planes=PLANES,
+        cosine_threshold=NEAR_DUP_COS,
+    )
+
+
+@register(
+    "ann_lsh_topk_embeddings",
+    None,  # approximate by design: recall < 1 vs the exact oracle — the
+    # banded-candidate set depends on LSH parameters, not SQL semantics;
+    # correctness is covered by tests/test_similarity.py recall bounds.
+    doc="Approximate top-k: SRP band collision prunes candidates, exact "
+    "cosine ranks within them (the 100 TB scale path for M4).",
+)
+def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _probes(spark, sf_dir),
+        k=TOP_K,
+        planes=PLANES,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "similar_items_by_label",
+    """
+    WITH members AS (
+      SELECT label, list_sort(list(vec_id)) AS m FROM embeddings GROUP BY label)
+    SELECT e.vec_id, e.label,
+           CASE WHEN e.label = -1 THEN ''
+                ELSE array_to_string(list_filter(m.m, x -> x != e.vec_id)[1:20], ',')
+           END AS similar_ids
+    FROM embeddings e JOIN members m ON e.label = m.label
+    """,
+    doc="J3/M3: per row, the other ids of its cluster (cap 20, noise → "
+    "empty) — groupBy + rejoin, no driver state "
+    "(PLATFORM-contextual-Chunking.py:97-113 shape).",
+)
+def similar_items_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similar_items(
+        _t(spark, sf_dir, "embeddings"), cluster_col="label", id_col="vec_id"
+    )
+    return out.select(
+        "vec_id", "label", F.array_join("similar_ids", ",").alias("similar_ids")
+    )
+
+
+@register(
+    "kmeans_clusters",
+    None,  # iterative ML (M2 stand-in) — not SQL-expressible; determinism
+    # and invariants are covered by tests/test_similarity.py.
+    doc="M2 stand-in: KMeans labels over the embedding column (distributed "
+    "HDBSCAN does not exist in Spark ML — documented divergence).",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = kmeans_assign(_t(spark, sf_dir, "embeddings"), k=10)
+    return labels.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+@register(
+    "rag_retrieve",
+    f"""
+    WITH probe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {_O_COS.replace("p.embedding", "p.embedding")} AS sim
+      FROM embeddings e, probe p WHERE e.vec_id != p.vec_id),
+    top AS (
+      SELECT vec_id, sim, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM scored WHERE sim >= 0.1)
+    SELECT t.rank, t.vec_id AS doc_id, t.sim, d.lang, d.source
+    FROM top t JOIN documents d ON d.doc_id = t.vec_id
+    WHERE t.rank <= {TOP_K}
+    """,
+    doc="Stage-6 serving-path query as ONE Spark plan: probe vector → "
+    "thresholded cosine rank → join back to documents "
+    "(replaces app2.py:32-67's Qdrant + pandas point lookups).",
+)
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    top = (
+        cosine_topk(emb, probe, k=TOP_K)
+        .filter(F.col("sim") >= 0.1)
+        .select(F.col("rank").cast("int").alias("rank"), "vec_id", "sim")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return top.join(docs, top.vec_id == docs.doc_id).select(
+        "rank", "doc_id", "sim", "lang", "source"
+    )
