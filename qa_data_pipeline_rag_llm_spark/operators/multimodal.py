@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Extension surface (task brief): image/audio/video as ``binary`` columns
+with a typed ``meta`` struct, processed by Arrow-batched ``mapInPandas``.
+The Spark-side plumbing — schema, batch shape, partitioning — is real and
+oracle-tested; the actual pixel/sample decode is STUBBED (no image/audio
+libraries in this environment) behind :func:`decode_image`, which raises
+``NotImplementedError`` unless a decoder is injected.
+
+Scale notes: feature extraction is a per-row map over Arrow record batches
+— embarrassingly parallel, zero shuffles; payloads never transit the
+driver. At 100 TB, `spark.sql.files.maxPartitionBytes` bounds batch memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def attach_blobs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct<kind,width,height>).
+
+    Stands in for real media ingest: payload = utf-8 bytes, fake-but-
+    deterministic dimensions derived from a stable hash of the content.
+    """
+    h = stable_int32(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            (F.lit(320) + h % 1280).cast("int").alias("width"),
+            # h < 2^32 so floor(h/1280) is exact in double
+            (F.lit(240) + F.floor(h / 1280) % 720).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, decoder: Callable | None = None):
+    """STUB: real image decode requires a codec library not present in this
+    environment. Inject ``decoder`` (e.g. PIL.Image.open) to enable."""
+    if decoder is None:
+        raise NotImplementedError(
+            "image decode stubbed: no codec library in this environment; "
+            "pass decoder= to enable"
+        )
+    return decoder(payload)
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("digest", StringType()),
+        StructField("luma", IntegerType()),
+    ]
+)
+
+
+def extract_blob_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    ``luma`` is the deterministic stand-in for a decoded-pixel statistic:
+    sum of the first 64 code points of the payload text, mod 997.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            texts = payloads.map(lambda b: bytes(b).decode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["meta"].map(lambda m: m["kind"]),
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "digest": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "luma": texts.map(
+                        lambda t: sum(ord(c) for c in t[:64]) % 997
+                    ).astype("int32"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=_FEATURES_SCHEMA)

@@ -518,3 +518,5 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # must already be defined; keeps one REGISTRY for __spark_entry__/tests).
 from qa_data_pipeline_rag_llm_spark.plans import queries_text  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_vector  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_streaming  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_pipeline  # noqa: E402,F401

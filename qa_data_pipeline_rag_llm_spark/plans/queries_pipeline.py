@@ -1,0 +1,229 @@
+"""Registry entries: QA-pipeline spine, multimodal features, embedding UDF,
+window frames, set ops — completing the SURVEY.md §2 surface.
+
+``qa_pipeline_docs`` is the reference's whole batch ETL re-expressed as ONE
+Spark plan: normalize (P1) → NOT-IN filter (P3) → bot-regex anti-filter
+(P4/F4) → top-k per parent (W1) → sorted collect_list (A1) → left join
+(J1) — the spine of ``main-spark.py:4-10``'s seven scripts, oracle-checked
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.functions.embed import EMBED_DIMS, embed_text
+from qa_data_pipeline_rag_llm_spark.operators.joins import enrich_with_child_ids
+from qa_data_pipeline_rag_llm_spark.operators.multimodal import (
+    attach_blobs,
+    extract_blob_features,
+)
+from qa_data_pipeline_rag_llm_spark.operators.normalize import (
+    BOT_REGEX,
+    drop_bot_messages,
+    drop_deleted,
+)
+from qa_data_pipeline_rag_llm_spark.operators.ranking import top_k_per_group
+from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+TOP_K_COMMENTS = 20
+
+
+@register(
+    "qa_pipeline_docs",
+    f"""
+    WITH comments AS (
+      SELECT CAST(event_id AS VARCHAR) AS id_comment,
+             event_type AS body,
+             CAST(round(value * 1000000) AS BIGINT) AS score,
+             CAST(user_id AS VARCHAR) AS parent_post_id
+      FROM events
+      WHERE event_type NOT IN ('[deleted]', '[removed]')
+        AND NOT regexp_matches(coalesce(event_type, ''), '{BOT_REGEX.replace("'", "''")}')),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY parent_post_id
+                                   ORDER BY score DESC, id_comment) AS rn
+      FROM comments),
+    grouped AS (
+      SELECT parent_post_id,
+             array_to_string(list_sort(list(id_comment)), ',') AS comment_ids,
+             COUNT(*) AS n_comments
+      FROM ranked WHERE rn <= {TOP_K_COMMENTS} GROUP BY parent_post_id)
+    SELECT CAST(d.doc_id AS VARCHAR) AS id_post,
+           d.source AS community,
+           d.n_chars AS score,
+           COALESCE(g.comment_ids, '') AS comment_ids,
+           COALESCE(g.n_comments, 0) AS n_comments
+    FROM documents d
+    LEFT JOIN grouped g ON CAST(d.doc_id AS VARCHAR) = g.parent_post_id
+    """,
+    bench=True,
+    doc="The reference's batch ETL spine as one plan: P1→P3→P4→W1→A1→J1 "
+    "(REDDIT-Nettoyage-Comms.py + REDDIT-jointure.py shapes, "
+    "documents-as-posts / events-as-comments).",
+)
+def qa_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id_post"),
+        F.col("source").alias("community"),
+        F.col("n_chars").alias("score"),
+    )
+    comments = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("id_comment"),
+        F.col("event_type").alias("body"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("score"),
+        F.col("user_id").cast("string").alias("parent_post_id"),
+    )
+    cleaned = drop_bot_messages(drop_deleted(comments))
+    top = top_k_per_group(
+        cleaned,
+        group_by=["parent_post_id"],
+        order_by=[F.desc("score"), F.col("id_comment")],
+        k=TOP_K_COMMENTS,
+    )
+    enriched = enrich_with_child_ids(
+        posts, top, "id_post", "parent_post_id", "id_comment"
+    )
+    return enriched.select(
+        "id_post",
+        "community",
+        "score",
+        F.coalesce(F.array_join("comment_ids", ","), F.lit("")).alias("comment_ids"),
+        F.coalesce(F.size("comment_ids"), F.lit(0)).cast("long").alias("n_comments"),
+    )
+
+
+_H = O.stable_int32("text")
+
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT doc_id,
+           'image' AS kind,
+           CAST(320 + ({_H}) % 1280 AS INTEGER) AS width,
+           CAST(240 + (({_H}) // 1280) % 720 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS digest,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, least(length(text), 64) + 1),
+                  i -> unicode(substr(text, i, 1)))), 0) % 997 AS INTEGER) AS luma
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary payload + typed meta struct → "
+    "mapInPandas feature extraction (Arrow batches). Pixel decode is a "
+    "documented stub (operators.multimodal.decode_image); every feature "
+    "here is deterministic and oracle-replayed.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_blobs(_t(spark, sf_dir, "documents"))
+    return extract_blob_features(blobs)
+
+
+def _embed_dim_sql(d: int) -> str:
+    md5_expr = "md5(" + str(d) + " || ':' || " + O.norm("text") + ")"
+    return O.duckdb_hex_to_int(md5_expr, 8) + f" / 2147483648 - 1.0 AS e{d}"
+
+
+@register(
+    "embed_documents",
+    "SELECT doc_id, "
+    + ", ".join(_embed_dim_sql(d) for d in range(EMBED_DIMS))
+    + " FROM documents",
+    doc="M1 embedding generation as an Arrow-batched iterator pandas_udf "
+    "(per-executor model init; deterministic md5 fake stands in for "
+    "MiniLM — PLATFORM-contextual-Chunking.py:52-77).",
+)
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    emb = d.select("doc_id", embed_text("text").alias("v"))
+    return emb.select(
+        "doc_id", *[F.col("v")[i].alias(f"e{i}") for i in range(EMBED_DIMS)]
+    )
+
+
+@register(
+    "events_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round((SUM(CAST(round(value * 1000000) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 1000000.0)
+                 / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 4) AS mov_avg,
+           round((CAST(round(value * 1000000) AS BIGINT)
+                  - LAG(CAST(round(value * 1000000) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 / 1000000.0, 6) AS delta
+    FROM events
+    """,
+    doc="Analytic window frames: 3-row moving average (exact integer "
+    "accumulation) + lag delta — frame-spec surface absent in the "
+    "reference (§2.6).",
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 1_000_000).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            (F.sum(scaled).over(frame) / 1_000_000.0) / F.count("*").over(frame), 4
+        ).alias("mov_avg"),
+        F.round((scaled - F.lag(scaled).over(w)) / 1_000_000.0, 6).alias("delta"),
+    )
+
+
+@register(
+    "intersect_except_parts",
+    """
+    SELECT 'common' AS tag, p_brand, p_type FROM (
+      SELECT p_brand, p_type FROM part WHERE p_size >= 40
+      INTERSECT
+      SELECT p_brand, p_type FROM part WHERE p_retailprice > 1500)
+    UNION ALL
+    SELECT 'only_large' AS tag, p_brand, p_type FROM (
+      SELECT p_brand, p_type FROM part WHERE p_size >= 40
+      EXCEPT
+      SELECT p_brand, p_type FROM part WHERE p_retailprice > 1500)
+    """,
+    doc="INTERSECT / EXCEPT set surface (absent in reference §2.8).",
+)
+def intersect_except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") >= 40).select("p_brand", "p_type")
+    b = p.filter(F.col("p_retailprice") > 1500).select("p_brand", "p_type")
+    common = a.intersect(b).select(F.lit("common").alias("tag"), "p_brand", "p_type")
+    only = a.exceptAll(b).distinct().select(
+        F.lit("only_large").alias("tag"), "p_brand", "p_type"
+    )
+    return common.unionByName(only)
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+           MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="F6: JSON parse (from_json replaces the reference's "
+    "ast.literal_eval hack — PLATFORM-GenerationLLM.py:69-72) + agg.",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -1,0 +1,175 @@
+"""Structured Streaming ingest + event-time operators over `events`.
+
+The reference has NO streaming surface (SURVEY.md §2.11 — its closest
+construct is polling-with-sleep at ``/root/reference/REDDIT-Ingestion.py:
+57-59``). This module is the engine's scale extension: file-source streams,
+event-time tumbling windows, watermarked late-data handling, and a custom
+stateful operator via ``applyInPandasWithState``.
+
+Batch/stream parity: the tumbling-window aggregation is the streaming twin
+of ``plans.queries.events_hourly`` — with ``Trigger.AvailableNow`` + complete
+mode the result is a total function of the input files, so the DuckDB oracle
+checks the STREAMING path exactly like any batch query.
+
+Scale notes: a windowed streaming agg shuffles once per micro-batch on the
+group keys and keeps state in the state store (RocksDB on a real cluster);
+the stateful op keeps integer per-key state — exact, no float drift.
+"""
+
+from __future__ import annotations
+
+import sys
+import uuid
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from qa_data_pipeline_rag_llm_spark.schemas import TESTDATA_SCHEMAS
+
+# Ship this module's UDFs by VALUE: executor Python workers do not have the
+# engine on their import path when the driver was launched elsewhere (the
+# driver harness adds /root/repo to the driver's sys.path only).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns-int64 ts → timestamp,
+    same conversion as catalog.load_table)."""
+    # the file source requires a directory; glob-filter to the events table
+    raw = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming plan over all available input and return the
+    final result as a batch DataFrame (memory sink + AvailableNow)."""
+    name = f"q_{uuid.uuid4().hex}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)  # detach from sink
+    q.stop()
+    return out
+
+
+def stream_hourly_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 1-hour event-time window: (hour, event_type, n, total_value).
+
+    ``total_value`` is summed exactly (value → decimal(18,6)) so the result
+    is order-independent across micro-batches and shuffle partitions.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    res = run_to_completion(agg, "complete")
+    return res.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# ------------------------------------------------- custom stateful operator
+_VAL_SCALE = 1_000_000  # exact micro-units for double `value`
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total_scaled", LongType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_scaled", LongType()),
+        StructField("last_event", StringType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running totals with exact integer accumulation. Emits the
+    updated state once per micro-batch the key appears in."""
+    n, total = state.get if state.exists else (0, 0)
+    last_type = ""
+    last_key = (-1, -1)
+    for pdf in pdfs:
+        n += len(pdf)
+        # exact: value scaled to integer micro-units before summing
+        total += int((pdf["value"] * _VAL_SCALE).round().astype("int64").sum())
+        # deterministic "last": max (ts, event_id) tie-broken by event_id
+        idx = pdf[["ts", "event_id"]].astype("int64")
+        pos = idx.sort_values(["ts", "event_id"]).index[-1]
+        cand = (int(idx.loc[pos, "ts"]), int(idx.loc[pos, "event_id"]))
+        if cand > last_key:
+            last_key = cand
+            last_type = str(pdf.loc[pos, "event_type"])
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_scaled": [total],
+            "last_event": [last_type],
+        }
+    )
+
+
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, exact total, latest event type). With AvailableNow the final
+    emission equals the batch aggregate — oracle-checkable."""
+    raw = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = raw.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_to_completion(out, "update")
+    # update mode re-emits a row per micro-batch; keep each user's final
+    final = res.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_scaled").alias("total_scaled"),
+        F.max_by("last_event", "n_events").alias("last_event"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("total_scaled") / _VAL_SCALE, 4).alias("total_value"),
+        "last_event",
+    )
