@@ -1,0 +1,62 @@
+"""Distributed IO: Parquet/CSV writers + CSV source with explicit schemas.
+
+Replaces the reference's two worst scale decisions (SURVEY.md §4):
+
+  * K1 — every Spark stage collects to the driver and uploads one CSV
+    (``/root/reference/PLATFORM-Merge.py:59-82`` et al., 7 sites). Here
+    every sink is a distributed ``df.write`` — the driver never holds data.
+  * S5 — every read re-infers schema from CSV (one extra full pass per
+    file, ``REDDIT-Nettoyage-Posts.py:37-46``). Here CSV reads take an
+    explicit schema and the reference's quoting dialect.
+
+Scale notes: ``write_table`` partitions output by the given columns so
+downstream scans prune; sort-within-partitions keeps row groups clustered
+for min/max skipping. Arrays/structs stay native (Parquet), eliminating
+the reference's CSV array-stringification + ``ast.literal_eval`` round-trip
+(SURVEY.md §1.2 F6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: The reference's CSV dialect (multiLine bodies, quote-escaped quotes —
+#: REDDIT-Nettoyage-Posts.py:37-46).
+CSV_OPTIONS = {
+    "header": "true",
+    "multiLine": "true",
+    "quote": '"',
+    "escape": '"',
+}
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, **options: str
+) -> DataFrame:
+    """CSV scan with an explicit schema — single-pass, prunable."""
+    opts = {**CSV_OPTIONS, **options}
+    return spark.read.schema(schema).options(**opts).csv(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] = (),
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Distributed write; optional partition columns (partition pruning)
+    and within-partition sort (row-group min/max skipping)."""
+    out = df
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.options(**CSV_OPTIONS)
+    writer.format(fmt).save(path)

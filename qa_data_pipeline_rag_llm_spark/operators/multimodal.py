@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
+from qa_data_pipeline_rag_llm_spark.operators.util import ensure_parallelism
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -43,6 +44,7 @@ def attach_blobs(
     Stands in for real media ingest: payload = utf-8 bytes, fake-but-
     deterministic dimensions derived from a stable hash of the content.
     """
+    df = ensure_parallelism(df)
     h = stable_int32(F.col(text_col))
     return df.select(
         F.col(id_col),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from qa_data_pipeline_rag_llm_spark.operators.util import ensure_parallelism
 from qa_data_pipeline_rag_llm_spark.functions.text import (
     fingerprint,
     lang_id,
@@ -24,6 +25,7 @@ from qa_data_pipeline_rag_llm_spark.functions.text import (
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document: predicted language, token count, quality, fingerprint."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         lang_id(text_col).alias("lang_pred"),

@@ -137,7 +137,9 @@ def _embed_dim_sql(d: int) -> str:
     "MiniLM — PLATFORM-contextual-Chunking.py:52-77).",
 )
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    from qa_data_pipeline_rag_llm_spark.operators.util import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     emb = d.select("doc_id", embed_text("text").alias("v"))
     return emb.select(
         "doc_id", *[F.col("v")[i].alias(f"e{i}") for i in range(EMBED_DIMS)]

@@ -1,0 +1,67 @@
+"""IO round-trips: distributed writers + explicit-schema CSV source."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from qa_data_pipeline_rag_llm_spark.io import read_csv, write_table
+from qa_data_pipeline_rag_llm_spark.schemas import TESTDATA_SCHEMAS
+
+
+def test_parquet_partitioned_roundtrip(spark, tables, tmp_path):
+    """Partitioned parquet write → read back: identical rows, and partition
+    pruning visible in the scan plan."""
+    out = str(tmp_path / "orders_by_status")
+    orders = tables["orders"]
+    write_table(orders, out, partition_by=["o_orderstatus"], sort_by=["o_orderkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+    # pruning: only one partition directory is scanned for an equality filter
+    plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_csv_dialect_roundtrip(spark, tmp_path):
+    """The reference's CSV dialect (multiLine, quote-escaped quotes —
+    REDDIT-Nettoyage-Posts.py:37-46) survives a write+read round-trip with
+    embedded newlines and quotes, WITHOUT schema inference."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", StringType()), StructField("body", StringType())]
+    )
+    rows = [
+        ("a", 'line one\nline "two"'),
+        ("b", "plain"),
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "csv_roundtrip")
+    write_table(df.repartition(1), out, fmt="csv")
+    back = read_csv(spark, out, schema)
+    got = {r["id"]: r["body"] for r in back.collect()}
+    assert got == {"a": 'line one\nline "two"', "b": "plain", "c": None}
+
+
+def test_arrays_stay_native_in_parquet(spark, tmp_path):
+    """Arrays round-trip natively (no literal_eval hack — SURVEY.md §1.2)."""
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, [])], "id INT, comment_ids ARRAY<STRING>"
+    )
+    out = str(tmp_path / "native_arrays")
+    write_table(df, out)
+    back = spark.read.parquet(out).orderBy("id").collect()
+    assert back[0]["comment_ids"] == ["x", "y"]
+    assert back[1]["comment_ids"] == []
+
+
+def test_events_schema_matches_catalog(tables):
+    """events ns-int64 ts is typed to TimestampType by the catalog."""
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"
+
+
+@pytest.mark.parametrize("name", sorted(TESTDATA_SCHEMAS))
+def test_declared_schemas_load(tables, name):
+    assert tables[name].count() > 0

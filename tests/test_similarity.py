@@ -1,0 +1,48 @@
+"""Similarity/clustering invariants not expressible as SQL oracles."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.clustering import kmeans_assign
+from qa_data_pipeline_rag_llm_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+)
+from tests.conftest import SF_DIR
+
+
+def _probes(tables):
+    return tables["embeddings"].filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+
+
+def test_lsh_recall_vs_bruteforce(spark, tables):
+    """Approximate top-k must (a) only return true candidates with correct
+    sims, (b) reach reasonable recall of the exact top-k on this corpus."""
+    emb = tables["embeddings"]
+    k = 5
+    exact = cosine_topk(emb, _probes(tables), k=k).collect()
+    approx = ann_lsh_topk(emb, _probes(tables), k=k, planes=16).collect()
+    exact_pairs = {(r["probe_id"], r["vec_id"]): r["sim"] for r in exact}
+    approx_pairs = {(r["probe_id"], r["vec_id"]): r["sim"] for r in approx}
+    # sims for overlapping pairs are identical (same scoring expression)
+    for p, s in approx_pairs.items():
+        if p in exact_pairs:
+            assert s == exact_pairs[p], p
+    recall = len(set(approx_pairs) & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_topk_never_exceeds_k(spark, tables):
+    out = cosine_topk(tables["embeddings"], _probes(tables), k=3)
+    per_probe = out.groupBy("probe_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_probe)
+
+
+def test_kmeans_deterministic_with_seed(spark, tables):
+    a = kmeans_assign(tables["embeddings"], k=5, seed=7).collect()
+    b = kmeans_assign(tables["embeddings"], k=5, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len({r["cluster"] for r in a}) == 5
