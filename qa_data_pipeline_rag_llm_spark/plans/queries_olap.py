@@ -12,7 +12,27 @@ from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.functions.text import html_strip, strip_id_prefix
 from qa_data_pipeline_rag_llm_spark.operators.ranking import top_k_per_group
-from qa_data_pipeline_rag_llm_spark.plans.queries import SCALE, _t, o_sl, register
+from qa_data_pipeline_rag_llm_spark.plans.queries import (
+    SCALE,
+    _exact_sum,
+    _money,
+    _sl,
+    _t,
+    o_exact_sum,
+    o_money,
+    o_sl,
+    register,
+)
+
+# Shared revenue expression: l_extendedprice * (1 - l_discount), exact via
+# scaled longs (see queries.py SCALE rationale).
+_O_REV = f"{o_sl('l_extendedprice')} * ({SCALE} - {o_sl('l_discount')})"
+
+
+def _rev():
+    from pyspark.sql import functions as _F
+
+    return _sl("l_extendedprice") * (_F.lit(SCALE).cast("long") - _sl("l_discount"))
 
 
 @register(
@@ -180,4 +200,234 @@ def shipped_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .agg(F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT round({o_exact_sum(f"{o_sl('l_extendedprice')} * {o_sl('l_discount')}", SCALE * SCALE)}, 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND {o_sl('l_discount')} BETWEEN 500 AND 700
+      AND l_quantity < 24
+    """,
+    bench=True,
+    doc="TPC-H Q6 shape: pure scan + selective predicates + global agg. The "
+    "predicate set reaches the parquet scan as PushedFilters (shipdate "
+    "min/max prune row groups); no shuffle beyond the final 1-row reduce.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_scaled = _sl("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & disc_scaled.between(500, 700)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                _exact_sum(_sl("l_extendedprice") * disc_scaled, SCALE * SCALE), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           round({o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)}, 2) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    bench=True,
+    doc="TPC-H Q10 shape: fact-fact join + broadcast dims + agg + "
+    "deterministic top-20. Orders filter applied before the join so the "
+    "shuffled side shrinks first; nation broadcast.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q12_late_lines_by_status",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape (no l_shipmode column in testdata — grouped by "
+    "l_linestatus instead): join + conditional aggregation over a "
+    "late-shipment interval predicate.",
+)
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT round(100.0 * ({o_exact_sum(f"CASE WHEN p.p_type = 'PROMO' THEN {_O_REV.replace('l_', 'l.l_')} ELSE 0 END", SCALE * SCALE)})
+                 / ({o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)}), 4) AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 shape: promo-revenue ratio via conditional exact sums "
+    "(p_type = 'PROMO' — testdata types are single words, no 'PROMO%%' "
+    "prefix needed).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    promo_rev = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast("long"))
+    return joined.agg(
+        F.round(
+            (F.lit(100.0) * _exact_sum(promo_rev, SCALE * SCALE))
+            / _exact_sum(_rev(), SCALE * SCALE),
+            4,
+        ).alias("promo_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice,
+           {o_money("l.l_quantity")} AS sum_qty
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST({o_sl('l_quantity')} AS DECIMAL(38,0))) > 250 * {SCALE}
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: HAVING subquery as a semi join on the "
+    "pre-aggregated fact (the aggregate is computed once and semi-joined, "
+    "not recomputed per row).",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_sl("l_quantity").cast("decimal(38,0)")).alias("qty_scaled"))
+        .filter(F.col("qty_scaled") > 250 * SCALE)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_money("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT round({o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)}, 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_type  = 'PROMO'   AND l.l_quantity >= 20)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive band predicates across "
+    "both join sides — Catalyst extracts the common p_partkey equi-key so "
+    "this stays a broadcast hash join with a residual OR filter, not a "
+    "nested-loop join.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") <= 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 20)
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
     )
