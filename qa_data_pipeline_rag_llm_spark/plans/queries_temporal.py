@@ -1,0 +1,98 @@
+"""Registry entries: temporal joins (as-of, windowed range self-join).
+
+Absent from the reference (SURVEY.md §2.4 — "no theta, range, as-of,
+interval, or anti joins appear") but core to event-data preparation at
+scale. DuckDB's native ASOF JOIN is the oracle for the as-of operator, so
+the non-trivial carry-forward plan is value-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.temporal import (
+    asof_join,
+    range_self_join_pairs,
+)
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+_PAIR_WINDOW_US = 1800 * 1_000_000  # 30 minutes
+
+
+@register(
+    "asof_click_before_purchase",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id,
+           c.click_event_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    bench=True,
+    doc="As-of join: each purchase event gets the most recent prior-or-equal "
+    "click of the same user (NULL when none). Implemented as union-tag + "
+    "carry-forward window — ONE shuffle on user_id, no pair explosion "
+    "(operators/temporal.py); oracle is DuckDB's native ASOF JOIN. Ties "
+    "on click ts are pre-collapsed to max(event_id) for determinism.",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumnRenamed("ts", "click_ts"),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_event_id", "click_ts"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "click_event_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "events_close_pairs",
+    f"""
+    SELECT a.user_id,
+           a.event_id AS event_id_a,
+           b.event_id AS event_id_b,
+           abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us,
+           a.event_type AS event_type_a,
+           b.event_type AS event_type_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_PAIR_WINDOW_US}
+    """,
+    doc="Windowed range self-join: pairs of same-user events within 30 "
+    "minutes, found via time-bucket blocking (equal/adjacent bucket join) "
+    "instead of a per-user cross product — candidate count scales with "
+    "bucket density, not rows² (operators/temporal.py).",
+)
+def events_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return range_self_join_pairs(
+        ev,
+        keys=["user_id"],
+        ts="ts",
+        id_col="event_id",
+        window_us=_PAIR_WINDOW_US,
+        extra_cols=["event_type"],
+    )
