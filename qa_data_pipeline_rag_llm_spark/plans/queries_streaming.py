@@ -55,3 +55,104 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_user_running_totals(spark, sf_dir)
+
+
+from qa_data_pipeline_rag_llm_spark.streaming.events import (  # noqa: E402
+    stream_dedup_rate_limited,
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_static_enriched,
+)
+
+
+@register(
+    "streaming_sliding_counts",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             (epoch_us(ts) // 1800000000) * 1800000000 AS s1
+      FROM events
+    ), expanded AS (
+      SELECT event_type, value, s1 AS s FROM e
+      UNION ALL
+      SELECT event_type, value, s1 - 1800000000 AS s FROM e
+    )
+    SELECT strftime(make_timestamp(s), '%Y-%m-%d %H:%M') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+    doc="Sliding event-time window (1 h / 30 min slide): every event lands "
+    "in exactly two windows; oracle expands each row into both window "
+    "starts. Windows align to the epoch, matching F.window's alignment.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_sliding_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           COUNT(*) AS n_events,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Native session windows (session_window, 30 min gap) per user — "
+    "the streaming twin of batch sessionization. Spark merges an event "
+    "into a session iff it falls strictly inside [start, last+gap), so "
+    "the oracle breaks sessions on diff >= gap.",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_session_windows(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT event_type, COUNT(*) AS n_kept FROM (
+      SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+      FROM events
+    ) GROUP BY event_type
+    """,
+    doc="Streaming dropDuplicates state operator: at most one event per "
+    "(user, type, minute). The surviving physical row is nondeterministic, "
+    "so the checked output counts surviving KEYS only.",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup_rate_limited(spark, sf_dir)
+
+
+@register(
+    "streaming_static_join",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             CASE WHEN COUNT(*) >= 70 THEN 'heavy' ELSE 'light' END AS segment
+      FROM events GROUP BY user_id
+    )
+    SELECT s.segment, e.event_type, COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS total_value
+    FROM events e JOIN seg s USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join: the event stream joins a batch-computed user "
+    "segment dimension (re-planned per micro-batch, stateless), then a "
+    "windowless streaming agg per (segment, event_type).",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_static_enriched(spark, sf_dir)

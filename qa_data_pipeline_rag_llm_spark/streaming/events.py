@@ -173,3 +173,92 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total_scaled") / _VAL_SCALE, 4).alias("total_value"),
         "last_event",
     )
+
+
+def stream_sliding_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding event-time window (1 h length, 30 min slide): every event
+    lands in exactly two overlapping windows. Complete mode + AvailableNow
+    → the final table is a total function of the input."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    res = run_to_completion(agg, "complete")
+    return res.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (session_window, 30 min inactivity gap) per
+    user: the streaming twin of the batch lag+cumsum sessionization
+    (plans.queries.sessionize_events uses the same gap)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    res = run_to_completion(agg, "complete")
+    return res.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "sess_start"
+        ),
+        "n_events",
+        "total_value",
+    )
+
+
+def stream_dedup_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates: at most one event per (user, type, minute)
+    survives — the Structured Streaming dedup-state operator. Which
+    physical row survives a collision is nondeterministic, so the output
+    aggregates only the surviving KEYS (deterministic by construction)."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withColumn(
+        "minute", F.date_trunc("minute", "ts")
+    ).dropDuplicates(["user_id", "event_type", "minute"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_kept"))
+    return run_to_completion(agg, "complete")
+
+
+def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream joins a batch-computed user
+    segment dimension (heavy = ≥70 lifetime events), then aggregates per
+    (segment, event_type). The static side is planned per micro-batch;
+    no streaming state is needed for the join itself."""
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+
+    static_users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+        .withColumn(
+            "segment", F.when(F.col("n_total") >= 70, "heavy").otherwise("light")
+        )
+        .select("user_id", "segment")
+    )
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.join(static_users, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+    return run_to_completion(agg, "complete")
