@@ -1,0 +1,146 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second scale path for M4 next to SRP-LSH (operators/similarity.py),
+mirroring FAISS's IndexIVFFlat with METRIC_INNER_PRODUCT: a tiny coarse
+quantizer partitions vectors into cells; a probe searches only its
+``nprobe`` best cells, then exact-reranks within the candidates.
+
+Spark-first shape, and why it survives 100 TB:
+
+* Cell assignment is a ZERO-SHUFFLE projection. The coarse centroids are
+  a bounded literal list (here: deterministic seed vectors; production
+  would train them offline with KMeans and broadcast), so the argmax over
+  ``k`` inner products inlines into whole-stage codegen — no window, no
+  groupBy, no cross join against a centroid table.
+* Probing broadcasts the (probe → cell) map; the only shuffle in the
+  whole query is the final per-probe top-k rank.
+* The candidate set shrinks by ~nprobe/n_cells versus the brute-force
+  scan — the linear-scan rerank is on cells, not the corpus.
+
+Determinism contract: inner products are index-order double folds
+(bit-identical to DuckDB ``list_dot_product`` over ``DOUBLE[]`` casts —
+probed 2026-08-13, see plans/queries_vector.py), argmax breaks ties
+toward the smaller cell id (strict ``>`` fold in cid order), so the
+whole IVF pipeline is oracle-checkable — unlike LSH-parameter recall,
+nothing here is left to chance.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.functions.vectors import cosine
+
+
+def _dot_lit(vec_col: Column, weights: Sequence[float]) -> Column:
+    """Index-order double fold of vec · literal-array (codegen'd, no UDF)."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        F.zip_with(vec_col, w, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def seed_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the vectors with the ``n_cells``
+    smallest ids. Driver-side collect of a bounded tiny set (same pattern
+    as similarity.hyperplane_weights); swap in offline-trained KMeans
+    centroids at production scale — the plan shape is unchanged."""
+    rows = (
+        vectors.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return sorted((r[0], list(r[1])) for r in rows)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): each vector goes to the centroid with the highest inner
+    product (ties → smaller cell id). Pure projection — no shuffle."""
+    best_dp: Column | None = None
+    best_cid: Column | None = None
+    for cid, w in centroids:  # increasing cid; strict > keeps the earliest
+        dp = _dot_lit(F.col(vec_col), w)
+        if best_dp is None:
+            best_dp, best_cid = dp, F.lit(cid)
+        else:
+            best_cid = F.when(dp > best_dp, F.lit(cid)).otherwise(best_cid)
+            best_dp = F.greatest(dp, best_dp)
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), best_cid.alias("cell")
+    )
+
+
+def ivf_probe_cells(
+    probes: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    nprobe: int,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+) -> DataFrame:
+    """(probe_id, cell): the ``nprobe`` best cells per probe. The probe set
+    is small by contract; the explode + rank touches probes × n_cells rows."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(cid).alias("cid"), _dot_lit(F.col(probe_vec), w).alias("dp"))
+            for cid, w in centroids
+        ]
+    )
+    exploded = probes.select(
+        probe_id, F.explode(pairs).alias("c")
+    ).select(probe_id, F.col("c.cid").alias("cell"), F.col("c.dp").alias("dp"))
+    w_rank = Window.partitionBy(probe_id).orderBy(F.desc("dp"), F.col("cell"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= nprobe)
+        .select(probe_id, "cell")
+    )
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+) -> DataFrame:
+    """Approximate top-k: scan only the probe's ``nprobe`` cells, exact
+    cosine rerank within the candidates."""
+    centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    cells = ivf_probe_cells(probes, centroids, nprobe, probe_id, probe_vec)
+    probe_full = probes.join(cells, probe_id)
+    cand = assigned.join(
+        F.broadcast(probe_full),
+        (assigned["cell"] == probe_full["cell"])
+        & (F.col(id_col) != F.col(probe_id)),
+    )
+    scored = cand.select(
+        probe_id,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(probe_vec)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, id_col, "sim", "rank")
+    )

@@ -213,3 +213,60 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(docs, top.vec_id == docs.doc_id).select(
         "rank", "doc_id", "sim", "lang", "source"
     )
+
+
+N_CELLS = 16
+N_PROBE_CELLS = 4
+
+_O_IVF_COS = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(pc.pvec AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(pc.pvec AS DOUBLE[]), CAST(pc.pvec AS DOUBLE[])))), 6)"
+)
+
+
+@register(
+    "ann_ivf_topk_embeddings",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CELLS}),
+    scores AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS dp
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+        FROM scores) WHERE rn = 1),
+    pscores AS (
+      SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cid,
+             list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS dp
+      FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < {N_PROBES}),
+    pcells AS (
+      SELECT probe_id, pvec, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dp DESC, cid) AS rn
+        FROM pscores) WHERE rn <= {N_PROBE_CELLS}),
+    cand AS (
+      SELECT pc.probe_id, a.vec_id, {_O_IVF_COS} AS sim
+      FROM pcells pc JOIN assign a ON a.cell = pc.cell AND a.vec_id != pc.probe_id)
+    SELECT probe_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      FROM cand) WHERE rank <= {TOP_K}
+    """,
+    doc=f"IVF ANN (FAISS IndexIVFFlat/inner-product shape): {N_CELLS} "
+    "deterministic seed centroids partition the corpus via a zero-shuffle "
+    f"argmax projection; each probe scans its {N_PROBE_CELLS} best cells "
+    "and exact-reranks by cosine. Fully oracle-checked (unlike the "
+    "recall-parametric LSH entry) — the inner-product folds are "
+    "bit-identical across engines.",
+)
+def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.ivf import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _probes(spark, sf_dir),
+        k=TOP_K,
+        n_cells=N_CELLS,
+        nprobe=N_PROBE_CELLS,
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -46,3 +46,26 @@ def test_kmeans_deterministic_with_seed(spark, tables):
     b = kmeans_assign(tables["embeddings"], k=5, seed=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len({r["cluster"] for r in a}) == 5
+
+
+def test_ivf_recall_vs_bruteforce(spark, tables):
+    """IVF top-k: scores exact for returned pairs; decent recall at
+    nprobe/n_cells = 4/16 on this corpus; never exceeds k per probe."""
+    from qa_data_pipeline_rag_llm_spark.operators.ivf import ann_ivf_topk
+
+    emb = tables["embeddings"]
+    k = 5
+    exact = cosine_topk(emb, _probes(tables), k=k).collect()
+    approx = ann_ivf_topk(emb, _probes(tables), k=k, n_cells=16, nprobe=4).collect()
+    exact_pairs = {(r["probe_id"], r["vec_id"]): r["sim"] for r in exact}
+    approx_pairs = {(r["probe_id"], r["vec_id"]): r["sim"] for r in approx}
+    for p, s in approx_pairs.items():
+        if p in exact_pairs:
+            assert s == exact_pairs[p], p
+    recall = len(set(approx_pairs) & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall {recall} too low"
+
+    per_probe = {}
+    for r in approx:
+        per_probe[r["probe_id"]] = per_probe.get(r["probe_id"], 0) + 1
+    assert all(v <= k for v in per_probe.values())
