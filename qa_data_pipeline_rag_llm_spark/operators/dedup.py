@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from qa_data_pipeline_rag_llm_spark.functions.hashing import minhash_key, stable_int32
+from qa_data_pipeline_rag_llm_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_coeffs,
+    shingle_int_hash,
+    stable_int32,
+)
 from qa_data_pipeline_rag_llm_spark.functions.text import normalize_text, word_shingles
 from qa_data_pipeline_rag_llm_spark.operators.util import ensure_parallelism
 
@@ -61,24 +66,33 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: columns mh0..mh{k-1}, each the
-    lexicographic MIN of md5(perm:shingle) (fixed-width hex ⇒ numeric order).
+    """Per-doc MinHash signature: columns mh0..mh{k-1}, each the MIN of the
+    i-th affine permutation (a_i·h + b_i) mod 2^31−1 over the doc's shingle
+    hashes (functions.hashing.minhash_coeffs).
 
-    Computed as a pure per-row projection — ``array_min`` over a
-    ``transform`` of the shingle array. No explode, no distinct, no
-    shuffle: at 100 TB this is map-only over the scan (duplicate shingles
-    within a doc can't change a min). An explode+groupBy formulation
-    measured ~10× slower at sf0.1.
+    Computed as a pure per-row projection — the shingle array is hashed
+    ONCE (one md5 each), then every permutation is an ``array_min`` over an
+    integer ``transform``. No explode, no distinct, no shuffle: at 100 TB
+    this is map-only over the scan (duplicate shingles within a doc can't
+    change a min). Measured at sf0.1: ~10× faster than explode+groupBy,
+    ~4× faster than one-md5-per-permutation.
     """
     df = ensure_parallelism(df)
-    sh = word_shingles(text_col, shingle_n)
+    hs = F.transform(word_shingles(text_col, shingle_n), shingle_int_hash)
+    base = df.select(F.col(id_col).alias("doc"), hs.alias("__hs"))
 
-    def mh(i: int) -> F.Column:
+    def mh(i: int, a: int, b: int) -> F.Column:
         return F.array_min(
-            F.transform(sh, lambda s: minhash_key(i, s))
+            F.transform(
+                F.col("__hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+            )
         ).alias(f"mh{i}")
 
-    return df.select(F.col(id_col).alias("doc"), *[mh(i) for i in range(num_perm)])
+    coeffs = minhash_coeffs(num_perm)
+    return base.select(
+        "doc", *[mh(i, a, b) for i, (a, b) in enumerate(coeffs)]
+    )
 
 
 def minhash_lsh_pairs(

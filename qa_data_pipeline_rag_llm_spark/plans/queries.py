@@ -200,8 +200,11 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
+        # customer/orders scale with the corpus — no broadcast hint; AQE
+        # picks BHJ when a side is actually small. region/nation are
+        # bounded (5/25 rows) so the hint is always safe.
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))

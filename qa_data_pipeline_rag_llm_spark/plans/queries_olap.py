@@ -331,7 +331,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    # part scales with the corpus — no broadcast hint (AQE decides).
+    joined = li.join(p, p.p_partkey == li.l_partkey)
     promo_rev = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast("long"))
     return joined.agg(
         F.round(
@@ -424,7 +425,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 20)
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        # part scales with the corpus — no broadcast hint (AQE decides).
+        li.join(p, p.p_partkey == li.l_partkey)
         .filter(cond)
         .agg(
             F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("revenue"),

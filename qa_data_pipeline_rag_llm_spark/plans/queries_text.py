@@ -119,10 +119,22 @@ def _sh_cte(n: int) -> str:
 
 
 def _sig_cte(num_perm: int) -> str:
-    mins = ", ".join(
-        f"min(md5({i} || ':' || shingle)) AS mh{i}" for i in range(num_perm)
+    """Oracle twin of operators.dedup.minhash_signatures (affine family):
+    h = md5-int(shingle) mod p, mh_i = min((a_i·h + b_i) mod p)."""
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import (
+        MINHASH_P,
+        minhash_coeffs,
     )
-    return f"sig AS (SELECT doc, {mins} FROM sh GROUP BY doc)"
+
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_perm))
+    )
+    return (
+        f"hsh AS (SELECT doc, {O.stable_int32('shingle')} % {MINHASH_P} AS h "
+        "FROM sh), "
+        f"sig AS (SELECT doc, {mins} FROM hsh GROUP BY doc)"
+    )
 
 
 @register(
