@@ -433,3 +433,125 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "window_funcs_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cdist,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LEAD(o_orderkey) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking-window surface in one pass: rank/dense_rank/ntile/"
+    "percent_rank/cume_dist/first_value/lead over a fully-ordered "
+    "partition (deterministic tie-break; §2.6 extension — the reference "
+    "uses only row_number).",
+)
+def window_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST({o_sl('l_quantity')} AS DECIMAL(38,0))) AS qty_sum
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round({o_exact_sum(o_sl('l.l_extendedprice'), SCALE)} / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND 2 * {o_sl('l.l_quantity')} * pa.n < pa.qty_sum
+    """,
+    doc="TPC-H Q17 shape: correlated avg-quantity subquery as a "
+    "pre-aggregated join; the below-half-average predicate compares in "
+    "pure integer arithmetic (2·qty·n < Σqty) — no float average, no "
+    "cross-engine drift.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.count("*").alias("n"),
+        F.sum(_sl("l_quantity").cast("decimal(38,0)")).alias("qty_sum"),
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(pa, F.col("pa_partkey") == li.l_partkey)
+        .filter(
+            (F.lit(2) * _sl("l_quantity") * F.col("n")).cast("decimal(38,0)")
+            < F.col("qty_sum")
+        )
+        .agg(
+            F.round(_exact_sum(_sl("l_extendedprice"), SCALE) / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT {o_exact_sum(o_sl('c_acctbal'), SCALE)} / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_custs,
+           round({o_exact_sum(o_sl('c.c_acctbal'), SCALE)}, 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: global scalar subquery (exact decimal average, "
+    "no float-sum drift) + anti join on conditioned orders, grouped by "
+    "nation (testdata has no phone-prefix column).",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((_exact_sum(_sl("c_acctbal"), SCALE) / F.count("*")).alias("a"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    return (
+        rich.join(o, "c_custkey", "anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(_exact_sum(_sl("c_acctbal"), SCALE), 2).alias("total_bal"),
+        )
+    )

@@ -229,3 +229,55 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "feature_scaling_events",
+    """
+    WITH x AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS x6
+      FROM events),
+    stats AS (
+      SELECT event_id, event_type, x6,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(x6 AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sum6,
+             CAST(SUM(CAST(x6 AS DECIMAL(38,0)) * x6) OVER w AS DOUBLE) AS sumsq6,
+             MIN(x6) OVER w AS min6,
+             MAX(x6) OVER w AS max6
+      FROM x
+      WINDOW w AS (PARTITION BY event_type))
+    SELECT event_id, event_type,
+           round((CAST(x6 AS DOUBLE) - sum6 / n)
+                 / sqrt(sumsq6 / n - (sum6 / n) * (sum6 / n)), 4) AS zscore,
+           round(CAST(x6 - min6 AS DOUBLE) / (max6 - min6), 6) AS minmax
+    FROM stats
+    """,
+    doc="Per-group feature scaling (z-score + min-max) for numeric training "
+    "features: moments accumulate as exact scaled-integer decimals, so the "
+    "derived doubles are identical across engines and shuffle orders. One "
+    "window shuffle on the group key; no collect, no UDF.",
+)
+def feature_scaling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x6 = F.round(F.col("value") * 1_000_000).cast("long")
+    w = Window.partitionBy("event_type")
+    base = ev.select("event_id", "event_type", x6.alias("x6"))
+    n = F.count("*").over(w).cast("long")
+    sum6 = F.sum(F.col("x6").cast("decimal(38,0)")).over(w).cast("double")
+    sumsq6 = (
+        F.sum(F.col("x6").cast("decimal(38,0)") * F.col("x6")).over(w).cast("double")
+    )
+    min6 = F.min("x6").over(w)
+    max6 = F.max("x6").over(w)
+    mean = sum6 / n
+    return base.select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("x6").cast("double") - mean) / F.sqrt(sumsq6 / n - mean * mean), 4
+        ).alias("zscore"),
+        F.round(
+            (F.col("x6") - min6).cast("double") / (max6 - min6), 6
+        ).alias("minmax"),
+    )
