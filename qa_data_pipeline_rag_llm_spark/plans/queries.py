@@ -527,3 +527,4 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_olap  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_olap2  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_ingest  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_temporal  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_scale  # noqa: E402,F401

@@ -1,0 +1,166 @@
+"""Registry entries: scale patterns (chunking, skew salting, CSV parity).
+
+  * ``chunk_documents`` — the contextual chunking the reference README
+    claims but never ships (README.md:50-54 vs
+    PLATFORM-contextual-Chunking.py which embeds whole posts —
+    SURVEY.md §5). Shuffle-free row explosion, fully oracle-checked.
+  * ``salted_agg_events`` / ``salted_join_event_revenue`` — hot-key
+    mitigation patterns whose results are provably identical to the
+    unsalted plans (the oracle IS the unsalted plan).
+  * ``csv_roundtrip_documents`` — S5/K2 parity (SURVEY.md §2.1/§2.2):
+    the reference's CSV read path needs multiLine + quote/escape '"';
+    this query writes text containing embedded quotes AND newlines
+    through the distributed CSV sink, reads it back with an explicit
+    schema (no inferSchema double-scan), and proves byte integrity
+    against aggregates DuckDB computes straight from parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.chunking import chunk_text
+from qa_data_pipeline_rag_llm_spark.operators.skew import (
+    replicate_dim_for_salted_join,
+    salt_fact,
+    salted_aggregate,
+)
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+
+@register(
+    "chunk_documents",
+    """
+    SELECT d.doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(1 + i * 90 AS BIGINT) AS chunk_start,
+           d.n_chunks,
+           substr(d.text, CAST(1 + i * 90 AS INT), 120) AS chunk_text
+    FROM (SELECT doc_id, text,
+                 CAST(greatest(1, (length(text) - 30 + 89) // 90) AS INT) AS n_chunks
+          FROM documents) d,
+         LATERAL unnest(range(d.n_chunks)) AS t(i)
+    """,
+    bench=True,
+    doc="Contextual chunking (README.md:50-54's unimplemented claim): "
+    "overlapping 120-char windows, stride 90. sequence→transform→"
+    "posexplode — whole-stage codegen, zero shuffle; at 100 TB this is "
+    "a pure map stage.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(d, "text", chunk_size=120, stride=90).select(
+        "doc_id", "chunk_id", "chunk_start", "n_chunks", "chunk_text"
+    )
+
+
+@register(
+    "salted_agg_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-stage salted aggregation over a hot-key-prone low-cardinality "
+    "key (5 event types × millions of rows at scale → 5 reducers "
+    "unsalted). groupBy(type, salt32) partials, then a 160-row final "
+    "merge. Oracle is the UNSALTED aggregate — salting is provably "
+    "semantics-free.",
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        group_by=["event_type"],
+        partial_aggs=[
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_sv").cast("double"), 4).alias("total_value"),
+        ],
+        salt_from="event_id",
+        n_salts=32,
+    )
+
+
+@register(
+    "salted_join_event_revenue",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Salted fact-dim equi-join: dim replicated ×8 salts, fact salted "
+    "by xxhash64(event_id) — each hot user's rows fan out over 8 tasks "
+    "instead of one. Pattern for broadcast-ineligible dims / pre-AQE "
+    "skew; oracle is the plain unsalted join.",
+)
+def salted_join_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salts = 8
+    ev = salt_fact(_t(spark, sf_dir, "events"), "event_id", n_salts)
+    c = replicate_dim_for_salted_join(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"), n_salts
+    )
+    return (
+        ev.join(
+            c,
+            (ev.user_id == c.c_custkey) & (ev["_salt"] == c["_salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "csv_roundtrip_documents",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(length(text2)) AS total_chars,
+           COUNT(DISTINCT text2) AS n_distinct
+    FROM (SELECT source, 'He said "hi"' || chr(10) || text AS text2
+          FROM documents)
+    GROUP BY source
+    """,
+    doc="S5/K2 CSV parity: text with embedded quotes and newlines survives "
+    "a distributed CSV write (quote/escape '\"') + multiLine read with "
+    "explicit schema — the reference's inferSchema double-scan "
+    "eliminated (SURVEY.md §4). Aggregates prove byte integrity against "
+    "DuckDB reading the original parquet.",
+)
+def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(F.lit('He said "hi"\n'), F.col("text")).alias("text2"),
+    )
+    path = "/tmp/spark_graft_csv_rt_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("source STRING, text2 STRING")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text2")).alias("total_chars"),
+        F.count_distinct("text2").alias("n_distinct"),
+    )
