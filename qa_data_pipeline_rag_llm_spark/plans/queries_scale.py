@@ -126,7 +126,7 @@ def salted_join_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "csv_roundtrip_documents",
     """
     SELECT source, COUNT(*) AS n_docs,
-           SUM(length(text2)) AS total_chars,
+           CAST(SUM(length(text2)) AS BIGINT) AS total_chars,
            COUNT(DISTINCT text2) AS n_distinct
     FROM (SELECT source, 'He said "hi"' || chr(10) || text AS text2
           FROM documents)
