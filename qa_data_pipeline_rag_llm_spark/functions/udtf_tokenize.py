@@ -1,0 +1,37 @@
+"""Python UDTF surface (Spark 4): lateral table function over text.
+
+The reference has no UDTFs at all (SURVEY.md §2.12); this adds the
+table-function API surface with a deterministic tokenizer so it stays
+oracle-checkable. UDTFs are the Python slow path (per-row eval) — the
+engine's hot-path tokenization lives in functions/text.py as built-in
+expressions; this exists to cover the LATERAL + UDTF surface a user of
+the engine may need for logic that genuinely can't be expressed as
+column expressions.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import cloudpickle
+from pyspark.sql.functions import udtf
+
+_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+@udtf(returnType="pos int, token string")
+class Tokenize:
+    """Lowercase alnum tokens with their 0-based position."""
+
+    def eval(self, text: str):  # noqa: D102
+        pos = 0
+        for tok in _SPLIT.split((text or "").lower()):
+            if tok:
+                yield pos, tok
+                pos += 1
+
+
+# Executors spawned by a driver launched outside /root/repo can't import
+# this module by name; ship it by value (same pattern as streaming/events).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])

@@ -1,0 +1,98 @@
+"""Registry entries: Python UDTF surface + sketch aggregates + the
+watermarked stream-stream join.
+
+The sketch query has NO SQL oracle on purpose: HLL/KLL estimates are
+implementation-defined, so DuckDB's approx functions would not
+value-hash-match Spark's. The driver records the weaker rows-only check;
+tests/test_sketches.py pins the estimates against EXACT answers with an
+error budget instead.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+from qa_data_pipeline_rag_llm_spark.streaming.events import (
+    stream_stream_click_purchase,
+)
+
+
+@register(
+    "udtf_token_counts",
+    """
+    SELECT token,
+           COUNT(*) AS n,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+    doc="Python UDTF (Spark 4 table function — no UDTF exists in the "
+    "reference, SURVEY.md §2.12) applied via LATERAL: tokenize each "
+    "document, aggregate global token frequencies. The UDTF is the "
+    "deliberate slow-path twin of the built-in split() used by "
+    "text_stats; registered to cover the API surface.",
+)
+def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.udtf_tokenize import Tokenize
+
+    fn = f"tokenize_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn, Tokenize)
+    view = f"docs_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        view
+    )
+    return spark.sql(
+        f"""
+        SELECT t.token, COUNT(*) AS n, COUNT(DISTINCT d.doc_id) AS n_docs
+        FROM {view} d, LATERAL {fn}(d.text) t
+        GROUP BY t.token
+        """
+    )
+
+
+@register(
+    "sketch_stats_events",
+    None,  # estimates are impl-defined; exactness pinned in test_sketches.py
+    doc="Sketch aggregates for 100 TB cardinality/quantile work: HLL "
+    "(hll_sketch_agg — mergeable across partitions, Apache DataSketches "
+    "wire format) vs approx_count_distinct (HLL++), plus KLL-style "
+    "approx_percentile. One pass, constant memory per group — the scale "
+    "path where exact COUNT(DISTINCT)/percentile_approx would shuffle "
+    "every distinct value.",
+)
+def sketch_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("p95"),
+    )
+
+
+@register(
+    "streaming_click_purchase_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Watermarked stream-stream inner join (clicks x purchases within "
+    "30 min): the time-range predicate + 2h watermarks bound the join "
+    "state; oracle is the equivalent batch interval self-join.",
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stream_click_purchase(spark, sf_dir)

@@ -262,3 +262,52 @@ def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, "complete")
+
+
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: each purchase pairs with
+    the same user's clicks from the preceding 30 minutes. Inner-join rows
+    emit as soon as both sides arrive; the two watermarks plus the
+    time-range predicate bound the join state Spark must retain (without
+    them, both sides buffer forever at 100 TB/day)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = (
+        clicks.alias("c")
+        .join(
+            purchases.alias("p"),
+            F.expr(
+                """
+                c.user_id = p.user_id AND
+                purchase_ts > click_ts AND
+                purchase_ts <= click_ts + INTERVAL 30 MINUTES
+                """
+            ),
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "purchase_value",
+        )
+    )
+    return run_to_completion(joined, "append")

@@ -1,0 +1,36 @@
+"""Sketch estimates vs exact answers, with error budgets (no SQL oracle:
+HLL/KLL outputs are implementation-defined — see queries_udtf_sketch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_sketch_estimates_within_budget(spark, tables):
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["sketch_stats_events"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        # HLL (lgK=12) standard error ~1.6%; allow 5% for both estimators.
+        assert abs(g["approx_users"] - e["users"]) <= max(2, 0.05 * e["users"])
+        assert abs(g["hll_users"] - e["users"]) <= max(2, 0.05 * e["users"])
+        # 10k-accuracy percentile_approx: rank error 1/10000 of the group.
+        for q in ("p50", "p95"):
+            assert abs(g[q] - e[q]) <= max(0.05 * abs(e[q]), 0.5)
