@@ -60,3 +60,27 @@ def write_table(
     if fmt == "csv":
         writer = writer.options(**CSV_OPTIONS)
     writer.format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so every
+    later equi-join/aggregation on the bucket keys is exchange-free.
+
+    This is the 100 TB answer for fact-fact joins that repeat across a
+    pipeline (e.g. orders⋈lineitem in q3/q4/q10/q12/q18/q21): pay the
+    shuffle once, then N downstream joins read co-located buckets. Both
+    sides must be bucketed by the join key into the same bucket count.
+    Spark's Hive-style bucketing needs ``saveAsTable`` (path-based
+    ``save`` silently drops bucket metadata).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)

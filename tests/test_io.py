@@ -65,3 +65,47 @@ def test_events_schema_matches_catalog(tables):
 @pytest.mark.parametrize("name", sorted(TESTDATA_SCHEMAS))
 def test_declared_schemas_load(tables, name):
     assert tables[name].count() > 0
+
+
+def test_bucketed_join_is_exchange_free(spark, tables):
+    """Two tables bucketed by the join key into the same bucket count
+    sort-merge-join with NO Exchange on either side — the write-once,
+    join-many pattern for repeated fact-fact joins at scale."""
+    from qa_data_pipeline_rag_llm_spark.io import write_bucketed
+
+    write_bucketed(
+        tables["orders"].select("o_orderkey", "o_totalprice"),
+        "t_orders_bkt", ["o_orderkey"], 8, sort_by=["o_orderkey"],
+    )
+    write_bucketed(
+        tables["lineitem"].select("l_orderkey", "l_quantity"),
+        "t_lineitem_bkt", ["l_orderkey"], 8, sort_by=["l_orderkey"],
+    )
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    try:
+        # forbid broadcast + freeze the plan so the assertion sees the
+        # static sort-merge join, not an AQE rewrite
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        o = spark.table("t_orders_bkt")
+        li = spark.table("t_lineitem_bkt")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        expected = (
+            tables["orders"]
+            .join(tables["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
