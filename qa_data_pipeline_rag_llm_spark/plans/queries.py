@@ -530,3 +530,4 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_temporal  # noqa: E402,
 from qa_data_pipeline_rag_llm_spark.plans import queries_scale  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_udtf_sketch  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_serving  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_funcs  # noqa: E402,F401

@@ -1,0 +1,178 @@
+"""Registry entries: scalar-function breadth (date math, fuzzy string
+distance, array algebra, outer-join completeness).
+
+The reference's scalar surface is 8 string helpers and zero date/math
+functions (SURVEY.md §2.9 — epoch numbers flow untyped end-to-end). A
+user replacing it with this engine gets the full Spark SQL function
+library; these queries pin the high-traffic corners against DuckDB so
+dialect drift (week numbering, day-of-week origin, distance definitions)
+is caught, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+
+@register(
+    "date_math_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-01-01') AS INT) AS days_to_2001,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+    doc="Date/time function breadth over typed timestamps (the reference "
+    "never types its dates — §1.2): year/quarter/month, ISO day-of-week "
+    "(Spark dayofweek is Sunday=1, so pinned via the ISO form), "
+    "datediff, last_day, add_months. All codegen built-ins.",
+)
+def date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # Spark dayofweek(): Sunday=1..Saturday=7; ISO dow = Monday=1..Sunday=7.
+    iso_dow = ((F.dayofweek("o_orderdate") + 5) % 7) + 1
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        iso_dow.cast("int").alias("iso_dow"),
+        F.datediff(F.lit("2001-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_2001"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "fuzzy_part_names",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="Fuzzy near-dup by edit distance: brand-blocked self-join (the "
+    "block bounds the quadratic pair space — same blocking discipline "
+    "as the minhash/simhash band buckets), Levenshtein <= 2. At corpus "
+    "scale the block key is the unit of shuffle; never all-pairs.",
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("int")
+        )
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+        )
+    )
+
+
+@register(
+    "array_funcs_orders",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list(DISTINCT o_orderpriority)) AS prios,
+             list_sort(list(DISTINCT CAST(year(o_orderdate) AS INT))) AS yrs
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           prios,
+           len(prios) AS n_prios,
+           list_contains(prios, '1-URGENT') AS has_urgent,
+           list_sort(list_intersect(prios, ['1-URGENT', '2-HIGH'])) AS urgent_high,
+           yrs[1] AS first_yr,
+           yrs[-1] AS last_yr
+    FROM per_cust
+    """,
+    doc="Array algebra on grouped data: collect_set→sort_array (canonical "
+    "order so hashes are stable), size, array_contains, "
+    "array_intersect, element_at. Arrays stay native end-to-end "
+    "(no literal_eval round-trip — SURVEY.md F6).",
+)
+def array_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
+        F.sort_array(F.collect_set(F.year("o_orderdate").cast("int"))).alias("yrs"),
+    )
+    # set-operation output order is engine-defined (DuckDB's
+    # list_intersect does NOT keep first-list order) — canonicalize.
+    return per.select(
+        "o_custkey",
+        "prios",
+        F.size("prios").alias("n_prios"),
+        F.array_contains("prios", "1-URGENT").alias("has_urgent"),
+        F.sort_array(
+            F.array_intersect("prios", F.array(F.lit("1-URGENT"), F.lit("2-HIGH")))
+        ).alias("urgent_high"),
+        F.element_at("yrs", 1).alias("first_yr"),
+        F.element_at("yrs", -1).alias("last_yr"),
+    )
+
+
+@register(
+    "outer_join_daily_traffic",
+    """
+    WITH o AS (SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS d,
+                      COUNT(*) AS n_orders
+               FROM orders WHERE o_orderdate >= TIMESTAMP '2001-07-01'
+               GROUP BY 1),
+         e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+                      COUNT(*) AS n_events
+               FROM events GROUP BY 1)
+    SELECT coalesce(o.d, e.d) AS day,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(e.n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.d = e.d
+    """,
+    doc="FULL OUTER join completeness (the reference has only LEFT — "
+    "§2.4): daily order vs event traffic with disjoint date coverage, "
+    "null arms coalesced to zero on both sides.",
+)
+def outer_join_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-07-01").cast("timestamp"))
+        .groupBy(
+            F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("d")
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        o.join(e, o.d == e.d, "full_outer")
+        .select(
+            F.coalesce(o.d, e.d).alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
