@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 from qa_data_pipeline_rag_llm_spark.streaming.events import (
     stream_stream_click_purchase,
+    stream_user_type_profile,
 )
 
 
@@ -96,3 +97,30 @@ def sketch_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_click_purchase(spark, sf_dir)
+
+
+@register(
+    "streaming_user_type_profile",
+    """
+    WITH per_type AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM per_type)
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS INT) AS n_types,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS top_type
+    FROM ranked GROUP BY user_id
+    """,
+    doc="Arbitrary-state streaming (Spark 4 transformWithStateInPandas): "
+    "per-user type profile in composite MapState — each map entry is an "
+    "individual state-store key, so one update never rewrites the whole "
+    "user state. Deterministic top-type tie-break; final emission "
+    "equals the batch aggregate.",
+)
+def streaming_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_user_type_profile(spark, sf_dir)

@@ -264,6 +264,121 @@ def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
+class _TypeProfileProcessor:
+    """transformWithStateInPandas processor: per-user event-type profile
+    held in composite MapState (event_type → count) — the state shape the
+    older applyInPandasWithState API cannot express without serializing a
+    whole dict into one value column. At scale each map entry is an
+    individual RocksDB key, so updating one type does not rewrite the
+    user's entire state."""
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState("counts", "event_type string", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            for et, c in pdf.groupby("event_type").size().items():
+                k = (str(et),)
+                cur = (
+                    self._counts.getValue(k)[0]
+                    if self._counts.containsKey(k)
+                    else 0
+                )
+                self._counts.updateValue(k, (cur + int(c),))
+        items = sorted(
+            (k[0], v[0]) for k, v in self._counts.iterator()
+        )
+        total = sum(n for _, n in items)
+        top = min(items, key=lambda kv: (-kv[1], kv[0]))[0]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [total],
+                "n_types": [len(items)],
+                "top_type": [top],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _update_type_profile(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of _TypeProfileProcessor: the map state
+    is carried as two parallel arrays in one value (this API has no
+    composite state — exactly the limitation transformWithState removes)."""
+    types, counts = state.get if state.exists else ([], [])
+    d = dict(zip(list(types), list(counts)))
+    for pdf in pdfs:
+        for et, c in pdf.groupby("event_type").size().items():
+            d[str(et)] = d.get(str(et), 0) + int(c)
+    items = sorted(d.items())
+    state.update(([k for k, _ in items], [int(v) for _, v in items]))
+    top = min(items, key=lambda kv: (-kv[1], kv[0]))[0]
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [int(sum(d.values()))],
+            "n_types": [len(items)],
+            "top_type": [top],
+        }
+    )
+
+
+def stream_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type profile via transformWithStateInPandas (the
+    Spark 4 arbitrary-state API): MapState-backed counts, deterministic
+    top type (max count, lexicographic tie-break). Final emission equals
+    the batch aggregate — oracle-checkable.
+
+    The transformWithState state server needs ``google.protobuf``; where
+    that is absent (this container) the operator falls back to an
+    applyInPandasWithState implementation with identical semantics, so
+    the query's results are environment-independent."""
+    raw = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out_ddl = "user_id bigint, n_events bigint, n_types int, top_type string"
+    try:
+        import google.protobuf  # noqa: F401 — twS state protocol dependency
+
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        proc_cls = type(
+            "_TypeProfile", (StatefulProcessor,), dict(_TypeProfileProcessor.__dict__)
+        )
+        out = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc_cls(),
+            outputStructType=out_ddl,
+            outputMode="Update",
+            timeMode="None",
+        )
+    except ImportError:
+        out = raw.groupBy("user_id").applyInPandasWithState(
+            _update_type_profile,
+            outputStructType=out_ddl,
+            stateStructType="types array<string>, counts array<bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    res = run_to_completion(out, "update")
+    # update mode re-emits per micro-batch; keep each user's final row
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("n_types", "n_events").alias("n_types"),
+            F.max_by("top_type", "n_events").alias("top_type"),
+        )
+    )
+
+
 def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with watermarks: each purchase pairs with
     the same user's clicks from the preceding 30 minutes. Inner-join rows
