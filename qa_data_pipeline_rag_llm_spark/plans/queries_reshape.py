@@ -1,0 +1,95 @@
+"""Registry entries: reshaping + sampling surface.
+
+  * ``unpivot_order_measures`` — wide→long melt (`DataFrame.unpivot`),
+    the inverse of ``pivot_user_events``.
+  * ``grouping_sets_lineitem`` — explicit GROUPING SETS with
+    ``grouping_id`` disambiguating the NULL-as-total rows from genuine
+    NULL keys (cube/rollup queries cover the derived forms).
+  * ``sample_documents_stratified`` — seeded per-stratum Bernoulli
+    sampling (``sampleBy``). Sampling is a first-class training-data op
+    (corpus downsampling/reweighting); RNG streams are engine-specific
+    so there is no SQL oracle — the driver records rows-only and
+    tests/test_reshape.py pins determinism-under-seed and per-stratum
+    rate bounds instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+
+@register(
+    "unpivot_order_measures",
+    """
+    SELECT o_orderkey, measure, round(CAST(value AS DOUBLE), 4) AS value
+    FROM (UNPIVOT (SELECT o_orderkey,
+                          o_totalprice,
+                          CAST(year(o_orderdate) AS DOUBLE) AS order_year
+                   FROM orders)
+          ON o_totalprice, order_year INTO NAME measure VALUE value)
+    """,
+    doc="Wide→long melt (DataFrame.unpivot — the inverse of "
+    "pivot_user_events): each order row becomes one row per measure. "
+    "Pure narrow transformation, no shuffle.",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("double").alias("order_year"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "order_year"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select("o_orderkey", "measure", F.round("value", 4).alias("value"))
+
+
+@register(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (detail, per-flag, grand total) with "
+    "grouping_id so total rows are distinguishable from NULL keys — "
+    "computed in ONE shuffle via Expand, not three scans.",
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
+@register(
+    "sample_documents_stratified",
+    None,  # RNG streams are engine-specific; pinned by tests/test_reshape.py
+    doc="Seeded stratified Bernoulli sample (sampleBy source): 50% of "
+    "short docs, 10% of long docs — corpus downsampling/reweighting as "
+    "a training-data op. Deterministic under a fixed seed on a fixed "
+    "input split layout; no cross-engine oracle exists for RNG.",
+)
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "stratum", F.when(F.col("n_chars") < 200, "short").otherwise("long")
+    )
+    return d.stat.sampleBy(
+        "stratum", fractions={"short": 0.5, "long": 0.1}, seed=42
+    ).select("doc_id", "stratum")

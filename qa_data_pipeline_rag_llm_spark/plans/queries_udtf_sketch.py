@@ -124,3 +124,23 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def streaming_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_user_type_profile(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_pairs
+    FROM events GROUP BY event_type
+    """,
+    doc="dropDuplicatesWithinWatermark: dedup state is EVICTED as the "
+    "watermark passes each key (plain streaming dropDuplicates keeps "
+    "key state forever — unusable on an unbounded stream). Aggregated "
+    "to per-type distinct-pair counts so the check is deterministic "
+    "regardless of which physical row survived.",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        stream_dedup_within_watermark,
+    )
+
+    return stream_dedup_within_watermark(spark, sf_dir)

@@ -234,6 +234,19 @@ def stream_dedup_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark → count surviving (user, type) pairs
+    per type. Unlike plain streaming dropDuplicates (whose key state lives
+    forever), WithinWatermark evicts each key once the watermark passes
+    it — bounded state on an unbounded stream. WHICH physical row
+    survives a dup-set is engine-internal, so the query aggregates to the
+    per-type distinct-pair count, which is deterministic."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
+    return run_to_completion(agg, "complete")
+
+
 def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream joins a batch-computed user
     segment dimension (heavy = ≥70 lifetime events), then aggregates per
