@@ -11,9 +11,10 @@ Scale notes (100 TB stance):
   * Dimension joins (region/nation, and supplier/part at TPC-H's fixed
     dim:fact ratios) are broadcast explicitly; fact-fact joins are left
     to AQE (sort-merge at scale, BHJ when a side proves small).
-  * Self-join shapes (q11's total, q15's max) are expressed as one
-    aggregation reused via a 1-row broadcast cross-join, never a second
-    scan of the fact table.
+  * Self-join shapes (q11's total, q15's max) derive the global
+    threshold from a single-partition window over the already-aggregated
+    frame — one fact scan (a cross-join with frame.agg() statically
+    re-plans the scan; plan-tested in tests/test_plans.py).
   * q21's EXISTS/NOT EXISTS pair collapses into ONE groupBy over the
     order's supplier set instead of two extra lineitem shuffles.
 """
@@ -201,22 +202,27 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH pv AS (
       SELECT l.l_partkey AS p_partkey,
-             {o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)} AS value
+             SUM(CAST({_O_REV.replace("l_", "l.l_")} AS DECIMAL(38,0))) AS value_s
       FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_3'
       GROUP BY l.l_partkey)
-    SELECT p_partkey, round(value, 2) AS value
+    SELECT p_partkey,
+           round(CAST(value_s AS DOUBLE) / {float(SCALE * SCALE)}, 2) AS value
     FROM pv
-    WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+    WHERE value_s * 1000 > (SELECT SUM(value_s) FROM pv)
     """,
     doc="TPC-H Q11 shape (partsupp -> lineitem value): parts whose revenue "
     "from NATION_3 suppliers exceeds 0.1% of that nation's total. The "
-    "scalar subquery is the SAME aggregated frame re-used via a 1-row "
-    "broadcast cross-join — the fact table is scanned once.",
+    "global threshold is a single-partition window over the ALREADY "
+    "AGGREGATED per-part frame (bounded by part cardinality) — one fact "
+    "scan, verified by tests/test_plans.py. Threshold compare is exact "
+    "integer arithmetic (value·1000 > total), immune to FP sum order.",
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -226,13 +232,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(_exact_sum(_rev(), SCALE * SCALE).alias("value"))
+        .agg(F.sum(_rev().cast("decimal(38,0)")).alias("value_s"))
     )
-    total = pv.agg((F.sum("value") * 0.001).alias("threshold"))
+    # single-partition window over the aggregated (per-part) frame — NOT
+    # over the fact table; a cross-join with pv.agg() would re-scan
+    # lineitem (no static subtree reuse in Spark).
+    total = F.sum("value_s").over(Window.partitionBy())
     return (
-        pv.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("p_partkey", F.round("value", 2).alias("value"))
+        pv.withColumn("total_s", total)
+        .filter(F.col("value_s") * 1000 > F.col("total_s"))
+        .select(
+            "p_partkey",
+            F.round(
+                F.col("value_s").cast("double") / float(SCALE * SCALE), 2
+            ).alias("value"),
+        )
     )
 
 
@@ -280,10 +294,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
     doc="TPC-H Q15 shape: top supplier(s) by quarterly revenue. The MAX "
-    "scalar subquery reuses the aggregated frame via 1-row broadcast "
-    "cross-join (one lineitem scan); date predicate pushed to parquet.",
+    "threshold is a single-partition window over the per-supplier "
+    "aggregate (bounded by supplier cardinality) so lineitem is scanned "
+    "once — a cross-join with revenue.agg(max) would re-scan it "
+    "(verified by tests/test_plans.py). Date predicate pushed to "
+    "parquet.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
@@ -292,9 +311,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    mx = F.max("total_revenue").over(Window.partitionBy())
     return (
-        revenue.join(F.broadcast(mx))
+        revenue.withColumn("mx", mx)
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

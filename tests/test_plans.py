@@ -1,0 +1,66 @@
+"""Plan-quality regression tests (SURVEY.md §4 / SCALING.md claims).
+
+These assert the *physical plan*, not results: pushdown reached the
+scan, dims broadcast, single-scan reuse held, narrow ops stayed
+shuffle-free. A refactor that silently turns a broadcast join into a
+cartesian product or re-scans the fact table fails here long before a
+100 TB run would reveal it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunking_is_shuffle_free(spark):
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_q6_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column table is read as a 4-column schema
+    assert "l_returnflag" not in plan
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_scans_fact_once(spark):
+    """The 0.1%-of-total threshold must reuse the aggregated frame, not
+    rescan lineitem (scalar-subquery-as-rescan is the classic blowup)."""
+    plan = _plan(spark, "q11_important_parts")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q15_scans_fact_once(spark):
+    plan = _plan(spark, "q15_top_supplier")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_salted_join_stays_hash_equi(spark):
+    plan = _plan(spark, "salted_join_event_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, s in REGISTRY.items() if s.bench]
+)
+def test_bench_queries_never_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
