@@ -532,3 +532,4 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_udtf_sketch  # noqa: E4
 from qa_data_pipeline_rag_llm_spark.plans import queries_serving  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_funcs  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_reshape  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_hof  # noqa: E402,F401

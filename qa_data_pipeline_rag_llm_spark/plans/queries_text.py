@@ -12,7 +12,7 @@ candidates — candidate generation is LSH-bounded, never O(n²).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.functions.text import LANG_STOPWORDS, lang_id
@@ -26,7 +26,7 @@ from qa_data_pipeline_rag_llm_spark.operators.dedup import (
 )
 from qa_data_pipeline_rag_llm_spark.operators.textstats import text_stats
 from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
-from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY, _t, register
 
 # MinHash/SimHash knobs — shared by the Spark plan and its oracle twin.
 NUM_PERM = 16
@@ -293,3 +293,55 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=SIMHASH_N,
         max_hamming=MAX_HAMMING,
     ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
+    "dedup_clusters_minhash",
+    None,  # oracle injected below: recursive-CTE transitive closure
+    doc="Near-dup pairs → duplicate CLUSTERS via distributed connected "
+    "components (iterative min-label propagation, O(diameter) rounds — "
+    "operators/graph.py). The keep-one-per-cluster decision needs the "
+    "transitive grouping LSH pairs alone don't give. Iterative and "
+    "driver-coordinated, yet every round is a distributed join; oracle "
+    "is a DuckDB recursive CTE over the same verified pairs.",
+)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=JACCARD_T,
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    full = docs.select("doc_id").join(
+        labels, docs.doc_id == labels.id, "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return full.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+REGISTRY["dedup_clusters_minhash"].oracle = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({REGISTRY["minhash_near_dups"].oracle})),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    full_lbl AS (
+      SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM full_lbl
+"""

@@ -55,3 +55,17 @@ def test_chunk_bounds(spark, tables):
         ).count()
         == 0
     )
+
+
+def test_connected_components_invariants(spark, tables):
+    """CC labels: minimal (label = min id in component) and consistent
+    (every edge's endpoints share a label)."""
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (5, 3)], "src long, dst long"
+    )
+    labels = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10, 20: 20}
