@@ -110,3 +110,56 @@ def extract_blob_features(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(batches, schema=_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frame_len: int = 64,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one input row → up to
+    ``max_frames`` fixed-length segments via ``mapInPandas`` (the 1→N
+    Arrow-batched map a real frame extractor needs). The "decode" is the
+    deterministic char-segment stand-in (real codecs absent here — same
+    stub policy as decode_image); per-frame ``digest`` plus a strided
+    "resize" track digest prove payload integrity end-to-end."""
+    import hashlib as _hl
+
+    out_schema = (
+        "doc_id long, frame_idx int, n_chars int, digest string, "
+        "resized_digest string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                s = s or ""
+                nf = min(max_frames, -(-len(s) // frame_len)) if s else 0
+                for i in range(nf):
+                    seg = s[i * frame_len : (i + 1) * frame_len]
+                    rows.append(
+                        (
+                            int(did),
+                            i,
+                            len(seg),
+                            _hl.md5(seg.encode()).hexdigest(),
+                            _hl.md5(seg[::4].encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "n_chars",
+                    "digest",
+                    "resized_digest",
+                ],
+            )
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        gen, out_schema
+    )

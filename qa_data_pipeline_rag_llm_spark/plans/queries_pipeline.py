@@ -281,3 +281,33 @@ def feature_scaling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x6") - min6).cast("double") / (max6 - min6), 6
         ).alias("minmax"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             substr(text, CAST(1 + i * 64 AS INT), 64) AS seg
+      FROM (SELECT doc_id, text,
+                   least(4, CAST(ceil(length(text) / 64.0) AS INT)) AS nf
+            FROM documents),
+           LATERAL unnest(range(nf)) AS t(i))
+    SELECT doc_id, frame_idx,
+           CAST(length(seg) AS INT) AS n_chars,
+           md5(seg) AS digest,
+           md5(list_aggregate(list_filter(string_split(seg, ''),
+                                          (x, i) -> (i - 1) % 4 = 0),
+                              'string_agg', '')) AS resized_digest
+    FROM f
+    """,
+    doc="Video-style frame sampling as 1→N mapInPandas (Arrow batches, "
+    "zero shuffle): up to 4 fixed-length segments per payload with "
+    "per-frame digest + strided 'resize' digest. Decode is the "
+    "deterministic stand-in (stub policy of operators/multimodal.py); "
+    "the oracle replays the slicing with DuckDB indexed lambdas.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_t(spark, sf_dir, "documents"))
