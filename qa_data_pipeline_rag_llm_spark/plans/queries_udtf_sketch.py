@@ -127,6 +127,25 @@ def streaming_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_foreachbatch_sink",
+    """
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    doc="foreachBatch parquet sink (the production streaming→storage "
+    "path): each micro-batch written distributed, partitioned by "
+    "event_type, tagged with batch_id for idempotent restart; the sink "
+    "is read back and aggregated to prove exactly-once delivery.",
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        stream_to_parquet_foreach_batch,
+    )
+
+    return stream_to_parquet_foreach_batch(spark, sf_dir)
+
+
+@register(
     "streaming_dedup_within_watermark",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_pairs

@@ -234,6 +234,50 @@ def stream_dedup_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
+def stream_to_parquet_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the production path for streaming→storage (and
+    any sink Spark lacks a native connector for). Each micro-batch is a
+    normal DataFrame written transactionally by batch_id; idempotent
+    restarts come from overwriting the batch's own output partition.
+    Here: events stream → per-batch distributed parquet append
+    (partitioned by event_type for downstream pruning) → read the sink
+    back and aggregate, proving no rows were lost or duplicated."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_febatch_")
+    try:
+        ev = read_events_stream(spark, sf_dir)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .partitionBy("event_type")
+                .parquet(out_dir)
+            )
+
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", out_dir + "_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.parquet(out_dir)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("event_id").alias("n_distinct"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark → count surviving (user, type) pairs
     per type. Unlike plain streaming dropDuplicates (whose key state lives

@@ -109,3 +109,40 @@ def test_bucketed_join_is_exchange_free(spark, tables):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+
+
+def test_csv_permissive_corrupt_records(spark, tmp_path):
+    """Malformed rows at 100 TB are a certainty, not an edge case: in
+    PERMISSIVE mode bad rows land in the corrupt-record column instead of
+    killing the job, and clean rows parse fully."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = str(tmp_path / "dirty.csv")
+    with open(path, "w") as f:
+        f.write("id,score\n1,10\nnot_an_int,zap\n3,30\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("score", IntegerType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert "not_an_int" in bad.collect()[0]["_corrupt"]
+    df.unpersist()
