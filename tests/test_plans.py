@@ -64,3 +64,24 @@ def test_salted_join_stays_hash_equi(spark):
 def test_bench_queries_never_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_join_hints_are_honored(spark, tables):
+    """Strategy hints survive to the physical plan: SHUFFLE_HASH avoids
+    the sort of SMJ where one side is modest; MERGE forces SMJ."""
+    o = tables["orders"]
+    li = tables["lineitem"]
+    shj = (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in shj
+    smj = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in smj
