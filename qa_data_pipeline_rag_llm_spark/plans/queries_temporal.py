@@ -96,3 +96,46 @@ def events_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_us=_PAIR_WINDOW_US,
         extra_cols=["event_type"],
     )
+
+
+@register(
+    "gapfill_user_daily",
+    """
+    WITH base AS (
+      SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, event_type
+      FROM events),
+    counts AS (SELECT user_id, day, COUNT(*) AS n FROM base GROUP BY 1, 2),
+    lastt AS (
+      SELECT user_id, day, event_type AS day_type FROM (
+        SELECT user_id, day, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM base) WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+               FROM base GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM bounds),
+    j AS (SELECT s.user_id, s.day,
+                 coalesce(c.n, 0) AS n, l.day_type
+          FROM spine s
+          LEFT JOIN counts c ON s.user_id = c.user_id AND s.day = c.day
+          LEFT JOIN lastt l ON s.user_id = l.user_id AND s.day = l.day)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+           last_value(day_type IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS ff_type
+    FROM j
+    """,
+    doc="Time-series regularization: per-user dense daily spine "
+    "(sequence+explode between each user's own bounds), zero-filled "
+    "counts, running cumulative total, and forward-filled categorical "
+    "state via last(ignorenulls) — the resample/ffill shape every "
+    "feature pipeline needs, absent from the reference entirely.",
+)
+def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.timeseries import gapfill_daily
+
+    return gapfill_daily(_t(spark, sf_dir, "events"))
