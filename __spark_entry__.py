@@ -24,10 +24,14 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    corpus_prep_pipeline is the engine's reason to exist: quality gate →
+    dedup → chunking → stats, one declarative plan (queries_corpus.py).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return REGISTRY["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
+    return REGISTRY["corpus_prep_pipeline"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

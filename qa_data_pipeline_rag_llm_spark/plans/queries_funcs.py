@@ -176,3 +176,77 @@ def outer_join_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "nullsafe_join_buckets",
+    """
+    WITH a AS (
+      SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+                  THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 END AS bucket,
+             COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    b AS (
+      SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+                  THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 END AS bucket,
+             COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT a.bucket, a.n_clicks, b.n_purchases
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    """,
+    doc="Null-safe equality join (eqNullSafe / IS NOT DISTINCT FROM): the "
+    "NULL bucket matches the NULL bucket instead of silently dropping — "
+    "the trap in every plain equi-join over nullable keys. Buckets "
+    "derived from the JSON props payload, with k%10==0 mapped to NULL.",
+)
+def nullsafe_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    bucket = F.when(k % 10 == 0, F.lit(None).cast("bigint")).otherwise(k % 10)
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return a.join(b, a.bucket.eqNullSafe(b.bucket)).select(
+        a.bucket, "n_clicks", "n_purchases"
+    )
+
+
+@register(
+    "regexp_extract_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(num AS BIGINT)) AS BIGINT) AS total,
+           COUNT(*) AS n
+    FROM (SELECT event_type,
+                 unnest(regexp_extract_all(props, '[0-9]+')) AS num
+          FROM events)
+    GROUP BY event_type
+    """,
+    doc="regexp_extract_all + explode: pull every number out of the raw "
+    "JSON payload string and aggregate — the regex-mining shape for "
+    "semi-structured logs where full JSON parsing is overkill.",
+)
+def regexp_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.explode(
+                F.regexp_extract_all("props", F.lit("([0-9]+)"), 1)
+            ).alias("num"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("num").cast("bigint")).alias("total"),
+            F.count("*").alias("n"),
+        )
+    )
