@@ -32,7 +32,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qa_data_pipeline_rag_llm_spark.functions.vectors import cosine
+from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
 
 
 def _dot_lit(vec_col: Column, weights: Sequence[float]) -> Column:
@@ -70,17 +70,27 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell): each vector goes to the centroid with the highest inner
-    product (ties → smaller cell id). Pure projection — no shuffle."""
+    product (ties → smaller cell id). Pure projection — no shuffle.
+
+    The ``n_cells`` dot products are materialized as columns FIRST, then the
+    argmax folds over column references — keeping the expression tree linear
+    in ``n_cells`` (folding over the raw dot expressions doubles the tree per
+    step: 2^n nodes by 16 centroids, which stalls analysis/codegen)."""
+    dps = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[_dot_lit(F.col(vec_col), w).alias(f"_dp{cid}") for cid, w in centroids],
+    )
     best_dp: Column | None = None
     best_cid: Column | None = None
-    for cid, w in centroids:  # increasing cid; strict > keeps the earliest
-        dp = _dot_lit(F.col(vec_col), w)
+    for cid, _ in centroids:  # increasing cid; strict > keeps the earliest
+        dp = F.col(f"_dp{cid}")
         if best_dp is None:
             best_dp, best_cid = dp, F.lit(cid)
         else:
             best_cid = F.when(dp > best_dp, F.lit(cid)).otherwise(best_cid)
             best_dp = F.greatest(dp, best_dp)
-    return vectors.select(
+    return dps.select(
         F.col(id_col), F.col(vec_col), best_cid.alias("cell")
     )
 
@@ -125,9 +135,13 @@ def ann_ivf_topk(
     """Approximate top-k: scan only the probe's ``nprobe`` cells, exact
     cosine rerank within the candidates."""
     centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).withColumn(
+        "_vn", norm(F.col(vec_col))
+    )
     cells = ivf_probe_cells(probes, centroids, nprobe, probe_id, probe_vec)
-    probe_full = probes.join(cells, probe_id)
+    probe_full = probes.join(cells, probe_id).withColumn(
+        "_pn", norm(F.col(probe_vec))
+    )
     cand = assigned.join(
         F.broadcast(probe_full),
         (assigned["cell"] == probe_full["cell"])
@@ -136,7 +150,9 @@ def ann_ivf_topk(
     scored = cand.select(
         probe_id,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col(probe_vec)), 6).alias("sim"),
+        F.round(
+            dot(F.col(vec_col), F.col(probe_vec)) / (F.col("_vn") * F.col("_pn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))
     return (

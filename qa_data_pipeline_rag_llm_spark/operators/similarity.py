@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
-from qa_data_pipeline_rag_llm_spark.functions.vectors import cosine
+from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
 
 
 def cosine_topk(
@@ -38,13 +38,23 @@ def cosine_topk(
 
     ``probes`` is expected to be small — it is broadcast, so the candidate
     scan never shuffles; only the per-probe top-k rank does.
+
+    Norms are folded ONCE per side before the pair join (higher-order
+    functions are interpreted, not codegen'd — per-pair norm folds were
+    the dominant cost); the double result is bit-identical because the
+    fold itself is unchanged, only its multiplicity.
     """
-    scored = vectors.join(F.broadcast(probes)).filter(
+    v = vectors.withColumn("_vn", norm(F.col(vec_col)))
+    p = probes.withColumn("_pn", norm(F.col(probe_vec)))
+    scored = v.join(F.broadcast(p)).filter(
         F.col(id_col) != F.col(probe_id)
     ).select(
         F.col(probe_id),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(probe_vec)), 6).alias("sim"),
+        F.round(
+            dot(F.col(vec_col), F.col(probe_vec)) / (F.col("_vn") * F.col("_pn")),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))
     return (
@@ -108,7 +118,7 @@ def embedding_near_dup(
     """Near-duplicate vector pairs: SRP-signature collision (exact match on
     all ``planes`` bits) → verify cosine ≥ threshold. (doc pairs + sim)."""
     sig = srp_signatures(vectors, planes, id_col, vec_col)
-    v = vectors.join(sig, id_col)
+    v = vectors.join(sig, id_col).withColumn("_n", norm(F.col(vec_col)))
     pairs = (
         v.alias("a")
         .join(v.alias("b"), "sig")
@@ -116,9 +126,11 @@ def embedding_near_dup(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
-                "sim"
-            ),
+            F.round(
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            ).alias("sim"),
         )
     )
     return pairs.filter(F.col("sim") >= cosine_threshold)
@@ -158,9 +170,11 @@ def ann_lsh_topk(
             for b in range(nbands)
         ]
 
-    v = vectors.join(sig_v, id_col).select(id_col, vec_col, *bands("sig", "vb"))
+    v = vectors.join(sig_v, id_col).select(
+        id_col, vec_col, norm(F.col(vec_col)).alias("_vn"), *bands("sig", "vb")
+    )
     p = probes.join(F.broadcast(sig_p), probe_id).select(
-        probe_id, probe_vec, *bands("psig", "pb")
+        probe_id, probe_vec, norm(F.col(probe_vec)).alias("_pn"), *bands("psig", "pb")
     )
     band_match = None
     for b in range(nbands):
@@ -170,7 +184,9 @@ def ann_lsh_topk(
     scored = cand.select(
         probe_id,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col(probe_vec)), 6).alias("sim"),
+        F.round(
+            dot(F.col(vec_col), F.col(probe_vec)) / (F.col("_vn") * F.col("_pn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))
     return (
