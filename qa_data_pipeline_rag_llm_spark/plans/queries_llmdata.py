@@ -1,0 +1,182 @@
+"""Registry entries: LLM-training-data curation over ``documents``.
+
+Extension surface beyond the reference (its curation stops at id-dedup and
+bot regexes — SURVEY.md §2 A3/P4): PII redaction, benchmark
+decontamination, repetition filtering, TF-IDF keyword retrieval. Each
+query's oracle replays the engine expression exactly (fragments from
+:mod:`plans.oracle_fragments`).
+
+The testdata corpus contains no PII, so the redaction query first augments
+``text`` with deterministic synthetic contact strings (same construction on
+both engines) — the regex semantics are what is under test, and every
+modular branch makes the counts vary by row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.llmdata import (
+    decontaminate,
+    pii_redact,
+    repetition_stats,
+    tfidf_topk,
+)
+from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+DECON_N = 3          # decontamination word-n-gram size
+EVAL_MOD = 97        # eval split: doc_id % EVAL_MOD == 0
+TFIDF_TERMS = ("join", "window", "scan")
+TFIDF_K = 20
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthetic contact strings (see module docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+    )
+    phone = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit("call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return d.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), email, phone).alias("text")
+    )
+
+
+_O_AUG = """
+    aug AS (
+      SELECT doc_id,
+             concat_ws(' ', text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat('user', CAST(doc_id AS VARCHAR), '@example.com') END,
+               CASE WHEN doc_id % 5 = 0
+                    THEN concat('call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) END
+             ) AS text
+      FROM documents)
+"""
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
+
+
+@register(
+    "pii_redact_documents",
+    f"""
+    WITH {_O_AUG}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+    doc="PII redaction (emails, phone-like tokens) with removal counts — "
+    "shuffle-free codegen'd regex projection; dialect-portable patterns.",
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_redact(_augmented(spark, sf_dir))
+
+
+def _o_sh(src: str, n: int) -> str:
+    """DISTINCT (doc_id, g) word n-gram shingles of ``src`` (oracle twin of
+    functions.text.word_shingles over a table with doc_id/text)."""
+    return (
+        f"(SELECT DISTINCT doc_id, g FROM (SELECT doc_id, "
+        f"unnest({O.shingles('text', n)}) AS g FROM {src}))"
+    )
+
+
+@register(
+    "decontaminate_documents",
+    f"""
+    WITH sh AS (SELECT * FROM {_o_sh("documents", DECON_N)}),
+    ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+    SELECT t.doc_id, COUNT(*) AS n_overlap_grams
+    FROM sh t JOIN ev ON t.g = ev.g
+    WHERE t.doc_id % {EVAL_MOD} != 0
+    GROUP BY t.doc_id
+    """,
+    doc=f"Benchmark decontamination: training docs sharing a word "
+    f"{DECON_N}-gram with the eval split (doc_id % {EVAL_MOD} = 0) — "
+    "GPT-3-style overlap check; eval shingles broadcast, one count shuffle.",
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % EVAL_MOD != 0),
+        d.filter(F.col("doc_id") % EVAL_MOD == 0),
+        shingle_n=DECON_N,
+    )
+
+
+@register(
+    "repetition_stats_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {O.token_count("text")} AS n_tokens,
+             CAST(len(list_distinct({O.toks("text")})) AS INTEGER) AS n_distinct
+      FROM documents),
+    grams AS (SELECT doc_id, g, COUNT(*) AS c FROM
+      (SELECT doc_id, unnest({O.shingles("text", 2)}) AS g FROM documents)
+      GROUP BY doc_id, g),
+    top AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM grams GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens, t.n_distinct,
+           round(CASE WHEN t.n_tokens > 0
+                      THEN 1.0 - t.n_distinct / t.n_tokens ELSE 0.0 END, 6)
+             AS dup_ratio,
+           top.top_bigram_n,
+           round(CASE WHEN t.n_tokens > 0
+                      THEN 2.0 * top.top_bigram_n / t.n_tokens ELSE 0.0 END, 6)
+             AS top_bigram_frac
+    FROM toks t JOIN top USING (doc_id)
+    """,
+    doc="Gopher-style repetition measures per doc: duplicate-token ratio + "
+    "top-bigram coverage (explode + two-level partial agg, no cross-doc "
+    "traffic).",
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _o_tfidf() -> str:
+    toks = O.toks("text")
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains({toks}, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i, t in enumerate(TFIDF_TERMS)
+    )
+    score = " + ".join(
+        f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS DOUBLE) * ln(s.n / s.df{i})"
+        for i, t in enumerate(TFIDF_TERMS)
+    )
+    return f"""
+    WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, {dfs} FROM documents),
+    scored AS (
+      SELECT d.doc_id, round(0.0 + {score}, 6) AS score
+      FROM documents d CROSS JOIN s)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+           doc_id, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {TFIDF_K}
+    """
+
+
+@register(
+    "tfidf_topk_documents",
+    _o_tfidf(),
+    doc=f"TF·IDF keyword retrieval for {TFIDF_TERMS}: corpus stats are one "
+    "1-row aggregate broadcast back; scoring is a projection; "
+    "TakeOrderedAndProject top-k — no global sort shuffle.",
+)
+def tfidf_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(
+        _t(spark, sf_dir, "documents"), list(TFIDF_TERMS), k=TFIDF_K
+    )
