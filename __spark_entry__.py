@@ -40,9 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             # defensive: the driver may hand us a session built without the
-            # engine's session factory; pin the two correctness-critical confs
+            # engine's session factory; pin the correctness-critical confs.
+            # Arrow included: it changes toPandas array-column representation
+            # (numpy arrays, matching DuckDB's) as well as transfer speed.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
             return fn(spark, sf_dir)
 
         return run

@@ -12,10 +12,41 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType
 
 from qa_data_pipeline_rag_llm_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def events_read_schema(spark: SparkSession, path: str) -> StructType:
+    """Read schema for the events table with ``ts`` as it physically arrives.
+
+    The driver's parquet has shipped ``ts`` both as TIMESTAMP(NANOS) (which
+    the session's ``nanosAsLong`` conf surfaces as int64 ns) and as plain
+    µs TIMESTAMP (surfaced as TIMESTAMP_NTZ). Probe the footer (metadata
+    only, no data scan) instead of hardcoding either generation.
+    """
+    probed = spark.read.parquet(path).schema["ts"].dataType
+    return StructType(
+        [
+            f if f.name != "ts" else StructField("ts", probed, f.nullable)
+            for f in TESTDATA_SCHEMAS["events"]
+        ]
+    )
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Bring ``ts`` to session-zoned TimestampType (µs) whatever it arrived as."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # int64 epoch-ns → µs with integer division — ns epochs exceed
+        # double's 2^53, so `div`, never `/`. Floor matches DuckDB epoch_us.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # wall-clock-preserving under the pinned UTC session timezone
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -26,13 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
-    df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # parquet TIMESTAMP(NANOS) arrives as int64 ns (nanosAsLong); convert
-        # with integer division — ns epochs exceed double's 2^53, so `div`,
-        # never `/`. Truncation (floor) matches DuckDB's epoch_us on ns.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        raw = spark.read.schema(events_read_schema(spark, path)).parquet(path)
+        return normalize_events_ts(raw)
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
 
 
 def load_all(

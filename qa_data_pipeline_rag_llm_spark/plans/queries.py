@@ -535,3 +535,4 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_reshape  # noqa: E402,F
 from qa_data_pipeline_rag_llm_spark.plans import queries_hof  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_corpus  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_llmdata  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_stats  # noqa: E402,F401

@@ -1,0 +1,365 @@
+"""Registry entries: statistical aggregates, sequence mining, and exact
+substring-level dedup.
+
+None of these exist in the reference (its aggregate surface is collect_list
+and keep-first dedup — SURVEY.md §2.5); they extend the engine's generic
+analytics + training-data-curation surface, each DuckDB-oracle-checked.
+
+Float determinism: every mean/std/z-score is derived from EXACT integer
+sums (value scaled to micro-units, accumulated as decimal — same strategy
+as queries.py's money SCALE), then the final statistic is computed with an
+IDENTICAL double expression tree on both engines, so results are
+bit-identical without tolerance.
+
+Scale notes: all aggregations here are single-shuffle partial-agg shapes;
+the 8-gram pair join is bounded by shingle document-frequency (hot shingles
+= skewed join keys — cap with a max-df filter at real scale, same knob as
+the MinHash family's NGRAM_MAX_DF); the global decile ntile is inherently
+a total order (documented — use approx quantile cuts at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import (
+    _money,
+    _t,
+    o_money,
+    register,
+)
+
+# value → exact micro-units (events.value is a 2-dp double ≤ ~330; the
+# squared micro-unit product stays < 2^63 per row).
+_VS = 1_000_000
+
+
+def _v6(c: str = "value") -> F.Column:
+    return F.round(F.col(c) * _VS).cast("long")
+
+
+_O_V6 = f"CAST(round(value * {_VS}) AS BIGINT)"
+
+# Identical double expression tree on both sides (see module docstring):
+# mean = (Sx/n)/1e6 ; std = sqrt((Sxx - Sx²/n)/(n-1))/1e6  (sample std).
+_O_MEAN = f"CAST(sx AS DOUBLE) / n / {float(_VS)}"
+_O_STD = (
+    f"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)"
+    f" / (n - 1)) / {float(_VS)}"
+)
+
+
+def _mean_col() -> F.Column:
+    return F.col("sx").cast("double") / F.col("n") / F.lit(float(_VS))
+
+
+def _std_col() -> F.Column:
+    sx_d = F.col("sx").cast("double")
+    return F.sqrt(
+        (F.col("sxx").cast("double") - sx_d * sx_d / F.col("n"))
+        / (F.col("n") - F.lit(1))
+    ) / F.lit(float(_VS))
+
+
+def _value_moments(ev: DataFrame) -> DataFrame:
+    """Per-type exact moment sums: n, Σv, Σv² (scaled longs → decimal)."""
+    v6 = _v6()
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v6.cast("decimal(38,0)")).alias("sx"),
+        F.sum((v6 * v6).cast("decimal(38,0)")).alias("sxx"),
+    )
+
+
+_O_MOMENTS = f"""
+  SELECT event_type, COUNT(*) AS n,
+         SUM({_O_V6}) AS sx,
+         SUM({_O_V6} * {_O_V6}) AS sxx
+  FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "stats_value_by_type",
+    f"""
+    WITH s AS ({_O_MOMENTS})
+    SELECT event_type, n,
+           round({_O_MEAN}, 6) AS mean_value,
+           round({_O_STD}, 6) AS std_value
+    FROM s
+    """,
+    doc="Mean + sample stddev of value per event type, derived from exact "
+    "integer moment sums — one partial-aggregated shuffle, bit-identical "
+    "floats across engines (beyond the reference, which has no numeric "
+    "aggregates at all — SURVEY.md §2.5).",
+)
+def stats_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _value_moments(_t(spark, sf_dir, "events"))
+    return s.select(
+        "event_type",
+        "n",
+        F.round(_mean_col(), 6).alias("mean_value"),
+        F.round(_std_col(), 6).alias("std_value"),
+    )
+
+
+@register(
+    "zscore_outliers_events",
+    f"""
+    WITH s AS ({_O_MOMENTS})
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - {_O_MEAN}) / ({_O_STD}), 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - {_O_MEAN}) / ({_O_STD})) > 2.5
+    """,
+    doc="Per-type z-score anomaly filter (|z| > 2.5). The tiny per-type "
+    "stats side is broadcast back onto events — no second shuffle of the "
+    "fact table; mean/std from exact sums so the threshold compare cannot "
+    "flip between engines.",
+)
+def zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = _value_moments(ev)
+    z = (F.col("value") - _mean_col()) / _std_col()
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "histogram_order_totals",
+    f"""
+    SELECT CAST(floor(o_totalprice / 20000.0) AS INT) AS bucket,
+           COUNT(*) AS n, {o_money("o_totalprice")} AS total
+    FROM orders GROUP BY 1
+    """,
+    doc="Fixed-width histogram of order totals (20k buckets): integer "
+    "bucket key computed scan-side, single partial-agg shuffle — the "
+    "classic distributed histogram shape.",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(20000.0))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(F.count("*").alias("n"), _money("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "string_agg_nations_by_region",
+    """
+    SELECT r_name, COUNT(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation per group (LISTAGG): sorted "
+    "collect_list + array_join on the Spark side gives the deterministic "
+    "ordered concat Spark lacks natively.",
+)
+def string_agg_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    """
+    SELECT user_id, event_type AS top_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+    doc="Deterministic per-group mode: count per (user, type), then one "
+    "rank with lexicographic tie-break — two shuffles on the same user_id "
+    "key (AQE reuses the partitioning), never a driver-side dict like the "
+    "reference's pandas groupby (SURVEY.md A2).",
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+@register(
+    "transition_counts_events",
+    """
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM (SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events)
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Event-sequence transition matrix (Markov counts): per-user "
+    "event-time ordering with event_id tie-break, lead(), then a global "
+    "count — sequence mining as two shuffles, no per-user collect.",
+)
+def transition_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "decile_stats_lineitem",
+    f"""
+    SELECT decile, COUNT(*) AS n,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           {o_money("l_extendedprice")} AS total
+    FROM (SELECT l_extendedprice,
+                 ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                 l_linenumber) AS decile
+          FROM lineitem)
+    GROUP BY decile
+    """,
+    doc="Price deciles with per-decile stats. ntile needs a total order "
+    "(single-partition sort) — correct here and for oracle parity; the "
+    "100 TB path swaps in approx_percentile cut points + a scan-side "
+    "bucket join, trading exactness for full parallelism.",
+)
+def decile_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            _money("l_extendedprice").alias("total"),
+        )
+    )
+
+
+@register(
+    "shared_8gram_pairs_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8 THEN
+               list_transform(generate_series(1, len(t) - 7),
+                              i -> array_to_string(t[i:i+7], ' '))
+             ELSE [] END) AS g
+      FROM toks
+    ), sh AS (SELECT DISTINCT doc_id, g FROM sh0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Exact substring-level near-dup detection: document pairs sharing "
+    "verbatim 8-token spans (the exact-substring complement to the MinHash "
+    "family — catches copied passages Jaccard-on-shingles dilutes). "
+    "Shingling is an array transform (no shuffle); the pair join shuffles "
+    "on the shingle key, bounded by shingle document-frequency.",
+)
+def shared_8gram_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    grams = F.when(
+        F.size(toks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 7),
+            lambda i: F.array_join(F.slice(toks, i, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        docs.select("doc_id", F.explode(grams).alias("g")).distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "centroid_by_label_embeddings",
+    f"""
+    WITH flat AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    SELECT label, pos, COUNT(*) AS n,
+           round(CAST(SUM(CAST(round(CAST(val AS DOUBLE) * {_VS}) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / {float(_VS)}, 6) AS centroid
+    FROM flat GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroid, one row per (label, dimension): "
+    "posexplode + exact scaled-integer sums per position — the distributed "
+    "mean-vector building block for IVF coarse quantizers and cluster "
+    "summaries, with no float accumulation-order drift.",
+)
+def centroid_by_label_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double") * _VS).cast("long").alias("v6"),
+    )
+    return (
+        flat.groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v6").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            F.round(
+                F.col("s").cast("double") / F.col("n") / F.lit(float(_VS)), 6
+            ).alias("centroid"),
+        )
+    )

@@ -82,8 +82,10 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
-    # ts is parquet TIMESTAMP(NANOS) → read as raw int64 (nanosAsLong);
-    # catalog.load_table converts to TimestampType via exact integer ns→µs.
+    # ts's physical type has varied across testdata generations (ns-int64
+    # under nanosAsLong vs µs TIMESTAMP_NTZ); LongType here is the declared
+    # default — catalog.events_read_schema probes the footer and
+    # normalize_events_ts brings either form to µs TimestampType.
     "events": _s(
         ("event_id", LongType()),
         ("ts", LongType()),

@@ -34,7 +34,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from qa_data_pipeline_rag_llm_spark.schemas import TESTDATA_SCHEMAS
 
 # Ship this module's UDFs by VALUE: executor Python workers do not have the
 # engine on their import path when the driver was launched elsewhere (the
@@ -43,15 +42,22 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns-int64 ts → timestamp,
-    same conversion as catalog.load_table)."""
+    """File-source stream over the events parquet, ts normalized to µs
+    TimestampType (same footer-probe + conversion as catalog.load_table)."""
+    from qa_data_pipeline_rag_llm_spark.catalog import (
+        events_read_schema,
+        normalize_events_ts,
+    )
+
     # the file source requires a directory; glob-filter to the events table
     raw = (
-        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        spark.readStream.schema(
+            events_read_schema(spark, f"{sf_dir}/events.parquet")
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
@@ -148,11 +154,7 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     (count, exact total, latest event type). With AvailableNow the final
     emission equals the batch aggregate — oracle-checkable."""
-    raw = (
-        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = read_events_stream(spark, sf_dir)
     out = raw.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType=_OUT_SCHEMA,
@@ -396,11 +398,7 @@ def stream_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is absent (this container) the operator falls back to an
     applyInPandasWithState implementation with identical semantics, so
     the query's results are environment-independent."""
-    raw = (
-        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = read_events_stream(spark, sf_dir)
     out_ddl = "user_id bigint, n_events bigint, n_types int, top_type string"
     try:
         import google.protobuf  # noqa: F401 — twS state protocol dependency

@@ -53,6 +53,12 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cell(v) -> str:
+    import numpy as np
+
+    if isinstance(v, np.ndarray):  # DuckDB and Arrow-less Spark disagree on
+        v = v.tolist()  # list representation — canonicalize to Python lists
+    if isinstance(v, list):
+        return str([_cell(x) for x in v])
     if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return "∅"
     if isinstance(v, float):
