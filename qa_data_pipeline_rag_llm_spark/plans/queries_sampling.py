@@ -1,0 +1,191 @@
+"""Registry entries: deterministic sampling, dataset splits, percentile
+bands, and snapshot merge — the corpus-management layer of a training-data
+pipeline.
+
+The reference has no sampling, no splits, no percentile logic, and its only
+"merge" is an append-style union (SURVEY.md U1). These ops are the standard
+curation moves around it: carve reproducible subsets, assign train/val/test,
+trim length outliers, and apply latest-wins snapshot upserts.
+
+Determinism strategy: RNG-based sampling can never cross-check against
+another engine (each engine owns its streams — see sample_documents_
+stratified), so all sampling here is HASH-based: md5 of the key produces
+identical hex in Spark and DuckDB, and bucket arithmetic on that hex is
+plain integer math. Hash sampling is also the 100 TB-correct answer —
+stateless, shuffle-free, stable under repartitioning and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+# md5-hex first byte → 0..255 bucket; identical in both engines.
+_SPARK_BUCKET = "CAST(conv(substr(md5(CAST({key} AS STRING)), 1, 2), 16, 10) AS INT)"
+_DUCK_BUCKET = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 2)) AS INTEGER)"
+
+
+@register(
+    "hash_sample_documents",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE {_DUCK_BUCKET.format(key="doc_id")} < 32
+    """,
+    doc="Deterministic ~12.5% corpus sample by md5 bucket of the key: "
+    "reproducible across engines, retries, and repartitioning — unlike "
+    "seeded RNG sampling, whose streams are engine- and split-layout-"
+    "specific. Pure scan-side predicate, no shuffle.",
+)
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET.format(key="doc_id"))
+    return d.filter(bucket < 32).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "split_assign_documents",
+    f"""
+    WITH b AS (SELECT doc_id, source,
+                      {_DUCK_BUCKET.format(key="doc_id")} AS bucket
+               FROM documents)
+    SELECT source, split, COUNT(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM (SELECT doc_id, source,
+                 CASE WHEN bucket < 204 THEN 'train'
+                      WHEN bucket < 230 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b)
+    GROUP BY source, split
+    """,
+    doc="Deterministic train/val/test assignment (~80/10/10) by hashed key "
+    "bucket, summarized per source: the split a doc lands in is a pure "
+    "function of its id — stable as the corpus grows, no shuffled RNG "
+    "state, auditable by re-hashing.",
+)
+def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET.format(key="doc_id"))
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "length_band_documents",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents)
+    SELECT doc_id, n_chars
+    FROM documents, cuts
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+    doc="Length-percentile band filter (keep p05–p95 by n_chars): the "
+    "standard outlier trim before LLM training. The two cut points are a "
+    "scalar aggregate broadcast back over the scan — one pass for cuts, "
+    "one for the filter; linear-interpolated percentile matches DuckDB's "
+    "quantile_cont bit-for-bit on integer inputs.",
+)
+def length_band_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    cuts = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(cuts))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "percentiles_value_events",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` ≡ "
+    "DuckDB quantile_cont, both linear interpolation). Exact percentile "
+    "holds each group's values — correct at dimension-table scale; the "
+    "100 TB fact-table path is approx_percentile (KLL-style sketch, "
+    "mergeable map-side), exercised in sketch_stats_events.",
+)
+def percentiles_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "snapshot_merge_orders",
+    """
+    WITH delta AS (
+      SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice, 2 AS version
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+      FROM orders
+      UNION ALL SELECT * FROM delta
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC) AS rn
+      FROM unioned) WHERE rn = 1
+    """,
+    doc="Latest-wins snapshot upsert (MERGE/SCD-1 semantics) without a "
+    "table format: union base + delta tagged with versions, keep the "
+    "newest row per key via one windowed rank — a single shuffle on the "
+    "merge key. The delta here is derived (10% of orders repriced) so the "
+    "op is self-contained and oracle-checkable; on a lakehouse the same "
+    "plan backs MERGE INTO.",
+)
+def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).alias("version"),
+    )
+    delta = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("P").alias("o_orderstatus"),
+            # exact double add — a derived reprice like round(x*1.1, 2)
+            # diverges between engines by one ulp on half-way cases
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(delta)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
