@@ -537,3 +537,4 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_corpus  # noqa: E402,F4
 from qa_data_pipeline_rag_llm_spark.plans import queries_llmdata  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_stats  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_sampling  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_packing  # noqa: E402,F401

@@ -1,0 +1,162 @@
+"""Registry entries: vector quantization, sequence packing, and the last
+set-operation/cartesian gaps.
+
+Quantization and packing are training-data ops the reference never had
+(its vector handling ends at float32 upsert — SURVEY.md K3/M1): int8
+scalar quantization is how production vector stores shrink embeddings 4×,
+and block packing is the standard pre-tokenization step that tiles
+documents into fixed-token training sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+BLOCK_TOKENS = 2048
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    WITH flat AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ), bounds AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM flat GROUP BY pos
+    ), q AS (
+      SELECT f.vec_id, f.pos,
+             CASE WHEN b.mx > b.mn THEN
+               CAST(round((CAST(f.val AS DOUBLE) - CAST(b.mn AS DOUBLE))
+                          / (CAST(b.mx AS DOUBLE) - CAST(b.mn AS DOUBLE))
+                          * 254.0 - 127.0) AS INT)
+             ELSE 0 END AS qv
+      FROM flat f JOIN bounds b USING (pos))
+    SELECT vec_id, array_agg(qv ORDER BY pos) AS qvec
+    FROM q GROUP BY vec_id
+    """,
+    doc="Int8 scalar quantization of the embedding column (per-dimension "
+    "min/max affine map to [-127, 127]): the 4× compression step before "
+    "ANN serving. The tiny per-dimension bounds table is broadcast back "
+    "over the flattened scan; vectors are reassembled position-ordered so "
+    "the output array is deterministic.",
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    bounds = flat.groupBy("pos").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    qv = F.when(
+        F.col("mx") > F.col("mn"),
+        F.round(
+            (F.col("val").cast("double") - F.col("mn").cast("double"))
+            / (F.col("mx").cast("double") - F.col("mn").cast("double"))
+            * 254.0
+            - 127.0
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    q = flat.join(F.broadcast(bounds), "pos").select(
+        "vec_id", "pos", qv.alias("qv")
+    )
+    return q.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "qv"))),
+            lambda x: x.qv,
+        ).alias("qvec")
+    )
+
+
+@register(
+    "pack_documents_blocks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(coalesce(text, ''), ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS start_off
+      FROM toks)
+    SELECT CAST(start_off AS BIGINT) // {BLOCK_TOKENS} AS block_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS block_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """,
+    doc=f"Sequence packing: tile documents (in stable doc_id order) into "
+    f"{BLOCK_TOKENS}-token training blocks via a running token offset — "
+    "the pre-tokenization step that turns a corpus into fixed-length LLM "
+    "training sequences. The running sum is a total-order window here "
+    "(oracle parity); the 100 TB path packs per hash-shard — each shard "
+    "packs independently in parallel, since blocks never need to cross "
+    "shard boundaries.",
+)
+def pack_documents_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        # floor division on longs — `/`+cast would round vs truncate
+        # differently across engines at block boundaries
+        packed.groupBy(
+            F.expr(f"start_off div {BLOCK_TOKENS}").alias("block_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("block_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "cross_join_nation_region",
+    """
+    SELECT n_name, r_name FROM nation CROSS JOIN region
+    """,
+    doc="Explicit cartesian product (broadcast nested-loop join): the one "
+    "join strategy the rest of the surface never exercises. Only ever "
+    "sane when one side is tiny — Catalyst broadcasts the 5-row side.",
+)
+def cross_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
+
+
+@register(
+    "except_all_parts",
+    """
+    SELECT p_brand FROM (
+      SELECT p_brand FROM part WHERE p_size >= 30
+      EXCEPT ALL
+      SELECT p_brand FROM part WHERE p_retailprice > 1500)
+    """,
+    doc="Multiset EXCEPT ALL (bag semantics — per-brand multiplicities "
+    "subtract, unlike the DISTINCT set variant in intersect_except_parts).",
+)
+def except_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") >= 30).select("p_brand")
+    b = p.filter(F.col("p_retailprice") > 1500).select("p_brand")
+    return a.exceptAll(b)
