@@ -85,3 +85,37 @@ def test_join_hints_are_honored(spark, tables):
         .toString()
     )
     assert "SortMergeJoin" in smj
+
+
+def test_zscore_broadcasts_stats_side(spark):
+    """The 5-row per-type moments table must come back as a broadcast —
+    a second shuffle of events to join 5 rows is the classic miss."""
+    plan = _plan(spark, "zscore_outliers_events")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hash_sample_is_scan_side(spark):
+    """md5-bucket sampling is a pure predicate: no Exchange anywhere."""
+    plan = _plan(spark, "hash_sample_documents")
+    assert "Exchange" not in plan
+
+
+def test_histogram_partial_aggregates(spark):
+    """Map-side combine before the shuffle (HashAggregate appears on
+    both sides of the Exchange)."""
+    plan = _plan(spark, "histogram_order_totals")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_quantize_broadcasts_bounds(spark):
+    plan = _plan(spark, "quantize_embeddings_int8")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_length_band_broadcasts_cuts(spark):
+    """Two scalar percentile cut points join back via broadcast, never a
+    cartesian re-plan of the scan."""
+    plan = _plan(spark, "length_band_documents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
