@@ -1,0 +1,109 @@
+"""Grouped-map and cogrouped-map pandas operators (batch side).
+
+Completes the Python-execution surface next to the Arrow-batched scalar
+UDFs (functions/embed.py), mapInPandas (operators/multimodal.py), and the
+stateful streaming variants (streaming/events.py): ``applyInPandas`` for
+per-group model fitting and ``cogroup().applyInPandas`` for two-sided
+per-key reconciliation — the shapes built-in SQL genuinely can't express
+when the per-group logic becomes imperative (here kept oracle-checkable
+by computing closed-form statistics with exact integer sums).
+
+Scale notes: both operators shuffle once on the grouping key and stream
+one group at a time through a Python worker as Arrow batches — memory is
+bounded by the largest single group, not the partition; skewed groups are
+the thing to watch (same salting playbook as any hot key).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+_TREND_DDL = "user_id bigint, n bigint, slope_per_day double"
+
+
+def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
+    """OLS slope of value vs event time for one user's rows.
+
+    Exact-arithmetic discipline: sums are Python ints over integer
+    series (relative seconds, micro-scaled values), and the final slope
+    is one double expression — the same formula the SQL oracle runs, so
+    the floats match bit-for-bit (see plans/queries_pandas_ops.py).
+    """
+    uid = int(pdf["user_id"].iloc[0])
+    # worker-side Arrow→pandas lands as datetime64[ns]; pin to µs epoch
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    t = ((ts_us - ts_us.min()) // 1_000_000).tolist()  # relative seconds
+    v = (pdf["value"] * 1_000_000).round().astype("int64").tolist()
+    n = len(t)
+    if n < 2:
+        return pd.DataFrame({"user_id": [uid], "n": [n], "slope_per_day": [None]})
+    sx = sum(t)
+    sy = sum(v)
+    sxy = sum(a * b for a, b in zip(t, v))
+    sxx = sum(a * a for a in t)
+    denom = float(n * sxx - sx * sx)
+    if denom == 0.0:
+        return pd.DataFrame({"user_id": [uid], "n": [n], "slope_per_day": [None]})
+    # micro-units/sec → units/day: ×86400 / 1e6
+    slope = round(float(n * sxy - sx * sy) / denom / 1_000_000.0 * 86400.0, 6)
+    return pd.DataFrame({"user_id": [uid], "n": [n], "slope_per_day": [slope]})
+
+
+def fit_value_trend_per_user(events: DataFrame) -> DataFrame:
+    """Per-user OLS value-over-time slope via grouped-map applyInPandas."""
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        _fit_trend, schema=_TREND_DDL
+    )
+
+
+_RECON_DDL = (
+    "user_id bigint, n_clicks bigint, n_purchases bigint, "
+    "first_click_us bigint, first_purchase_us bigint, converted boolean"
+)
+
+
+def _reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped click/purchase reconciliation for one user."""
+    if len(left):
+        uid = int(left["user_id"].iloc[0])
+    else:
+        uid = int(right["user_id"].iloc[0])
+    fc = (
+        int(left["ts"].astype("datetime64[us]").astype("int64").min())
+        if len(left)
+        else None
+    )
+    fp = (
+        int(right["ts"].astype("datetime64[us]").astype("int64").min())
+        if len(right)
+        else None
+    )
+    converted = fc is not None and fp is not None and fc <= fp
+    return pd.DataFrame(
+        {
+            "user_id": [uid],
+            "n_clicks": [len(left)],
+            "n_purchases": [len(right)],
+            "first_click_us": [fc],
+            "first_purchase_us": [fp],
+            "converted": [converted],
+        }
+    )
+
+
+def reconcile_clicks_purchases(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Two-sided per-user reconciliation via cogroup().applyInPandas —
+    both inputs arrive pre-grouped per key in one Python call, without a
+    join materializing the pairwise product first."""
+    return (
+        clicks.select("user_id", "ts")
+        .groupBy("user_id")
+        .cogroup(purchases.select("user_id", "ts").groupBy("user_id"))
+        .applyInPandas(_reconcile, schema=_RECON_DDL)
+    )

@@ -538,3 +538,4 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_llmdata  # noqa: E402,F
 from qa_data_pipeline_rag_llm_spark.plans import queries_stats  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_sampling  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_packing  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_pandas_ops  # noqa: E402,F401
