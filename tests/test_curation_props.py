@@ -1,0 +1,108 @@
+"""Property tests for the curation/packing/sampling families (SURVEY.md §5.4):
+invariants that must hold for ANY input, complementing the golden oracle
+tests which pin one dataset."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _run(spark, name):
+    return REGISTRY[name].spark(spark, SF_DIR)
+
+
+def test_packing_conserves_tokens(spark, tables):
+    """Σ block_tokens == Σ per-doc tokens — packing may never drop or
+    duplicate a token."""
+    blocks = _run(spark, "pack_documents_blocks")
+    total_in = (
+        tables["documents"]
+        .select(
+            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    total_out = blocks.agg(F.sum("block_tokens")).collect()[0][0]
+    assert total_in == total_out
+
+
+def test_packing_blocks_are_contiguous(spark):
+    """Doc-id ranges of consecutive blocks must not overlap (stable order)."""
+    rows = sorted(
+        _run(spark, "pack_documents_blocks").collect(), key=lambda r: r.block_id
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.last_doc < cur.first_doc
+
+
+def test_split_assignment_is_exhaustive_and_disjoint(spark, tables):
+    """Every doc lands in exactly one split; fractions are in sane bands
+    (hash buckets: ~80/10/10 with small-sample noise)."""
+    out = _run(spark, "split_assign_documents").collect()
+    n_total = tables["documents"].count()
+    per_split: dict[str, int] = {}
+    for r in out:
+        per_split[r.split] = per_split.get(r.split, 0) + r.n
+    assert sum(per_split.values()) == n_total
+    assert set(per_split) == {"train", "val", "test"}
+    assert 0.70 <= per_split["train"] / n_total <= 0.90
+
+
+def test_hash_sample_is_stable_subset(spark, tables):
+    """Sampling twice gives the identical subset (no RNG state), and every
+    sampled id exists in the input."""
+    a = {r.doc_id for r in _run(spark, "hash_sample_documents").collect()}
+    b = {r.doc_id for r in _run(spark, "hash_sample_documents").collect()}
+    assert a == b
+    all_ids = {r.doc_id for r in tables["documents"].select("doc_id").collect()}
+    assert a <= all_ids
+
+
+def test_quantized_vectors_bounded_and_shaped(spark, tables):
+    """int8 range respected; one quantized vector per input vector, same
+    dimensionality."""
+    out = _run(spark, "quantize_embeddings_int8")
+    n_in = tables["embeddings"].count()
+    stats = out.select(
+        F.count("*").alias("n"),
+        F.min(F.array_min("qvec")).alias("lo"),
+        F.max(F.array_max("qvec")).alias("hi"),
+        F.min(F.size("qvec")).alias("dmin"),
+        F.max(F.size("qvec")).alias("dmax"),
+    ).collect()[0]
+    assert stats.n == n_in
+    assert stats.lo >= -127 and stats.hi <= 127
+    assert stats.dmin == stats.dmax == 64
+
+
+def test_snapshot_merge_keeps_one_row_per_key(spark, tables):
+    out = _run(spark, "snapshot_merge_orders")
+    n_orders = tables["orders"].count()
+    assert out.count() == n_orders
+    assert out.select("o_orderkey").distinct().count() == n_orders
+    # every delta key must surface the v2 row
+    n_delta = out.filter(F.col("version") == 2).count()
+    n_expected = tables["orders"].filter(F.col("o_orderkey") % 10 == 0).count()
+    assert n_delta == n_expected
+
+
+def test_length_band_within_bounds(spark, tables):
+    """Band filter output is a subset with ≥ ~90% of rows retained (p05–p95)."""
+    kept = _run(spark, "length_band_documents").count()
+    total = tables["documents"].count()
+    assert 0.85 <= kept / total <= 0.95
+
+
+def test_transition_counts_conserve_rows(spark, tables):
+    """Σ transitions = Σ (rows_per_user - 1): lead() emits exactly one
+    transition per consecutive pair."""
+    out = _run(spark, "transition_counts_events")
+    total_trans = out.agg(F.sum("n")).collect()[0][0]
+    ev = tables["events"]
+    n_rows = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total_trans == n_rows - n_users
