@@ -275,6 +275,42 @@ def decile_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_window_events",
+    f"""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           round(CAST(SUM({_O_V6}) OVER w AS DOUBLE) / {float(_VS)}, 4)
+             AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-interval RANGE window frame: per user, count and exact sum "
+    "of value over the trailing hour of event time — the frame family "
+    "ROWS can't express (peers by time distance, not row offset). Ordered "
+    "on epoch µs so the frame bound is plain integer range arithmetic in "
+    "both engines.",
+)
+def range_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.round(
+            F.sum(_v6().cast("decimal(38,0)")).over(w).cast("double")
+            / F.lit(float(_VS)),
+            4,
+        ).alias("sum_trailing_1h"),
+    )
+
+
+@register(
     "shared_8gram_pairs_documents",
     """
     WITH toks AS (
