@@ -1,0 +1,146 @@
+"""Registry entries: iterative graph computation + dataset profiling.
+
+PageRank here is the engine's demonstration that even ITERATIVE
+algorithms can stay deterministic and oracle-checkable: ranks are exact
+scaled integers (1.0 ≡ 10^9), every per-iteration step is integer
+join/sum/floor-div — no float accumulation order to drift — and the
+DuckDB oracle replays the identical recursion as a recursive CTE.
+
+The profiler is the data-quality audit step (null counts, cardinalities,
+bounds per column) a pipeline runs before training-data jobs consume a
+table.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+PR_ITERS = 5
+PR_ONE = 1_000_000_000  # rank 1.0 in fixed-point
+
+
+@register(
+    "pagerank_cust_supp",
+    f"""
+    WITH RECURSIVE edges0 AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ), deg AS (
+      SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    ranks AS (
+      SELECT node, CAST({PR_ONE} AS BIGINT) AS r, 0 AS it FROM nodes
+      UNION ALL
+      SELECT e.dst AS node,
+             CAST({PR_ONE * 15 // 100} + (85 * SUM(r.r // d.out_deg)) // 100
+                  AS BIGINT) AS r,
+             r.it + 1 AS it
+      FROM ranks r
+      JOIN edges e ON e.src = r.node
+      JOIN deg d ON d.src = r.node
+      WHERE r.it < {PR_ITERS}
+      GROUP BY e.dst, r.it
+    )
+    SELECT node, r AS rank_e9 FROM ranks WHERE it = {PR_ITERS}
+    """,
+    doc=f"Deterministic PageRank ({PR_ITERS} iterations, damping 0.85) on "
+    "the bipartite customer↔supplier co-purchase graph, in exact "
+    "fixed-point arithmetic (1.0 ≡ 10^9; floor-div contributions) so the "
+    "iterative loop is bit-reproducible and replayable as a DuckDB "
+    "recursive CTE. Spark side: edges+degrees computed once and "
+    "persisted, one join+agg shuffle per iteration — the standard "
+    "DataFrame-iteration pattern (GraphX-free). Long sums suffice at "
+    "this degree distribution; the 100 TB upgrade is DECIMAL(38,0) "
+    "accumulation with the same floor-div semantics.",
+)
+def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # contribution edges, reused every iteration — persist once
+    edges_deg = edges.join(deg, "src").persist()
+    ranks = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "r", F.lit(PR_ONE).cast("long")
+    )
+    base = PR_ONE * 15 // 100
+    for _ in range(PR_ITERS):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.node
+        ).select("dst", F.expr("r div out_deg").alias("c"))
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.expr(f"CAST({base} + (85 * sum(c)) div 100 AS BIGINT)").alias("r"))
+            .withColumnRenamed("dst", "node")
+        )
+    return ranks.select("node", F.col("r").alias("rank_e9"))
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def _duck_profile_col(c: str) -> str:
+    if c == "o_totalprice":
+        lo = "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"
+        hi = "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"
+    else:
+        lo, hi = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+    return f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {lo} AS min_value, {hi} AS max_value
+    FROM orders"""
+
+
+@register(
+    "profile_orders_columns",
+    "\nUNION ALL".join(_duck_profile_col(c) for c in _PROFILE_COLS),
+    doc="Column-level data-quality profile (row/null/distinct counts, "
+    "bounds) for the orders table — the audit a pipeline runs before a "
+    "table feeds training jobs. One aggregate per column over a pruned "
+    "scan; min/max surfaced as strings for a uniform schema (money via "
+    "DECIMAL(18,2) so both engines print identical text; doubles "
+    "straight to string diverge on scientific-notation thresholds).",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def one(c: str) -> DataFrame:
+        col = F.col(c)
+        lo, hi = F.min(col), F.max(col)
+        if c == "o_totalprice":
+            lo = lo.cast("decimal(18,2)")
+            hi = hi.cast("decimal(18,2)")
+        return o.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            lo.cast("string").alias("min_value"),
+            hi.cast("string").alias("max_value"),
+        ).select(F.lit(c).alias("column_name"), "*")
+
+    return reduce(DataFrame.unionByName, (one(c) for c in _PROFILE_COLS))
