@@ -82,6 +82,48 @@ def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_by_source",
+    f"""
+    WITH w AS (
+      SELECT source, CASE WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 0
+                          THEN 192 ELSE 64 END AS keep_of_256
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.source, w.keep_of_256, COUNT(*) AS n_kept
+    FROM documents d JOIN w ON d.source = w.source
+    WHERE {_DUCK_BUCKET.format(key="doc_id")} < w.keep_of_256
+    GROUP BY d.source, w.keep_of_256
+    """,
+    doc="Per-source weighted corpus mixing: each source gets its own "
+    "hash-bucket keep rate (75% for every third source id, 25% "
+    "otherwise — standing in for quality-tiered mixing weights). The "
+    "weight table is derived and broadcast; membership stays a pure "
+    "function of (doc_id, source weight) — re-mixable without RNG state, "
+    "which is how upweighting/downweighting sources stays reproducible "
+    "across pipeline reruns at 100 TB.",
+)
+def weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    weights = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "keep_of_256",
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 3 == 0, 192
+            ).otherwise(64),
+        )
+    )
+    bucket = F.expr(_SPARK_BUCKET.format(key="doc_id"))
+    return (
+        d.join(F.broadcast(weights), "source")
+        .filter(bucket < F.col("keep_of_256"))
+        .groupBy("source", "keep_of_256")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@register(
     "length_band_documents",
     """
     WITH cuts AS (
