@@ -62,6 +62,32 @@ def write_table(
     writer.format(fmt).save(path)
 
 
+def write_table_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "object"] | None = None,
+    **kwargs,
+) -> dict[str, object]:
+    """Distributed write that also returns pipeline metrics for the SAME
+    pass over the data (``df.observe`` — no second scan, no collect).
+
+    ``metrics`` maps names to aggregate Columns (e.g. row counts, null
+    counts, sums); defaults to ``{"n_rows": count(*)}``. This is the
+    audit hook a curation pipeline wants at every materialization point:
+    the write and its data-quality counters cost one job, where the
+    reference re-reads outputs to inspect them (SURVEY.md §3 files-as-IR).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    write_table(observed, path, **kwargs)
+    return obs.get
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

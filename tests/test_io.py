@@ -146,3 +146,31 @@ def test_csv_permissive_corrupt_records(spark, tmp_path):
     assert {r["id"] for r in good.collect()} == {1, 3}
     assert "not_an_int" in bad.collect()[0]["_corrupt"]
     df.unpersist()
+
+
+def test_observed_write_returns_metrics(spark, tables, tmp_path):
+    """write_table_observed: one job writes AND returns audit counters —
+    verified against independently computed aggregates."""
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark.io import write_table_observed
+
+    docs = tables["documents"]
+    got = write_table_observed(
+        docs,
+        str(tmp_path / "obs_out"),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.count(F.lit(1)) - F.count("text"),
+            "total_chars": F.sum("n_chars"),
+        },
+    )
+    expect = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("text")).alias("n_null_text"),
+        F.sum("n_chars").alias("total_chars"),
+    ).collect()[0]
+    assert got["n_rows"] == expect.n_rows
+    assert got["n_null_text"] == expect.n_null_text
+    assert got["total_chars"] == expect.total_chars
+    assert spark.read.parquet(str(tmp_path / "obs_out")).count() == expect.n_rows
