@@ -88,6 +88,36 @@ def write_table_observed(
     return obs.get
 
 
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_files: int,
+    sort_by: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a many-small-files table into ``target_files`` outputs.
+
+    The small-file problem is the silent killer of long-running pipelines
+    (every micro-batch/task appends files; scans then pay per-file open +
+    footer costs and lose row-group-sized reads). ``coalesce`` avoids a
+    shuffle when reducing; an optional sort re-clusters row groups for
+    min/max skipping. Writes to a NEW path (``dst``) — rewriting a table
+    in place while reading it is never safe without a table format.
+    Returns the row count (from the write pass via ``observe``).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(src).coalesce(target_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode("overwrite").format(fmt).save(dst)
+    return int(obs.get["n"])
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -174,3 +174,22 @@ def test_observed_write_returns_metrics(spark, tables, tmp_path):
     assert got["n_null_text"] == expect.n_null_text
     assert got["total_chars"] == expect.total_chars
     assert spark.read.parquet(str(tmp_path / "obs_out")).count() == expect.n_rows
+
+
+def test_compact_small_files(spark, tables, tmp_path):
+    """32 shuffled-out small files → 4; rows and content survive, file
+    count actually drops."""
+    import glob
+
+    from qa_data_pipeline_rag_llm_spark.io import compact
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    docs = tables["documents"]
+    docs.repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+    n = compact(spark, src, dst, target_files=4, sort_by=["doc_id"])
+    assert n == docs.count()
+    assert 1 <= len(glob.glob(f"{dst}/part-*.parquet")) <= 4
+    back = spark.read.parquet(dst)
+    assert back.count() == n
+    assert back.select("doc_id").subtract(docs.select("doc_id")).count() == 0
