@@ -357,6 +357,38 @@ def shared_8gram_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_topk_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+      FROM documents
+    ), filtered AS (SELECT doc_id, w FROM tok WHERE w <> '')
+    SELECT w AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM filtered GROUP BY w
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+    doc="Global vocabulary statistics: term frequency + document "
+    "frequency per token, deterministic top-50 (count desc, token "
+    "tie-break) — the corpus-level Zipf/vocab report behind stopword "
+    "lists and tokenizer audits. Explode + one partial-aggregated "
+    "shuffle; the top-k is a TakeOrdered, never a full sort.",
+)
+def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        tok.groupBy(F.col("w").alias("token"))
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "token")
+        .limit(50)
+    )
+
+
+@register(
     "centroid_by_label_embeddings",
     f"""
     WITH flat AS (
