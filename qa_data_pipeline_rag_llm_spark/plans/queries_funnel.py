@@ -1,0 +1,115 @@
+"""Registry entries: funnel and retention-cohort analytics over events.
+
+The product-analytics pair every event pipeline eventually needs: ordered
+conversion funnels (stage N must happen at-or-after stage N-1) and
+cohort retention grids (users bucketed by first-seen period × activity
+offset). Both are pure integer/time logic — fully oracle-checked.
+
+Scale notes: each stage/cohort pass is one groupBy on user_id — AQE
+reuses the shuffle partitioning across the chained aggregations; the
+cohort grid's second aggregation is on (cohort, offset), a tiny result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+
+@register(
+    "funnel_events",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    doc="Ordered 3-stage conversion funnel (view → click at-or-after the "
+    "first view → purchase at-or-after that click): each stage is one "
+    "semi-scoped aggregate joined to the previous stage's first-hit "
+    "time — ORDERED funnel semantics, not mere event-type presence.",
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "retention_cohorts_events",
+    """
+    WITH weeks AS (
+      SELECT user_id,
+             epoch_us(ts) // (86400000000 * 7) AS wk
+      FROM events
+    ), first_seen AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT w.user_id, f.cohort_wk,
+             CAST(w.wk - f.cohort_wk AS INTEGER) AS week_offset
+      FROM weeks w JOIN first_seen f ON f.user_id = w.user_id
+    )
+    SELECT cohort_wk, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_wk, week_offset
+    """,
+    doc="Retention cohort grid: users bucketed by first-seen epoch week, "
+    "counted per activity-week offset — week ids are integer floor "
+    "divisions of epoch µs, so bucketing is exact in both engines (no "
+    "calendar/timezone arithmetic to drift).",
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div (86400000000 * 7)").alias("wk"),
+    )
+    first_seen = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = (
+        weeks.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_wk", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
