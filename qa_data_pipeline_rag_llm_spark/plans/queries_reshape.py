@@ -93,3 +93,75 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.stat.sampleBy(
         "stratum", fractions={"short": 0.5, "long": 0.1}, seed=42
     ).select("doc_id", "stratum")
+
+
+@register(
+    "pivot_multi_agg_events",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click_n,
+           round(CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(round(value * 1000000) AS BIGINT) END)
+                 AS DOUBLE) / 1000000.0, 4) AS click_total,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase_n,
+           round(CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 1000000) AS BIGINT) END)
+                 AS DOUBLE) / 1000000.0, 4) AS purchase_total
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot with MULTIPLE aggregates per pivoted value (count + exact "
+    "sum per event type): Spark's pivot(...).agg(a, b) emits "
+    "<value>_<alias> columns; the oracle is the equivalent conditional "
+    "aggregation. Single shuffle, map-side partials.",
+)
+def pivot_multi_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1_000_000).cast("long")
+    out = (
+        ev.select("user_id", "event_type", v6.alias("v6"))
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # star is rejected inside pivot agg
+            F.round(
+                F.sum(F.col("v6").cast("decimal(38,0)")).cast("double")
+                / 1_000_000.0,
+                4,
+            ).alias("total"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.col("click_n").cast("bigint").alias("click_n"),
+        "click_total",
+        F.col("purchase_n").cast("bigint").alias("purchase_n"),
+        "purchase_total",
+    )
+
+
+@register(
+    "variant_props_events",
+    """
+    SELECT event_type,
+           CAST(props->>'$.k' AS INTEGER) // 10 AS k_decade,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): props parsed once to a "
+    "VARIANT column (no schema declared up front, unlike from_json in "
+    "json_props_stats), fields extracted lazily with variant_get — the "
+    "open-schema ingestion pattern for evolving event payloads.",
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    var = F.parse_json("props")
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    return (
+        ev.select("event_type", var.alias("v"))
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k div 10").alias("k_decade"))
+        .agg(F.count("*").alias("n"))
+    )
