@@ -357,6 +357,96 @@ def shared_8gram_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_orders_per_customer_agg",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC)
+               AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer WITHOUT a window: slice of a sorted "
+    "collect_list of (price, orderkey) structs. Same result as the "
+    "row_number query (identical oracle), different physical shape: the "
+    "window sorts every partition's full group; the aggregate variant is "
+    "map-side combinable — at 100 TB with small k, partial top-k per "
+    "mapper shrinks shuffle input by orders of magnitude. The clean "
+    "upgrade caps the collect with a bounded-heap UDAF; built-ins keep "
+    "this oracle-exact.",
+)
+def topk_orders_per_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("o_totalprice", "o_orderkey")),
+                    asc=False,
+                ),
+                1,
+                3,
+            ).alias("top")
+        )
+        .select("o_custkey", F.explode("top").alias("t"))
+    )
+    return top.select(
+        "o_custkey",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        F.col("t.o_totalprice").alias("o_totalprice"),
+    )
+
+
+@register(
+    "time_weighted_avg_events",
+    f"""
+    WITH seg AS (
+      SELECT user_id,
+             {_O_V6} AS v6,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           round(CAST(SUM(CAST(v6 AS HUGEINT) * (t_next - t)) AS DOUBLE)
+                 / CAST(SUM(t_next - t) AS DOUBLE) / {float(_VS)}, 6)
+             AS tw_avg
+    FROM seg WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average value per user (step-function integral / "
+    "elapsed time): each reading is weighted by how long it was current. "
+    "The honest mean for irregularly-sampled telemetry — a plain AVG "
+    "over-weights bursts. Integer µs-duration × scaled-value products, "
+    "exact sums, one shared window+agg shuffle on user_id.",
+)
+def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        _v6().alias("v6"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dur = F.col("t_next") - F.col("t")
+    # widen BEFORE the product: scaled-value × µs-duration exceeds int64
+    # on month-long gaps (decimal here ≡ HUGEINT in the oracle)
+    weighted = F.col("v6").cast("decimal(38,0)") * dur
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.round(
+            F.sum(weighted).cast("double")
+            / F.sum(dur.cast("decimal(38,0)")).cast("double")
+            / F.lit(float(_VS)),
+            6,
+        ).alias("tw_avg"),
+    )
+
+
+@register(
     "vocab_topk_documents",
     """
     WITH tok AS (
