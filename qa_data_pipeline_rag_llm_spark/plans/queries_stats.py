@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.plans.queries import (
     _money,
+    _sl,
     _t,
     o_money,
+    o_sl,
     register,
 )
 
@@ -443,6 +445,65 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(_VS)),
             6,
         ).alias("tw_avg"),
+    )
+
+
+@register(
+    "gini_spend_by_region",
+    f"""
+    WITH spend AS (
+      SELECT c.c_custkey, n.n_regionkey AS rk,
+             SUM({o_sl("o_totalprice")}) AS x
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, n.n_regionkey
+    ), ranked AS (
+      SELECT rk, x,
+             ROW_NUMBER() OVER (PARTITION BY rk ORDER BY x, c_custkey) AS i
+      FROM spend
+    ), s AS (
+      SELECT rk, COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six
+      FROM ranked GROUP BY rk)
+    SELECT r.r_name, n,
+           round(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM s JOIN region r ON r.r_regionkey = s.rk
+    """,
+    doc="Gini coefficient of customer spend per region (inequality/"
+    "concentration stat — the same math audits token-share skew across "
+    "corpus sources). Rank-weighted sums stay exact integers (scaled "
+    "spend × row_number, HUGEINT/decimal accumulated); the closing "
+    "expression is one identical double tree, so no tolerance needed.",
+)
+def gini_spend_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+
+    spend = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", F.col("n_regionkey").alias("rk"))
+        .agg(F.sum(_sl("o_totalprice").cast("decimal(38,0)")).alias("x"))
+    )
+    w = Window.partitionBy("rk").orderBy("x", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    s = ranked.groupBy("rk").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    r = _t(spark, sf_dir, "region")
+    return s.join(F.broadcast(r), r.r_regionkey == s.rk).select(
+        "r_name",
+        "n",
+        F.round(
+            F.lit(2.0) * F.col("six").cast("double")
+            / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
     )
 
 
