@@ -1,0 +1,181 @@
+"""Registry entries: lexical BM25 scoring + hybrid (lexical ⊕ vector) RRF.
+
+The reference retrieves purely by vector top-1 (``/root/reference/
+app2.py:32-45``); production RAG retrieval is hybrid — a lexical ranker
+(BM25) fused with the vector ranker, typically by Reciprocal Rank Fusion.
+Both live here as plain DataFrame plans over the same tables the vector
+family uses, so the serving path stays one engine.
+
+Determinism: tf/df/dl are exact integers; the BM25/RRF closing
+expressions are written with IDENTICAL structure in the Spark plan and
+the oracle so the doubles match (ln() is the one libm call — validated
+bit-stable across both engines on this data's df values).
+
+Scale notes: BM25 is two aggregations over an exploded token stream
+(tf per doc×term for only the query's terms — the filter cuts the
+explode before the shuffle) plus a broadcast of global (N, avgdl, df);
+RRF is a full outer join of two tiny top-k lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.similarity import cosine_topk
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+QUERY_TERMS = ["spark", "join", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOPK = 10
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+# identical closing expressions on both sides (see module docstring)
+_IDF = "ln((N - df + 0.5) / (df + 0.5) + 1.0)"
+_TFW = "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+
+_O_BM25_SCORED = f"""
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+    FROM documents
+  ), dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+    FROM tok WHERE w <> '' GROUP BY doc_id
+  ), g AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS N, SUM(dl) / COUNT(*) AS avgdl FROM dl
+  ), tf AS (
+    SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM tok WHERE w IN ({_TERMS_SQL}) GROUP BY doc_id, w
+  ), df AS (
+    SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+  )
+  SELECT tf.doc_id,
+         round(SUM({_IDF} * {_TFW}), 4) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "bm25_search_documents",
+    f"""
+    SELECT doc_id, score, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM ({_O_BM25_SCORED}))
+    WHERE rnk <= {BM25_TOPK}
+    """,
+    doc=f"BM25 lexical search (k1={BM25_K1}, b={BM25_B}) for the fixed "
+    f"query {QUERY_TERMS}: tf per doc×term (explode filtered to query "
+    "terms BEFORE the shuffle), broadcast global N/avgdl/df, standard "
+    "saturation formula, deterministic top-20. The lexical half of "
+    "hybrid RAG retrieval the reference never had.",
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_scored(spark, sf_dir, BM25_TOPK).select(
+        "doc_id", "score", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("w"),
+    )
+    dl = (
+        tok.filter(F.col("w") != "")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("dl"))
+    )
+    g = dl.agg(
+        F.count("*").cast("double").alias("N"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(QUERY_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.expr(f"{_IDF} * {_TFW}")), 4).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= depth
+    )
+
+
+_O_COS_Q = (
+    "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6)"
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({_O_BM25_SCORED})
+      QUALIFY r <= {RRF_DEPTH}
+    ), vec AS (
+      SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY {_O_COS_Q} DESC, e.vec_id) AS r
+      FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+      WHERE e.vec_id != 0
+      QUALIFY r <= {RRF_DEPTH}
+    )
+    , fused AS (
+      SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({RRF_K} + lex.r), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + vec.r), 0.0), 6) AS rrf
+      FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id)
+    SELECT doc_id, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rnk
+    FROM fused
+    QUALIFY rnk <= {RRF_TOPK}
+    """,
+    doc="Hybrid retrieval: BM25 top-50 fused with cosine top-50 (query = "
+    f"embedding of id 0) by Reciprocal Rank Fusion (k={RRF_K}) — the "
+    "standard production RAG ranker. Two tiny ranked lists full-outer-"
+    "joined; a doc missing from one list simply contributes one "
+    "reciprocal term.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = _bm25_scored(spark, sf_dir, RRF_DEPTH).select(
+        "doc_id", F.col("rnk").alias("lex_r")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    vec = (
+        cosine_topk(emb, q, k=RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_r"))
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("lex_r")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_r")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= RRF_TOPK)
+    )
