@@ -89,6 +89,10 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.groupBy("dst")
             .agg(F.expr(f"CAST({base} + (85 * sum(c)) div 100 AS BIGINT)").alias("r"))
             .withColumnRenamed("dst", "node")
+            # truncate lineage: a 5-deep nested join plan makes Catalyst+AQE
+            # re-planning dominate wall-clock (~10x slower unchecked); the
+            # rank table is tiny, so materializing per iteration is cheap
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_e9"))
 
