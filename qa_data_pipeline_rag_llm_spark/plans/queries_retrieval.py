@@ -148,6 +148,7 @@ _O_COS_Q = (
     FROM fused
     QUALIFY rnk <= {RRF_TOPK}
     """,
+    bench=True,
     doc="Hybrid retrieval: BM25 top-50 fused with cosine top-50 (query = "
     f"embedding of id 0) by Reciprocal Rank Fusion (k={RRF_K}) — the "
     "standard production RAG ranker. Two tiny ranked lists full-outer-"
