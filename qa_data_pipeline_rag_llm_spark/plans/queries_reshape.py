@@ -96,6 +96,30 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "explode_outer_customer_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 300
+    """,
+    doc="Generator with OUTER semantics: collect each customer's order "
+    "ids, then explode_outer — customers with no orders survive as a "
+    "NULL row (plain explode silently drops them, the classic lateral-"
+    "view data-loss bug). Oracle is the equivalent left join.",
+)
+def explode_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    o = _t(spark, sf_dir, "orders")
+    grouped = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("ids")
+    )
+    return (
+        c.join(grouped, c.c_custkey == grouped.o_custkey, "left")
+        .select("c_custkey", F.explode_outer("ids").alias("o_orderkey"))
+    )
+
+
+@register(
     "pivot_multi_agg_events",
     """
     SELECT user_id,
