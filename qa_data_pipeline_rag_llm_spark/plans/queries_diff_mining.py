@@ -1,0 +1,180 @@
+"""Registry entries: snapshot diffing (CDC), corpus-overlap matrices, and
+co-occurrence mining.
+
+The change-classification twin of the latest-wins merge
+(queries_sampling.snapshot_merge_orders): a pipeline that upserts also
+needs to REPORT what changed. The overlap matrix and co-purchase pairs
+are the discovery side of curation — which sources duplicate each other,
+which items travel together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0
+    ), next AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 1
+    )
+    SELECT change, COUNT(*) AS n FROM (
+      SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN b.o_totalprice <> n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM base b FULL OUTER JOIN next n ON n.o_orderkey = b.o_orderkey)
+    GROUP BY change
+    """,
+    doc="CDC-style snapshot diff: full outer join of two derived table "
+    "versions, each row classified added/removed/changed/unchanged — the "
+    "reporting twin of the latest-wins merge. One shuffle on the key; "
+    "the derived versions keep the op self-contained and oracle-exact "
+    "(value drift uses plain addition, not float multiplication).",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    nxt = o.filter(F.col("o_orderkey") % 7 != 1).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1000.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    b, n = base.alias("b"), nxt.alias("n")
+    change = (
+        F.when(F.col("b.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(F.col("b.o_totalprice") != F.col("n.o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        b.join(n, F.col("n.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "source_vocab_overlap",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ), sizes AS (
+      SELECT source, COUNT(*) AS nv FROM vocab GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.nv + sb.nv - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+    doc="Pairwise vocabulary-overlap (Jaccard) matrix between corpus "
+    "sources — the diversity audit that flags near-identical sources "
+    "before mixing weights are chosen. Token sets deduped per source "
+    "first, so the self-join is vocabulary-sized, not token-stream-"
+    "sized; Jaccard from exact set counts.",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("nv"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "copurchase_part_pairs",
+    """
+    SELECT p_a, p_b, n FROM (
+      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                a.l_partkey, b.l_partkey) AS rnk
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    WHERE rnk <= 20
+    """,
+    doc="Market-basket mining: top-20 part pairs co-occurring in the same "
+    "order. The self-join is keyed on l_orderkey, so pair blow-up is "
+    "bounded by lines-per-order squared (~7² here), never corpus-wide; "
+    "deterministic rank tie-break on the pair ids.",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p_a"), F.col("b.l_partkey").alias("p_b")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "p_a", "p_b")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("p_a", "p_b", "n")
+    )
