@@ -449,6 +449,119 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_stats_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id,
+               unnest(string_split(coalesce(text, ''), ' ')) AS w,
+               unnest(generate_series(1,
+                 len(string_split(coalesce(text, ''), ' ')))) AS ord
+        FROM documents)
+      WHERE w <> ''
+    ), big AS (
+      SELECT w AS w1,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM tok
+    ), counts AS (
+      SELECT w1, w2, COUNT(*) AS n
+      FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), uni AS (SELECT w1, SUM(n) AS n1 FROM counts GROUP BY w1)
+    SELECT w1, w2, n,
+           round(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p_cond
+    FROM (SELECT c.w1, c.w2, c.n, u.n1,
+                 ROW_NUMBER() OVER (ORDER BY c.n DESC, c.w1, c.w2) AS rnk
+          FROM counts c JOIN uni u ON u.w1 = c.w1)
+    WHERE rnk <= 30
+    """,
+    doc="Corpus bigram model: top-30 token bigrams with conditional "
+    "probability P(w2|w1) from exact counts — the n-gram statistics "
+    "behind perplexity-style quality filters. Token positions come from "
+    "the split array (no zipWithIndex), bigrams from one per-doc lead(); "
+    "both count aggregations reuse the same shuffle key family.",
+)
+def bigram_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("ord", "w"),
+    ).filter(F.col("w") != "")
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    big = tok.select("doc_id", "w", F.lead("w").over(w).alias("w2")).filter(
+        F.col("w2").isNotNull()
+    )
+    counts = big.groupBy(F.col("w").alias("w1"), "w2").agg(
+        F.count("*").alias("n")
+    )
+    uni = counts.groupBy("w1").agg(F.sum("n").alias("n1"))
+    ranked = (
+        counts.join(uni, "w1")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), "w1", "w2")
+            ),
+        )
+        .filter(F.col("rnk") <= 30)
+    )
+    return ranked.select(
+        "w1",
+        "w2",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("n1").cast("double"), 6
+        ).alias("p_cond"),
+    )
+
+
+@register(
+    "mad_outliers_events",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type, m.med)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - mad.med) / (1.4826 * mad.mad), 4) AS robust_z
+    FROM events e JOIN mad ON mad.event_type = e.event_type
+    WHERE abs((e.value - mad.med) / (1.4826 * mad.mad)) > 3.0
+    """,
+    doc="Robust outliers via median absolute deviation (1.4826·MAD ≈ σ "
+    "for normal data): unlike the z-score filter, one wild value can't "
+    "drag the threshold. Two percentile passes over the same per-type "
+    "partitioning, tiny stats broadcast back; interpolated medians are "
+    "bit-identical across engines (percentile ≡ quantile_cont).",
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )
+
+
+@register(
     "gini_spend_by_region",
     f"""
     WITH spend AS (
