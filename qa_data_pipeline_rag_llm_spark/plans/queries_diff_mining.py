@@ -140,6 +140,72 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_drift_sources",
+    """
+    WITH tagged AS (
+      SELECT n_chars,
+             SUM(CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                      THEN 1 ELSE 0 END) AS a_n,
+             SUM(CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                      THEN 0 ELSE 1 END) AS b_n
+      FROM documents GROUP BY n_chars
+    ), tot AS (
+      SELECT CAST(SUM(a_n) AS DOUBLE) AS na, CAST(SUM(b_n) AS DOUBLE) AS nb
+      FROM tagged
+    ), cdf AS (
+      SELECT n_chars,
+             SUM(a_n) OVER (ORDER BY n_chars) AS ca,
+             SUM(b_n) OVER (ORDER BY n_chars) AS cb
+      FROM tagged)
+    SELECT n_chars AS at_value,
+           round(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb), 6)
+             AS ks_gap
+    FROM cdf CROSS JOIN tot
+    ORDER BY ks_gap DESC, at_value
+    LIMIT 1
+    """,
+    doc="Distribution-drift detection (Kolmogorov–Smirnov statistic) "
+    "between even- and odd-numbered sources' document lengths: grouped "
+    "counts per distinct value, one cumulative window, max CDF gap — "
+    "how a pipeline catches a source whose length profile shifted "
+    "between crawls. CDFs are exact integer ratios; the windowed cumsum "
+    "runs over distinct values, not rows.",
+)
+def length_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    is_a = F.substring("source", 4, 10).cast("int") % 2 == 0
+    tagged = d.groupBy("n_chars").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("a_n"),
+        F.sum(F.when(is_a, 0).otherwise(1)).alias("b_n"),
+    )
+    tot = tagged.agg(
+        F.sum("a_n").cast("double").alias("na"),
+        F.sum("b_n").cast("double").alias("nb"),
+    )
+    w = Window.orderBy("n_chars")
+    cdf = tagged.select(
+        "n_chars",
+        F.sum("a_n").over(w).alias("ca"),
+        F.sum("b_n").over(w).alias("cb"),
+    )
+    gap = F.round(
+        F.abs(
+            F.col("ca").cast("double") / F.col("na")
+            - F.col("cb").cast("double") / F.col("nb")
+        ),
+        6,
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .select(F.col("n_chars").alias("at_value"), gap.alias("ks_gap"))
+        .orderBy(F.desc("ks_gap"), "at_value")
+        .limit(1)
+    )
+
+
+@register(
     "copurchase_part_pairs",
     """
     SELECT p_a, p_b, n FROM (
