@@ -621,6 +621,73 @@ def gini_spend_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_share_by_nation",
+    f"""
+    WITH rev AS (
+      SELECT n_name, SUM({o_sl("o_totalprice")}) AS r
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name)
+    SELECT n_name,
+           round(CAST(r AS DOUBLE) / {float(10_000)}, 2) AS revenue,
+           round(CAST(r AS DOUBLE) / CAST(SUM(r) OVER () AS DOUBLE), 6)
+             AS share
+    FROM rev
+    """,
+    doc="Percent-of-total contribution (ratio_to_report): each nation's "
+    "revenue share via an unpartitioned window sum over the 25-row "
+    "aggregate — the window runs on the tiny post-agg frame, never the "
+    "fact table. Shares are exact-integer ratios.",
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_sl("o_totalprice").cast("decimal(38,0)")).alias("r"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round(F.col("r").cast("double") / F.lit(10_000.0), 2).alias("revenue"),
+        F.round(
+            F.col("r").cast("double") / F.sum("r").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "activity_heatmap_events",
+    """
+    SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
+           CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INTEGER) AS hour,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Day-of-week × hour activity heatmap with PURE integer epoch "
+    "math (1970-01-01 was a Thursday → +4 mod 7) — no locale- or "
+    "timezone-dependent calendar functions to drift between engines. "
+    "Single partial-agg shuffle over at most 168 cells.",
+)
+def activity_heatmap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # integer div throughout — float division of epoch-µs magnitudes can
+    # truncate across an integer boundary differently than exact floor
+    return ev.groupBy(
+        F.expr(
+            "CAST((unix_micros(ts) div 86400000000 + 4) % 7 AS INT)"
+        ).alias("dow"),
+        F.expr(
+            "CAST((unix_micros(ts) % 86400000000) div 3600000000 AS INT)"
+        ).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
     "vocab_topk_documents",
     """
     WITH tok AS (
