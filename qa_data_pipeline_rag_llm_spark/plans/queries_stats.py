@@ -562,6 +562,78 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_runs_per_user",
+    """
+    WITH runs0 AS (
+      SELECT user_id, event_type,
+             CASE WHEN event_type = LAG(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 0 ELSE 1 END AS is_start,
+             ts, event_id
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS island
+      FROM runs0
+    ), per_island AS (
+      SELECT user_id, island, event_type, COUNT(*) AS run_len
+      FROM runs GROUP BY user_id, island, event_type)
+    SELECT user_id,
+           COUNT(*) AS n_runs,
+           MAX(run_len) AS max_run_len,
+           MIN(event_type) FILTER (
+             WHERE run_len = (SELECT MAX(p2.run_len) FROM per_island p2
+                              WHERE p2.user_id = per_island.user_id)
+           ) AS longest_run_type
+    FROM per_island GROUP BY user_id
+    """,
+    doc="Gaps-and-islands by VALUE CHANGE (run-length encoding of each "
+    "user's event-type sequence): lag() flags run starts, a running sum "
+    "numbers the islands, one aggregate per island — the pattern behind "
+    "repetition compression and bot-burst detection. Longest-run type "
+    "tie-breaks lexicographically. All three windows share the user_id "
+    "shuffle.",
+)
+def event_runs_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), 0
+        )
+        .otherwise(1)
+        .alias("is_start"),
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island"),
+    )
+    per_island = runs.groupBy("user_id", "island", "event_type").agg(
+        F.count("*").alias("run_len")
+    )
+    wmax = Window.partitionBy("user_id")
+    return (
+        per_island.withColumn("mx", F.max("run_len").over(wmax))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("run_len").alias("max_run_len"),
+            F.min(
+                F.when(F.col("run_len") == F.col("mx"), F.col("event_type"))
+            ).alias("longest_run_type"),
+        )
+    )
+
+
+@register(
     "gini_spend_by_region",
     f"""
     WITH spend AS (
