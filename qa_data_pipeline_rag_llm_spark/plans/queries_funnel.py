@@ -73,6 +73,56 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_to_convert_events",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+      GROUP BY e.user_id
+    ), gaps AS (
+      SELECT (epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 1000000 AS gap_s
+      FROM p JOIN v ON v.user_id = p.user_id)
+    SELECT COUNT(*) AS n_converted,
+           round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 2) AS p90_s
+    FROM gaps
+    """,
+    doc="Time-to-convert distribution: integer-second gaps between each "
+    "converting user's first view and first at-or-after purchase, "
+    "summarized as interpolated percentiles — the latency lens on the "
+    "ordered funnel.",
+)
+def time_to_convert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    gaps = p.join(v, "user_id").select(
+        F.expr(
+            "(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000"
+        ).alias("gap_s")
+    )
+    return gaps.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_s"),
+    )
+
+
+@register(
     "retention_cohorts_events",
     """
     WITH weeks AS (
