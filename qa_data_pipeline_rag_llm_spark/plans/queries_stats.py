@@ -562,6 +562,82 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_semantics_orders",
+    f"""
+    SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                ELSE o_orderpriority END AS prio,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_orderkey END) AS n_nonnull,
+           COUNT(DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                               ELSE o_orderkey % 10 END) AS n_distinct,
+           {o_money("o_totalprice")} AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="NULL-semantics pin: grouping by a nullable key keeps one NULL "
+    "group (unlike NULL-rejecting joins); COUNT(col) skips NULLs while "
+    "COUNT(*) doesn't; COUNT(DISTINCT) ignores NULLs entirely. These "
+    "invariants silently shape every aggregate above — this query makes "
+    "the driver's hash compare enforce them explicitly.",
+)
+def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    prio = F.when(
+        F.col("o_orderpriority") == "3-MEDIUM", F.lit(None)
+    ).otherwise(F.col("o_orderpriority"))
+    masked = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey")
+    )
+    masked_mod = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 10
+    )
+    return o.groupBy(prio.alias("prio")).agg(
+        F.count("*").alias("n_rows"),
+        F.count(masked).alias("n_nonnull"),
+        F.countDistinct(masked_mod).alias("n_distinct"),
+        _money("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "monthly_growth_orders",
+    f"""
+    WITH monthly AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000) // 30 AS month_no,
+             SUM({o_sl("o_totalprice")}) AS r
+      FROM orders GROUP BY 1)
+    SELECT month_no,
+           round(CAST(r AS DOUBLE) / 10000.0, 2) AS revenue,
+           round(CAST(r AS DOUBLE)
+                 / CAST(LAG(r) OVER (ORDER BY month_no) AS DOUBLE) - 1.0, 6)
+             AS growth
+    FROM monthly
+    """,
+    doc="Period-over-period growth: revenue per 30-day epoch bucket "
+    "(integer month ids — calendar-free, so bucketing can't drift) with "
+    "lag-based growth rate. The window runs on the tiny post-aggregate.",
+)
+def monthly_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.expr("(unix_micros(o_orderdate) div 86400000000) div 30").alias(
+            "month_no"
+        )
+    ).agg(F.sum(_sl("o_totalprice").cast("decimal(38,0)")).alias("r"))
+    w = Window.orderBy("month_no")
+    return monthly.select(
+        "month_no",
+        F.round(F.col("r").cast("double") / 10000.0, 2).alias("revenue"),
+        F.round(
+            F.col("r").cast("double") / F.lag("r").over(w).cast("double")
+            - F.lit(1.0),
+            6,
+        ).alias("growth"),
+    )
+
+
+@register(
     "event_runs_per_user",
     """
     WITH runs0 AS (
