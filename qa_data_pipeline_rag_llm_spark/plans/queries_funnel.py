@@ -12,7 +12,7 @@ cohort grid's second aggregation is on (cohort, offset), a tiny result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
@@ -69,6 +69,36 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.agg(F.count("*").alias("n_view"))
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "user_growth_daily",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000) AS day FROM events
+      GROUP BY user_id
+    ), daily AS (
+      SELECT day, COUNT(*) AS n_new FROM first_seen GROUP BY day)
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    doc="User growth curve: first-seen day per user (integer epoch days), "
+    "new-user counts, cumulative total — the expanding-distinct-count "
+    "that would be quadratic done the naive way, linear via first-seen "
+    "reduction. Cumulative window runs on the tiny per-day aggregate.",
+)
+def user_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.expr("MIN(unix_micros(ts) div 86400000000)").alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("cum_users")
     )
 
 
