@@ -106,3 +106,36 @@ def test_transition_counts_conserve_rows(spark, tables):
     n_rows = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total_trans == n_rows - n_users
+
+
+def test_funnel_is_monotone(spark):
+    """Each funnel stage can only shrink: view ≥ view→click ≥ view→click→purchase."""
+    row = _run(spark, "funnel_events").collect()[0]
+    assert row.n_view >= row.n_view_click >= row.n_view_click_purchase >= 0
+
+
+def test_user_growth_is_consistent(spark, tables):
+    """cum_users is the running sum of n_new and ends at the total user count."""
+    rows = sorted(_run(spark, "user_growth_daily").collect(), key=lambda r: r.day)
+    running = 0
+    for r in rows:
+        running += r.n_new
+        assert r.cum_users == running
+    assert running == tables["events"].select("user_id").distinct().count()
+
+
+def test_bm25_ranks_are_dense_and_scored(spark):
+    """Ranks 1..k with no gaps; scores non-increasing along the ranking."""
+    rows = sorted(_run(spark, "bm25_search_documents").collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.score >= cur.score
+
+
+def test_retention_cohort_offsets_start_at_zero(spark):
+    """Every cohort has a week-0 row (the week its users first appeared)."""
+    rows = _run(spark, "retention_cohorts_events").collect()
+    cohorts = {r.cohort_wk for r in rows}
+    zero_offset = {r.cohort_wk for r in rows if r.week_offset == 0}
+    assert cohorts == zero_offset
+    assert all(r.week_offset >= 0 for r in rows)
