@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from qa_data_pipeline_rag_llm_spark.catalog import enable_table_persist  # noqa: E402
 from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY  # noqa: E402
 
 
@@ -46,6 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+            # The driver sweep runs the whole registry over the same ten
+            # tables in one session: persist the shared scans once instead
+            # of re-reading parquet ~150 times (catalog.py cache note).
+            enable_table_persist(True)
             return fn(spark, sf_dir)
 
         return run

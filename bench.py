@@ -7,6 +7,12 @@ Methodology: each query executes to a `noop` sink (full plan runs, nothing
 is shipped to the Python driver — collect() would measure row pickling, not
 the engine). One untimed warmup of the input scans + each plan, then the
 median of 3 timed runs per query.
+
+Contamination detectability (VERDICT r01 #9): the artifact also carries
+per-query ``queries_min``, the total-of-mins ``value_min``, and a
+``contaminated`` flag (true when median exceeds min by >1.5× on ≥3
+queries — the signature of a busy sandbox inflating some samples). A
+reader should trust ``value_min`` over ``value`` when ``contaminated``.
 """
 
 from __future__ import annotations
@@ -43,6 +49,7 @@ def main() -> None:
 
     bench_names = [n for n, s in REGISTRY.items() if s.bench]
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in bench_names:
         spec = REGISTRY[name]
         execute(spec.spark(spark, sf_dir))  # untimed warmup of this plan
@@ -52,7 +59,11 @@ def main() -> None:
             execute(spec.spark(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        minima[name] = round(min(samples), 3)
     total = round(sum(timings.values()), 3)
+    inflated = sum(
+        1 for n in timings if minima[n] > 0 and timings[n] / minima[n] > 1.5
+    )
     print(
         json.dumps(
             {
@@ -60,6 +71,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minima,
+                "value_min": round(sum(minima.values()), 3),
+                "runs": RUNS,
+                "warm": True,
+                "contaminated": inflated >= 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -18,6 +18,41 @@ from qa_data_pipeline_rag_llm_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TA
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# ---------------------------------------------------------------------------
+# Multi-query session cache.
+#
+# A driver correctness sweep runs ~150 registry queries over the same ten
+# tables in one session; re-building the reader per query re-pays analysis
+# and (for events) a parquet-footer probe, and re-scans parquet per query.
+# `load_table` therefore memoizes the DataFrame per (application, sf_dir,
+# table). Persisting the memoized frames (`enable_table_persist`) is OPT-IN:
+# it swaps parquet scans for InMemoryTableScan, which deliberately bypasses
+# pushdown/pruning — right for a 150-query sweep over sf0.01, wrong for
+# plan-quality tests and for honest scan benchmarks, so tests and bench.py
+# leave it off. Only __spark_entry__ (the driver's sweep surface) turns it
+# on. Scale note: this caches *source tables* at correctness SF (MBs); at
+# 100 TB the flag simply stays off and every plan reads parquet.
+# ---------------------------------------------------------------------------
+
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PERSIST = False
+
+
+def enable_table_persist(flag: bool = True) -> None:
+    """Persist memoized tables (MEMORY_AND_DISK) for multi-query sessions."""
+    global _PERSIST
+    _PERSIST = flag
+
+
+def clear_table_cache() -> None:
+    """Unpersist and forget every memoized table (test isolation hook)."""
+    for df in _DF_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _DF_CACHE.clear()
+
 
 def events_read_schema(spark: SparkSession, path: str) -> StructType:
     """Read schema for the events table with ``ts`` as it physically arrives.
@@ -57,11 +92,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         raw = spark.read.schema(events_read_schema(spark, path)).parquet(path)
-        return normalize_events_ts(raw)
-    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+        df = normalize_events_ts(raw)
+    else:
+        df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+    if _PERSIST:
+        df = df.persist()
+    _DF_CACHE[key] = df
+    return df
 
 
 def load_all(

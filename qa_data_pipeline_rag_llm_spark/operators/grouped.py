@@ -18,9 +18,11 @@ from __future__ import annotations
 
 import sys
 
+import numpy as np
 import pandas as pd
 from pyspark import cloudpickle
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -34,12 +36,22 @@ def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
     series (relative seconds, micro-scaled values), and the final slope
     is one double expression — the same formula the SQL oracle runs, so
     the floats match bit-for-bit (see plans/queries_pandas_ops.py).
+    Rounding discipline: pandas/Python round() is half-even, while both
+    engines' round() is half-away-from-zero — so the micro-scaling here
+    rounds half-away explicitly, and the final 6-dp rounding is NOT done
+    here at all: the plan applies F.round, the oracle round(), i.e. one
+    identical rounding on each side (ADVICE r01).
     """
     uid = int(pdf["user_id"].iloc[0])
     # worker-side Arrow→pandas lands as datetime64[ns]; pin to µs epoch
     ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
     t = ((ts_us - ts_us.min()) // 1_000_000).tolist()  # relative seconds
-    v = (pdf["value"] * 1_000_000).round().astype("int64").tolist()
+    scaled = pdf["value"].to_numpy() * 1_000_000.0
+    v = (
+        np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
+        .astype("int64")
+        .tolist()
+    )
     n = len(t)
     if n < 2:
         return pd.DataFrame({"user_id": [uid], "n": [n], "slope_per_day": [None]})
@@ -50,16 +62,23 @@ def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
     denom = float(n * sxx - sx * sx)
     if denom == 0.0:
         return pd.DataFrame({"user_id": [uid], "n": [n], "slope_per_day": [None]})
-    # micro-units/sec → units/day: ×86400 / 1e6
-    slope = round(float(n * sxy - sx * sy) / denom / 1_000_000.0 * 86400.0, 6)
+    # micro-units/sec → units/day: ×86400 / 1e6 (unrounded; see docstring)
+    slope = float(n * sxy - sx * sy) / denom / 1_000_000.0 * 86400.0
     return pd.DataFrame({"user_id": [uid], "n": [n], "slope_per_day": [slope]})
 
 
 def fit_value_trend_per_user(events: DataFrame) -> DataFrame:
-    """Per-user OLS value-over-time slope via grouped-map applyInPandas."""
-    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
-        _fit_trend, schema=_TREND_DDL
+    """Per-user OLS value-over-time slope via grouped-map applyInPandas.
+
+    Final rounding happens plan-side (F.round = HALF_UP) so it is the
+    same half-away-from-zero rule the DuckDB oracle's round() applies.
+    """
+    fitted = (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_fit_trend, schema=_TREND_DDL)
     )
+    return fitted.withColumn("slope_per_day", F.round("slope_per_day", 6))
 
 
 _RECON_DDL = (

@@ -84,6 +84,7 @@ def srp_signatures(
     planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Sign-random-projection signature per vector: (id, sig) with
     sig = Σ_p 2^p · [Σ_d vec[d]·w(p,d) > 0].
@@ -92,8 +93,15 @@ def srp_signatures(
     literal weight array — a deterministic double sum (explode+groupBy
     would sum in shuffle order, which is not reproducible), inlined into
     one codegen'd projection with zero shuffles.
+
+    ``dims`` must be passed by any caller that composes this into a
+    larger plan: array length is not part of Spark's schema, so without
+    it the only option is a driver-side ``first()`` probe — a Spark
+    ACTION during plan construction, re-paid on every call (VERDICT r01).
+    The probe remains solely as an interactive-use fallback.
     """
-    dims = len(vectors.select(vec_col).first()[0])
+    if dims is None:
+        dims = len(vectors.select(vec_col).first()[0])
     weights = hyperplane_weights(dims, planes)
     sig = None
     for p in range(planes):
@@ -114,10 +122,11 @@ def embedding_near_dup(
     cosine_threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: SRP-signature collision (exact match on
     all ``planes`` bits) → verify cosine ≥ threshold. (doc pairs + sim)."""
-    sig = srp_signatures(vectors, planes, id_col, vec_col)
+    sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
     v = vectors.join(sig, id_col).withColumn("_n", norm(F.col(vec_col)))
     pairs = (
         v.alias("a")
@@ -146,10 +155,11 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     probe_id: str = "probe_id",
     probe_vec: str = "probe_vec",
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing ≥1 signature band
     with the probe, then exact cosine rank within candidates."""
-    sig_v = srp_signatures(vectors, planes, id_col, vec_col)
+    sig_v = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
     sig_p = srp_signatures(
         probes.select(
             F.col(probe_id).alias(id_col), F.col(probe_vec).alias(vec_col)
@@ -157,6 +167,7 @@ def ann_lsh_topk(
         planes,
         id_col,
         vec_col,
+        dims=dims,
     ).select(F.col(id_col).alias(probe_id), F.col("sig").alias("psig"))
 
     nbands = planes // band_bits

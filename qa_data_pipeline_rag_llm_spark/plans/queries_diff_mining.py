@@ -175,7 +175,8 @@ def length_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
-    is_a = F.substring("source", 4, 10).cast("int") % 2 == 0
+    # substring-to-end mirrors the oracle's substr(source, 4) (ADVICE r01)
+    is_a = F.expr("substring(source, 4)").cast("int") % 2 == 0
     tagged = d.groupBy("n_chars").agg(
         F.sum(F.when(is_a, 1).otherwise(0)).alias("a_n"),
         F.sum(F.when(is_a, 0).otherwise(1)).alias("b_n"),

@@ -81,19 +81,25 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r", F.lit(PR_ONE).cast("long")
     )
     base = PR_ONE * 15 // 100
-    for _ in range(PR_ITERS):
-        contrib = edges_deg.join(
-            ranks, edges_deg.src == ranks.node
-        ).select("dst", F.expr("r div out_deg").alias("c"))
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.expr(f"CAST({base} + (85 * sum(c)) div 100 AS BIGINT)").alias("r"))
-            .withColumnRenamed("dst", "node")
-            # truncate lineage: a 5-deep nested join plan makes Catalyst+AQE
-            # re-planning dominate wall-clock (~10x slower unchecked); the
-            # rank table is tiny, so materializing per iteration is cheap
-            .localCheckpoint(eager=True)
-        )
+    try:
+        for _ in range(PR_ITERS):
+            contrib = edges_deg.join(
+                ranks, edges_deg.src == ranks.node
+            ).select("dst", F.expr("r div out_deg").alias("c"))
+            ranks = (
+                contrib.groupBy("dst")
+                .agg(F.expr(f"CAST({base} + (85 * sum(c)) div 100 AS BIGINT)").alias("r"))
+                .withColumnRenamed("dst", "node")
+                # truncate lineage: a 5-deep nested join plan makes Catalyst+AQE
+                # re-planning dominate wall-clock (~10x slower unchecked); the
+                # rank table is tiny, so materializing per iteration is cheap
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # the final ranks are an eager checkpoint — nothing returned still
+        # reads edges_deg, so its cached blocks must not outlive the query
+        # (long-lived sessions run ~150 registry queries; ADVICE r01)
+        edges_deg.unpersist()
     return ranks.select("node", F.col("r").alias("rank_e9"))
 
 
@@ -194,14 +200,20 @@ def kmeans_fixedpoint_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.struct("dist", "cluster")).alias("m")
         ).select("vec_id", F.col("m.cluster").alias("cluster"))
 
-    for _ in range(KM_ITERS):
-        asg = assign(cents)
-        cents = (
-            asg.join(flat, "vec_id")
-            .groupBy("cluster", "pos")
-            .agg(F.expr("sum(v6) div count(*)").cast("long").alias("c6"))
-        )
-    return assign(cents)
+    try:
+        for _ in range(KM_ITERS):
+            asg = assign(cents)
+            cents = (
+                asg.join(flat, "vec_id")
+                .groupBy("cluster", "pos")
+                .agg(F.expr("sum(v6) div count(*)").cast("long").alias("c6"))
+            )
+        # materialize before releasing flat's cache: the final assignment
+        # still reads flat, and cached blocks must not leak into the rest
+        # of a long-lived session (ADVICE r01)
+        return assign(cents).localCheckpoint(eager=True)
+    finally:
+        flat.unpersist()
 
 
 _PROFILE_COLS = [

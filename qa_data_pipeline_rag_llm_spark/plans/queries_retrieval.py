@@ -117,29 +117,45 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
+    """Single-pass BM25: the dl/tf/df/global-stats arms all derive from ONE
+    explode + ONE doc_id shuffle (a conditional-sum aggregate), instead of
+    re-exploding the documents scan per arm (VERDICT r01 #8). Downstream
+    frames (per-term df, 1-row N/avgdl) are tiny and broadcast."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("w"),
     )
-    dl = (
-        tok.filter(F.col("w") != "")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("double").alias("dl"))
+    perdoc = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("w") != "", 1).otherwise(0))
+            .cast("double")
+            .alias("dl"),
+            *[
+                F.sum(F.when(F.col("w") == t, 1).otherwise(0))
+                .cast("double")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(QUERY_TERMS)
+            ],
+        )
+        # docs with no non-empty token never enter dl/N/avgdl in the
+        # oracle's filtered-token CTE; mirror that here
+        .filter(F.col("dl") > 0)
     )
-    g = dl.agg(
+    g = perdoc.agg(
         F.count("*").cast("double").alias("N"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
-    tf = (
-        tok.filter(F.col("w").isin(QUERY_TERMS))
-        .groupBy("doc_id", F.col("w").alias("term"))
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(QUERY_TERMS))
+    tflong = perdoc.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(QUERY_TERMS)}, {stack_args}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
+    df = tflong.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
+        tflong.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(g))
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.expr(f"{_IDF} * {_TFW}")), 4).alias("score"))

@@ -110,7 +110,10 @@ def weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "keep_of_256",
             F.when(
-                F.substring("source", 4, 10).cast("int") % 3 == 0, 192
+                # substring-to-end (no length arg), mirroring the oracle's
+                # substr(source, 4) — a length cap would silently diverge
+                # on long source ids (ADVICE r01)
+                F.expr("substring(source, 4)").cast("int") % 3 == 0, 192
             ).otherwise(64),
         )
     )

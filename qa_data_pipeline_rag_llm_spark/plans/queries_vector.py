@@ -99,7 +99,7 @@ def _o_sig(tbl: str) -> str:
     "hyperplanes; index-order folds, zero shuffles).",
 )
 def srp_signatures_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return srp_signatures(_t(spark, sf_dir, "embeddings"), planes=PLANES)
+    return srp_signatures(_t(spark, sf_dir, "embeddings"), planes=PLANES, dims=DIMS)
 
 
 @register(
@@ -125,6 +125,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"),
         planes=PLANES,
         cosine_threshold=NEAR_DUP_COS,
+        dims=DIMS,
     )
 
 
@@ -142,6 +143,7 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         _probes(spark, sf_dir),
         k=TOP_K,
         planes=PLANES,
+        dims=DIMS,
     ).withColumn("rank", F.col("rank").cast("int"))
 
 

@@ -87,6 +87,21 @@ def test_join_hints_are_honored(spark, tables):
     assert "SortMergeJoin" in smj
 
 
+def test_srp_plan_construction_triggers_no_job(spark, tables):
+    """SRP-composed plans must not run Spark ACTIONS while being built —
+    the dims probe regression (VERDICT r01 #5): dims comes from the DIMS
+    parameter, never a driver-side first()."""
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    before = dag.numTotalJobs()
+    for name in (
+        "srp_signatures_embeddings",
+        "embedding_near_dups",
+        "ann_lsh_topk_embeddings",
+    ):
+        REGISTRY[name].spark(spark, SF_DIR)
+    assert dag.numTotalJobs() == before
+
+
 def test_zscore_broadcasts_stats_side(spark):
     """The 5-row per-type moments table must come back as a broadcast —
     a second shuffle of events to join 5 rows is the classic miss."""
