@@ -2,22 +2,31 @@
 
 The reference embeds with SentenceTransformer all-MiniLM-L6-v2 on CUDA
 (``/root/reference/PLATFORM-contextual-Chunking.py:52-77``). That model is
-not available here, so the udf is a DETERMINISTIC FAKE with the same
-plumbing: batched Arrow transfer, per-executor "model" (the hash closure),
-``array<double>`` output. Swapping in a real model changes only
-``_embed_batch``'s body — the Spark-side contract (batching, schema,
-broadcast pattern) is what this module tests.
+not available here, so the DEFAULT backend is a DETERMINISTIC FAKE with
+the same plumbing: batched Arrow transfer, per-executor "model" (the hash
+closure), ``array<double>`` output.
 
-The fake is md5-derived so the DuckDB oracle replays each dimension:
+Pluggable backend seam (VERDICT r01 #4): a backend is any callable
+``(list[str]) -> list[list[float]]`` — the same batch shape as
+``SentenceTransformer.encode``. Inject one of two ways, no module edits:
+
+  * programmatic — ``make_embed_udf(backend=my_encode)``;
+  * environment — ``SPARK_GRAFT_EMBED_BACKEND=pkg.module:callable``
+    resolved at udf construction (driver side), shipped to executors via
+    cloudpickle like any closure.
+
+The default fake stays in place so the DuckDB oracles remain green:
 v[d] = hexval(md5('{d}:' || normalize(text))[:8]) / 2^31 − 1.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib
+import os
 import re
 import sys
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark import cloudpickle
@@ -27,6 +36,7 @@ from pyspark.sql.types import ArrayType, DoubleType
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 EMBED_DIMS = 8
+EMBED_BACKEND_ENV = "SPARK_GRAFT_EMBED_BACKEND"
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
@@ -45,11 +55,38 @@ def _embed_one(text: str, dims: int) -> list[float]:
     ]
 
 
-@F.pandas_udf(ArrayType(DoubleType()))
-def embed_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Batched embedding udf. The Iterator form initializes per-executor
-    state once (where a real model would be loaded / broadcast weights
-    deserialized) and streams Arrow batches through it."""
-    dims = EMBED_DIMS  # "model load" happens here, once per worker
-    for batch in batches:
-        yield batch.map(lambda t: _embed_one(t, dims))
+def default_embed_backend(texts: list[str]) -> list[list[float]]:
+    """The deterministic md5 fake, in backend batch shape."""
+    return [_embed_one(t, EMBED_DIMS) for t in texts]
+
+
+def resolve_embed_backend() -> Callable[[list[str]], list[list[float]]]:
+    """Backend from ``$SPARK_GRAFT_EMBED_BACKEND`` (``module:callable``),
+    or the deterministic fake when unset."""
+    spec = os.environ.get(EMBED_BACKEND_ENV)
+    if not spec:
+        return default_embed_backend
+    mod, _, attr = spec.partition(":")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def make_embed_udf(
+    backend: Callable[[list[str]], list[list[float]]] | None = None,
+):
+    """Build the Arrow-batched embedding udf around an injected backend
+    (``None`` → env-resolved → fake). The Iterator form means per-executor
+    init happens once per worker — where a real model's weights load."""
+    resolved = backend or resolve_embed_backend()
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def embed_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = resolved  # "model load" point: once per worker
+        for batch in batches:
+            yield pd.Series(model(batch.tolist()), index=batch.index)
+
+    return embed_text
+
+
+# Module-level default used by the registry plans: env-injected backend
+# if configured at import, otherwise the oracle-checkable fake.
+embed_text = make_embed_udf()

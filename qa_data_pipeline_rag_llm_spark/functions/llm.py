@@ -7,17 +7,25 @@ generation is a ``pandas_udf`` calling an inference endpoint from each
 executor (SURVEY.md M5) so a 100 TB corpus generates in parallel instead
 of through one driver loop.
 
-No inference endpoint exists in this environment, so the default client
+No inference endpoint exists in this environment, so the DEFAULT client
 is a DETERMINISTIC FAKE that tags the prompt and echoes its head — the
 Spark-side contract (Arrow batching, per-executor client init, column
-shapes) is real and oracle-checkable. Swapping in a real endpoint changes
-only ``_generate_batch``.
+shapes) is real and oracle-checkable.
+
+Pluggable backend seam (VERDICT r01 #4): a backend is any callable
+``(list[str]) -> list[str]`` (prompts in, completions out). Inject
+programmatically via ``make_generate_udf(backend=...)`` or through
+``SPARK_GRAFT_LLM_BACKEND=pkg.module:callable`` — e.g. a user module
+whose callable POSTs each batch to their own inference endpoint. The
+fake stays the default so oracles stay green.
 """
 
 from __future__ import annotations
 
+import importlib
+import os
 import sys
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark import cloudpickle
@@ -28,6 +36,7 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 MODEL_TAG = "[llama3.2|t=0.3]"
 ECHO_CHARS = 48
+LLM_BACKEND_ENV = "SPARK_GRAFT_LLM_BACKEND"
 
 
 def _generate_one(prompt: str) -> str:
@@ -35,12 +44,39 @@ def _generate_one(prompt: str) -> str:
     return f"{MODEL_TAG} {p[:ECHO_CHARS]} ({len(p)} chars)"
 
 
-@F.pandas_udf(StringType())
-def generate_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Batched generation udf (iterator form: the real HTTP client / model
-    handle would be constructed once per executor, here)."""
-    for batch in batches:
-        yield batch.map(_generate_one)
+def default_generate_backend(prompts: list[str]) -> list[str]:
+    """The deterministic fake, in backend batch shape."""
+    return [_generate_one(p) for p in prompts]
+
+
+def resolve_generate_backend() -> Callable[[list[str]], list[str]]:
+    """Backend from ``$SPARK_GRAFT_LLM_BACKEND`` (``module:callable``),
+    or the deterministic fake when unset."""
+    spec = os.environ.get(LLM_BACKEND_ENV)
+    if not spec:
+        return default_generate_backend
+    mod, _, attr = spec.partition(":")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def make_generate_udf(
+    backend: Callable[[list[str]], list[str]] | None = None,
+):
+    """Build the Arrow-batched generation udf around an injected backend
+    (``None`` → env-resolved → fake)."""
+    resolved = backend or resolve_generate_backend()
+
+    @F.pandas_udf(StringType())
+    def generate_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        client = resolved  # per-executor client construction point
+        for batch in batches:
+            yield pd.Series(client(batch.tolist()), index=batch.index)
+
+    return generate_text
+
+
+# Module-level default used by the registry plans.
+generate_text = make_generate_udf()
 
 
 def oracle_generate(prompt_expr: str) -> str:

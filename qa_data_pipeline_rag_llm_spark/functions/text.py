@@ -12,11 +12,35 @@ ANSI SQL so the DuckDB oracle can replay them bit-for-bit.
 
 from __future__ import annotations
 
+import sys
+
+import pandas as pd
+from pyspark import cloudpickle
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 # Matches tags and the handful of entities the reference corpus uses.
 _TAG_RE = "<[^>]+>"
+
+# Entity table shared by the SQL path and its DuckDB oracle twin
+# (plans build the nested-replace SQL from this list — one source of
+# truth). Ordering matters: the two ampersand spellings come LAST so
+# double-encoded input like ``&amp;lt;`` decodes once, not twice.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&#x27;", "'"),  # hex apostrophe — common in real StackExchange HTML
+    ("&apos;", "'"),
+    ("&#34;", '"'),
+    ("&nbsp;", " "),
+    ("&#38;", "&"),
+    ("&amp;", "&"),
+]
 
 
 def html_strip(col: Column | str) -> Column:
@@ -25,19 +49,68 @@ def html_strip(col: Column | str) -> Column:
     SQL-expressible analogue of the reference's BS4 ``clean_html`` UDF
     (``STACK-Nettoyage-Posts.py:77-87``; the comments variant at
     ``STACK-Nettoyage-Comms.py:75-81`` is NOT null-safe — we are).
+    Arbitrary numeric entities and tag-soup need the Arrow UDF variant
+    (:func:`clean_html_bs4`); this path trades that fidelity for
+    whole-stage codegen and an exact SQL oracle.
     """
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(c, _TAG_RE, "")
-    for ent, ch in [
-        ("&lt;", "<"),
-        ("&gt;", ">"),
-        ("&quot;", '"'),
-        ("&#39;", "'"),
-        ("&nbsp;", " "),
-        ("&amp;", "&"),  # last, so &amp;lt; doesn't double-decode
-    ]:
+    for ent, ch in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return out
+
+
+def o_html_strip(expr: str) -> str:
+    """DuckDB twin of :func:`html_strip` over a SQL expression, generated
+    from the same HTML_ENTITIES table so the two can never drift."""
+    out = f"regexp_replace({expr}, '<[^>]+>', '', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        out = f"replace({out}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return out
+
+
+try:  # gated: BeautifulSoup is not in the base image (SURVEY §5 item 5)
+    from bs4 import BeautifulSoup  # type: ignore
+
+    _HAVE_BS4 = True
+except ImportError:
+    _HAVE_BS4 = False
+
+
+def _extract_text_py(s: str | None) -> str | None:
+    """Python-side HTML→text: BeautifulSoup ``get_text()`` when bs4 is
+    importable, else a stdlib ``html.parser`` extraction — a REAL parser
+    (handles numeric/hex/named entities, nesting, malformed tag-soup),
+    not a stub. Divergences from the SQL path are documented in
+    tests/test_text_html.py."""
+    if s is None:
+        return None
+    if _HAVE_BS4:
+        return BeautifulSoup(s, "html.parser").get_text()
+    from html.parser import HTMLParser
+
+    class _Extract(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+
+        def handle_data(self, data: str) -> None:
+            self.parts.append(data)
+
+    p = _Extract()
+    p.feed(s)
+    p.close()
+    return "".join(p.parts)
+
+
+@F.pandas_udf(StringType())
+def clean_html_bs4(s: pd.Series) -> pd.Series:
+    """Arrow-batched HTML strip with full-parser semantics — the faithful
+    twin of the reference's row-at-a-time BS4 UDF
+    (``STACK-Nettoyage-Posts.py:77-87``), vectorized: one Arrow batch per
+    call instead of one pickled row (the reference's BatchEvalPython
+    bottleneck, SURVEY.md §4)."""
+    return s.map(_extract_text_py)
 
 
 def strip_id_prefix(col: Column | str, prefix: str = "t3_") -> Column:

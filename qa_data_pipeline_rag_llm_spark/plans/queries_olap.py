@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qa_data_pipeline_rag_llm_spark.functions.text import html_strip, strip_id_prefix
+from qa_data_pipeline_rag_llm_spark.functions.text import (
+    clean_html_bs4,
+    html_strip,
+    o_html_strip,
+    strip_id_prefix,
+)
 from qa_data_pipeline_rag_llm_spark.operators.ranking import top_k_per_group
 from qa_data_pipeline_rag_llm_spark.plans.queries import (
     SCALE,
@@ -93,12 +98,10 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "string_funcs_documents",
-    """
+    f"""
     SELECT doc_id,
            regexp_replace('t3_' || CAST(doc_id AS VARCHAR), '^t3_', '') AS stripped_id,
-           replace(replace(replace(replace(replace(replace(
-             regexp_replace('<p>' || substr(text, 1, 30) || '</p> &amp; more', '<[^>]+>', '', 'g'),
-             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS cleaned,
+           {o_html_strip("'<p>' || substr(text, 1, 30) || '</p> &amp; more'")} AS cleaned,
            'Title : ' || upper(lang) || chr(10) || 'Body : ' || trim(substr(text, 1, 20)) AS templated
     FROM documents
     """,
@@ -126,6 +129,34 @@ def string_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.substring("text", 1, 20)),
         ).alias("templated"),
     )
+
+
+@register(
+    "clean_html_arrow_documents",
+    """
+    SELECT doc_id,
+           substr(regexp_replace(coalesce(text, ''), '[&<>]', '', 'g'), 1, 40)
+             || ' & ''tail''' AS cleaned
+    FROM documents
+    """,
+    doc="F1 full-parser path: the reference's BS4 clean_html UDF "
+    "(STACK-Nettoyage-Posts.py:77-87) as an Arrow-batched pandas_udf "
+    "(BeautifulSoup when importable, stdlib html.parser otherwise — a "
+    "real parser either way: nesting, hex/named/numeric entities). "
+    "Oracle-checkable because the fixture HTML is built from text "
+    "sanitized of &<> — the parser's output is then a pure string "
+    "expression both engines can state. Tag-soup divergences vs the "
+    "SQL path are pinned in tests/test_text_html.py.",
+)
+def clean_html_arrow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[&<>]", "")
+    fake_html = F.concat(
+        F.lit("<div><p>"),
+        F.substring(base, 1, 40),
+        F.lit("</p> &amp; &#x27;tail&#39;</div>"),
+    )
+    return d.select("doc_id", clean_html_bs4(fake_html).alias("cleaned"))
 
 
 @register(
