@@ -1,4 +1,4 @@
-"""Clustering-adjacent operators: similar-items self-join (J3/M3) + KMeans (M2).
+"""Clustering-adjacent operators: similar-items self-join (J3/M3) + M2 paths.
 
 The reference computes, per post, the other posts of its HDBSCAN cluster
 (cap 20; noise cluster −1 → empty) with a driver-side dict
@@ -6,14 +6,23 @@ The reference computes, per post, the other posts of its HDBSCAN cluster
 groupBy + rejoin on the cluster key — one shuffle, no driver state.
 
 Distributed HDBSCAN does not exist in Spark ML (SURVEY.md §4 'custom-rule
-assessment'); :func:`kmeans_assign` is the documented-divergence stand-in
-behind the same column contract (label, −1 never produced by KMeans).
+assessment'), so M2 ships two stand-ins behind the same column contract:
+
+  * :func:`kmeans_assign` — Spark ML KMeans (documented divergence: fixed
+    k, never emits −1, RNG-seeded → rows-only checkable);
+  * :func:`density_cluster` — deterministic DBSCAN-style density
+    clustering over SRP-LSH buckets that DOES reproduce the reference's
+    noise semantics (sparse region → label −1) and is fully
+    oracle-checkable: dense signature-buckets (≥ min_pts members) become
+    clusters labeled by their minimum member id; everything else is noise.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.similarity import srp_signatures
 
 
 def similar_items(
@@ -47,6 +56,44 @@ def similar_items(
             )
             .alias(out_col),
         )
+    )
+
+
+def density_cluster(
+    df: DataFrame,
+    planes: int = 8,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Deterministic density clustering with HDBSCAN-parity NOISE labels
+    (M2; reference: ``PLATFORM-contextual-Chunking.py:83-94``,
+    min_cluster_size=5, label −1 = noise).
+
+    Fixed-epsilon density via LSH geometry: an SRP signature over
+    ``planes`` hyperplanes partitions the sphere into 2^planes angular
+    cells; vectors sharing a cell are mutual neighbors within the cell's
+    angular epsilon. A cell with ≥ ``min_pts`` members is a dense region
+    → cluster, labeled by its minimum member id (deterministic, no RNG);
+    sparser cells are noise → label −1. Unlike KMeans this needs no k,
+    produces −1, and every step (projection folds, count, min) is
+    oracle-replayable SQL.
+
+    Scale: signatures are a zero-shuffle projection; the bucket
+    aggregation is one map-side-combinable groupBy on ≤ 2^planes keys;
+    the label join broadcasts the tiny bucket table. Returns (id, label).
+    """
+    sig = srp_signatures(df, planes, id_col, vec_col, dims=dims)
+    buckets = sig.groupBy("sig").agg(
+        F.count("*").alias("__n"), F.min(id_col).alias("__cid")
+    )
+    return sig.join(F.broadcast(buckets), "sig").select(
+        id_col,
+        F.when(F.col("__n") >= min_pts, F.col("__cid"))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("label"),
     )
 
 

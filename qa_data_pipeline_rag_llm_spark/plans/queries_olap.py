@@ -97,6 +97,61 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_shape_min_cost_supplier",
+    """
+    SELECT DISTINCT p.p_partkey, p.p_brand, p.p_type,
+           s.s_name, s.s_acctbal, n.n_name,
+           l.l_extendedprice AS price
+    FROM part p, lineitem l, supplier s, nation n, region r
+    WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE' AND p.p_size = 15
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2, supplier s2, nation n2, region r2
+        WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE')
+    """,
+    doc="TPC-H Q2 shape (testdata has no partsupp, so lineitem acts as "
+    "the supply relation — documented in COVERAGE.md): suppliers in a "
+    "region offering a size-15 part at that part's REGIONAL minimum "
+    "price. The oracle states the classic correlated scalar subquery; "
+    "the Spark plan DECORRELATES it into one windowed min over the "
+    "already-filtered join (single lineitem scan, dims broadcast) — the "
+    "rescan-per-row the naive translation would pay is the classic Q2 "
+    "blowup at scale.",
+)
+def q2_shape_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("__min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__min_price"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+        .distinct()
+    )
+
+
+@register(
     "string_funcs_documents",
     f"""
     SELECT doc_id,

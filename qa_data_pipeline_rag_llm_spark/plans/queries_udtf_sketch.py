@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 from qa_data_pipeline_rag_llm_spark.streaming.events import (
     stream_stream_click_purchase,
+    stream_stream_click_purchase_left,
     stream_user_type_profile,
 )
 
@@ -97,6 +98,44 @@ def sketch_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_click_purchase(spark, sf_dir)
+
+
+@register(
+    "streaming_click_purchase_left",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user_id, ts AS purchase_ts,
+             event_id AS purchase_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT least((SELECT MAX(click_ts) FROM c),
+                   (SELECT MAX(purchase_ts) FROM p))
+             - INTERVAL 2 HOUR AS w
+    ), j AS (
+      SELECT c.user_id, c.click_id, c.click_ts,
+             p.purchase_id, p.purchase_value
+      FROM c LEFT JOIN p
+        ON c.user_id = p.p_user_id
+       AND p.purchase_ts > c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+    SELECT user_id, click_id, purchase_id, purchase_value
+    FROM j, wm
+    WHERE purchase_id IS NOT NULL
+       OR click_ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    doc="Watermarked stream-stream LEFT OUTER join restricted to its "
+    "deterministic subset: matched rows emit on arrival; NULL rows only "
+    "once the watermark passes their 30-min window, so both sides filter "
+    "to windows strictly below the final-watermark horizon (the "
+    "unemitted NULL tail at end-of-input is documented in "
+    "streaming/events.py). Oracle = batch left interval join under the "
+    "same horizon predicate.",
+)
+def streaming_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stream_click_purchase_left(spark, sf_dir)
 
 
 @register(

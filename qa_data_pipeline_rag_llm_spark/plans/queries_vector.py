@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.operators.clustering import (
+    density_cluster,
     kmeans_assign,
     similar_items,
 )
@@ -80,12 +81,14 @@ def _weights_sql(p: int) -> str:
     return "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
 
 
-def _o_sig(tbl: str) -> str:
-    """Oracle twin of operators.similarity.srp_signatures."""
+def _o_sig(tbl: str, planes: int = PLANES) -> str:
+    """Oracle twin of operators.similarity.srp_signatures (hyperplane p's
+    weights do not depend on the total plane count, so any prefix of the
+    16-plane family replays exactly)."""
     bits = " + ".join(
         f"(CASE WHEN list_dot_product(CAST({tbl}.embedding AS DOUBLE[]), {_weights_sql(p)}) > 0 "
         f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
-        for p in range(PLANES)
+        for p in range(planes)
     )
     return f"({bits})"
 
@@ -166,6 +169,72 @@ def similar_items_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similar_items(
         _t(spark, sf_dir, "embeddings"), cluster_col="label", id_col="vec_id"
     )
+    return out.select(
+        "vec_id", "label", F.array_join("similar_ids", ",").alias("similar_ids")
+    )
+
+
+DENSITY_PLANES = 8
+DENSITY_MIN_PTS = 3
+
+_O_DENSITY_LAB = f"""
+    sig AS (SELECT vec_id, {{sig}} AS sig FROM embeddings),
+    grp AS (SELECT sig, COUNT(*) AS n, MIN(vec_id) AS cid FROM sig GROUP BY sig),
+    lab AS (
+      SELECT s.vec_id,
+             CAST(CASE WHEN g.n >= {DENSITY_MIN_PTS} THEN g.cid ELSE -1 END
+                  AS INTEGER) AS label
+      FROM sig s JOIN grp g ON s.sig = g.sig)
+""".format(sig=_o_sig("embeddings", DENSITY_PLANES))
+
+
+@register(
+    "density_clusters_embeddings",
+    f"""
+    WITH {_O_DENSITY_LAB}
+    SELECT vec_id, label FROM lab
+    """,
+    doc=f"M2 parity path: deterministic DBSCAN-style density clustering "
+    f"over SRP-LSH angular cells ({DENSITY_PLANES} planes, min_pts="
+    f"{DENSITY_MIN_PTS}) — dense cells become clusters labeled by their "
+    "minimum member id, sparse cells are NOISE label −1, reproducing the "
+    "reference HDBSCAN's noise semantics "
+    "(PLATFORM-contextual-Chunking.py:83-94) with zero RNG: fully "
+    "oracle-checked, unlike the rows-only KMeans stand-in.",
+)
+def density_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return density_cluster(
+        _t(spark, sf_dir, "embeddings"),
+        planes=DENSITY_PLANES,
+        min_pts=DENSITY_MIN_PTS,
+        dims=DIMS,
+    )
+
+
+@register(
+    "density_similar_items",
+    f"""
+    WITH {_O_DENSITY_LAB},
+    members AS (SELECT label, list_sort(list(vec_id)) AS m FROM lab GROUP BY label)
+    SELECT l.vec_id, l.label,
+           CASE WHEN l.label = -1 THEN ''
+                ELSE array_to_string(list_filter(m.m, x -> x != l.vec_id)[1:20], ',')
+           END AS similar_ids
+    FROM lab l JOIN members m ON l.label = m.label
+    """,
+    doc="J3/M3 over the density labels: per row, the other members of its "
+    "density cluster (cap 20) — and the reference's noise rule exercised "
+    "end-to-end: label −1 rows get an EMPTY similar-items list "
+    "(PLATFORM-contextual-Chunking.py:97-113).",
+)
+def density_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = density_cluster(
+        _t(spark, sf_dir, "embeddings"),
+        planes=DENSITY_PLANES,
+        min_pts=DENSITY_MIN_PTS,
+        dims=DIMS,
+    )
+    out = similar_items(labels, cluster_col="label", id_col="vec_id")
     return out.select(
         "vec_id", "label", F.array_join("similar_ids", ",").alias("similar_ids")
     )

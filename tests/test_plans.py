@@ -10,6 +10,7 @@ cartesian product or re-scans the fact table fails here long before a
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
 from tests.conftest import SF_DIR
@@ -50,6 +51,16 @@ def test_q11_scans_fact_once(spark):
 def test_q15_scans_fact_once(spark):
     plan = _plan(spark, "q15_top_supplier")
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_q2_shape_decorrelates_to_single_scan(spark):
+    """The correlated min-cost subquery must decorrelate to one windowed
+    min over one lineitem scan — never a rescan per outer row — with all
+    four dims broadcast."""
+    plan = _plan(spark, "q2_shape_min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
 
 
 def test_salted_join_stays_hash_equi(spark):
@@ -107,6 +118,54 @@ def test_zscore_broadcasts_stats_side(spark):
     a second shuffle of events to join 5 rows is the classic miss."""
     plan = _plan(spark, "zscore_outliers_events")
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_filter_prunes_selective_fact_join(spark, tables):
+    """Runtime Bloom-filter join pruning (VERDICT r01 #10): when the
+    selective side of a fact-fact join cannot broadcast (the 100 TB
+    regime — simulated by disabling broadcast and lowering the
+    application-side threshold, which defaults to 10 GB), Catalyst must
+    inject a might_contain(bloom) filter on the PROBE side's scan, so
+    non-joining fact rows die before the shuffle. Also asserts the
+    pruned plan returns the same result as the unpruned one."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+
+    def build():
+        o = tables["orders"].filter(F.col("o_totalprice") > 400000)
+        li = tables["lineitem"]
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+
+    baseline = {(r.l_returnflag, r.n) for r in build().collect()}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        df = build()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        # the bloom probe must sit on the lineitem scan side, i.e. the
+        # filter line references the fact join key
+        assert any(
+            "might_contain" in line and "l_orderkey" in line
+            for line in plan.splitlines()
+        )
+        assert {(r.l_returnflag, r.n) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
 
 
 def test_hash_sample_is_scan_side(spark):
