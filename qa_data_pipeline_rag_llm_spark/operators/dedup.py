@@ -135,6 +135,68 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    df: DataFrame,
+    new_pred: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: NEW-batch docs (rows where ``new_pred``) checked
+    against the HISTORICAL corpus (the rest) — the production shape where
+    each ingest batch dedups against everything already accepted without
+    re-pairing the whole corpus.
+
+    Same banding as :func:`minhash_lsh_pairs`, but candidates are only
+    new×historical band collisions (never new×new or hist×hist), so the
+    join cost scales with the BATCH, not the corpus: at 100 TB the
+    historical banded table is a bucketed/partitioned-by-band_key table
+    the small new-batch side shuffles into. Returns verified
+    (doc_a=new, doc_b=historical, jaccard) pairs.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"mh{b * rows + r}" for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    flags = df.select(F.col(id_col).alias("doc"), new_pred.alias("__new"))
+    banded = (
+        sig.select("doc", *band_cols)
+        .select(
+            "doc",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        )
+        .select("doc", "bk.band_id", "bk.band_key")
+        .join(flags, "doc")
+    )
+    cand = (
+        banded.filter(F.col("__new"))
+        .alias("a")
+        .join(
+            banded.filter(~F.col("__new")).alias("b"),
+            ["band_id", "band_key"],
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(
+        cand, _doc_shingles(df, text_col, id_col, shingle_n), jaccard_threshold
+    )
+
+
 def _verify_jaccard(
     pairs: DataFrame, shingles: DataFrame, threshold: float
 ) -> DataFrame:

@@ -112,6 +112,39 @@ def extract_blob_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(batches, schema=_FEATURES_SCHEMA)
 
 
+def blob_stats_arrow(blobs: DataFrame) -> DataFrame:
+    """Payload stats via ``mapInArrow`` — the zero-copy tier below
+    ``mapInPandas``: pyarrow RecordBatches flow straight through
+    ``pyarrow.compute`` kernels with no pandas materialization and no
+    per-row Python. This is the right boundary for byte-level work on
+    large binary media columns (size, validity, cheap integrity stats)
+    where even Series.map overhead is waste.
+
+    Output: (doc_id, n_bytes of the raw payload, n_chars of its utf-8
+    decoding) — both computed by vectorized Arrow kernels.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            payload = rb.column(rb.schema.get_field_index("payload"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pc.cast(pc.binary_length(payload), pa.int64()),
+                    pc.cast(
+                        pc.utf8_length(pc.cast(payload, pa.string())), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "n_chars"],
+            )
+
+    return blobs.select("doc_id", "payload").mapInArrow(
+        batches, schema="doc_id long, n_bytes long, n_chars long"
+    )
+
+
 def sample_frames(
     df: DataFrame,
     text_col: str = "text",

@@ -122,6 +122,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_blob_features(blobs)
 
 
+@register(
+    "multimodal_arrow_stats",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Payload stats via mapInArrow — the zero-copy Python boundary "
+    "below mapInPandas: pyarrow RecordBatches flow straight through "
+    "pyarrow.compute kernels (binary_length, utf8_length), no pandas "
+    "materialization, no per-row Python. The byte-level tier for large "
+    "binary media columns (operators/multimodal.py:blob_stats_arrow).",
+)
+def multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import (
+        blob_stats_arrow,
+    )
+
+    blobs = attach_blobs(_t(spark, sf_dir, "documents"))
+    return blob_stats_arrow(blobs)
+
+
 def _embed_dim_sql(d: int) -> str:
     md5_expr = "md5(" + str(d) + " || ':' || " + O.norm("text") + ")"
     return O.duckdb_hex_to_int(md5_expr, 8) + f" / 2147483648 - 1.0 AS e{d}"

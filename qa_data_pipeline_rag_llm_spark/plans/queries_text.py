@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from qa_data_pipeline_rag_llm_spark.functions.text import LANG_STOPWORDS, lang_id
 from qa_data_pipeline_rag_llm_spark.operators.dedup import (
     dedup_exact,
+    minhash_incremental_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -328,6 +329,67 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_dedup_new_batch",
+    f"""
+    SELECT doc_a AS doc_id,
+           COUNT(*) AS n_hist_dups,
+           MAX(jaccard) AS max_jaccard
+    FROM (
+      WITH {_sh_cte(SHINGLE_N)}, {_sig_cte(NUM_PERM)},
+      bands AS (SELECT doc, {_BAND_KEYS} FROM sig),
+      banded AS ({_BANDED_UNION}),
+      flags AS (SELECT doc_id AS doc,
+                       (CAST(substr(source, 4) AS INTEGER) % 2 = 1) AS isnew
+                FROM documents),
+      cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM banded a
+        JOIN flags fa ON fa.doc = a.doc AND fa.isnew
+        JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        JOIN flags fb ON fb.doc = b.doc AND NOT fb.isnew),
+      {_jaccard_tail(JACCARD_T)}
+    ) GROUP BY doc_a
+    """,
+    doc="Incremental dedup — each NEW-batch doc (odd-numbered sources "
+    "stand in for the arriving batch) LSH-checked against the HISTORICAL "
+    "corpus only (never new×new or hist×hist): the production ingest "
+    "shape where candidate cost scales with the batch, not the corpus. "
+    "Per colliding new doc: historical-match count and best Jaccard.",
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_incremental_pairs(
+        _t(spark, sf_dir, "documents"),
+        new_pred=F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"),
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=JACCARD_T,
+    )
+    return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("n_hist_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+@register(
+    "near_dup_prune_documents",
+    None,  # oracle injected below (builds on the clusters' recursive CTE)
+    doc="The end-to-end near-dup PRUNE decision: connected-component "
+    "duplicate clusters → keep exactly the minimum doc_id per cluster. "
+    "This is the step that actually shrinks a training corpus; "
+    "dedup_clusters_minhash supplies the transitive grouping.",
+)
+def near_dup_prune_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = REGISTRY["dedup_clusters_minhash"].spark(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("kept"),
+    )
+
+
 REGISTRY["dedup_clusters_minhash"].oracle = f"""
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM ({REGISTRY["minhash_near_dups"].oracle})),
@@ -344,4 +406,10 @@ REGISTRY["dedup_clusters_minhash"].oracle = f"""
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM full_lbl
+"""
+
+REGISTRY["near_dup_prune_documents"].oracle = f"""
+    SELECT doc_id, cluster_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS kept
+    FROM ({REGISTRY["dedup_clusters_minhash"].oracle})
 """
