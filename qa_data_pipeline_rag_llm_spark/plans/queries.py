@@ -85,6 +85,10 @@ def register(
     name: str, oracle: str | None, bench: bool = False, doc: str = ""
 ) -> Callable:
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a silent overwrite means one of two same-named queries never
+            # runs — and the driver's correctness sweep can't notice
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(name, fn, oracle, bench, doc)
         return fn
 

@@ -30,6 +30,53 @@ DECON_N = 3          # decontamination word-n-gram size
 EVAL_MOD = 97        # eval split: doc_id % EVAL_MOD == 0
 TFIDF_TERMS = ("join", "window", "scan")
 TFIDF_K = 20
+MASK_PCT = 15        # MLM masking rate (percent of token positions)
+
+
+@register(
+    "mask_tokens_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({O.toks("coalesce(text, '')")}) AS w,
+             unnest(generate_series(0, len({O.toks("coalesce(text, '')")}) - 1)) AS i
+      FROM documents
+    ), m AS (
+      SELECT doc_id, i,
+             CASE WHEN {O.stable_int32("doc_id || ':' || i")} % 100 < {MASK_PCT}
+                  THEN '[MASK]' ELSE w END AS w
+      FROM tok)
+    SELECT doc_id,
+           string_agg(w, ' ' ORDER BY i) AS masked,
+           CAST(COUNT(*) FILTER (WHERE w = '[MASK]') AS INTEGER) AS n_masked
+    FROM m GROUP BY doc_id
+    """,
+    doc=f"MLM training-data prep: deterministic {MASK_PCT}% token masking — "
+    "each position masks iff md5(doc_id:position) lands under the rate, so "
+    "the 'random' mask is reproducible across runs, engines, and restarts "
+    "(no RNG stream to seed-synchronize at 100 TB). Spark side is one "
+    "shuffle-free higher-order transform over the token array; normalized "
+    "tokens are bracket-free, so '[MASK]' cannot collide with data.",
+)
+def mask_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
+    from qa_data_pipeline_rag_llm_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.coalesce(F.col("text"), F.lit("")))
+
+    def mask(tok: F.Column, i: F.Column) -> F.Column:
+        h = stable_int32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))
+        )
+        return F.when(h % 100 < MASK_PCT, F.lit("[MASK]")).otherwise(tok)
+
+    masked_arr = F.transform(t, mask)
+    return d.select(
+        "doc_id",
+        F.array_join(masked_arr, " ").alias("masked"),
+        F.size(F.filter(masked_arr, lambda x: x == "[MASK]")).alias("n_masked"),
+    )
 
 
 def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:

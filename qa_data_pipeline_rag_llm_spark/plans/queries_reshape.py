@@ -50,48 +50,6 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pivot_multi_agg_events",
-    """
-    SELECT user_id,
-           COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                 FILTER (WHERE event_type = 'click') AS DOUBLE), 4) AS click_total,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                 FILTER (WHERE event_type = 'purchase') AS DOUBLE), 4) AS purchase_total,
-           COUNT(*) FILTER (WHERE event_type = 'view') AS view_n,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                 FILTER (WHERE event_type = 'view') AS DOUBLE), 4) AS view_total
-    FROM events GROUP BY user_id
-    """,
-    doc="Multi-aggregate pivot: count AND exact decimal value-sum per "
-    "pivoted event type in ONE groupBy (Spark names the columns "
-    "<value>_<agg-alias>; the oracle states the same thing as FILTERed "
-    "aggregates). One shuffle for all six output measures — the "
-    "single-agg pivot_user_events shape widened the way real "
-    "feature-extraction pivots are.",
-)
-def pivot_multi_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    types = ["click", "purchase", "view"]
-    out = (
-        ev.groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(
-            F.count("*").alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
-            ).alias("total"),
-        )
-    )
-    cols = ["user_id"]
-    for t in types:
-        cols.append(F.coalesce(f"{t}_n", F.lit(0)).alias(f"{t}_n"))
-        cols.append(F.col(f"{t}_total"))
-    return out.select(*cols)
-
-
-@register(
     "grouping_sets_lineitem",
     """
     SELECT l_returnflag, l_linestatus,

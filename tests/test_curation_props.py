@@ -132,6 +132,63 @@ def test_bm25_ranks_are_dense_and_scored(spark):
         assert prev.score >= cur.score
 
 
+def test_density_clusters_respect_min_pts_and_noise(spark):
+    """Every non-noise cluster has ≥ min_pts members and is labeled by its
+    minimum member id; noise rows (−1) get empty similar-item lists."""
+    from qa_data_pipeline_rag_llm_spark.plans.queries_vector import DENSITY_MIN_PTS
+
+    rows = _run(spark, "density_clusters_embeddings").collect()
+    by_label: dict[int, list[int]] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.vec_id)
+    for label, members in by_label.items():
+        if label == -1:
+            continue
+        assert len(members) >= DENSITY_MIN_PTS
+        assert label == min(members)
+    sim = _run(spark, "density_similar_items").collect()
+    for r in sim:
+        if r.label == -1:
+            assert r.similar_ids == ""
+        else:
+            assert str(r.vec_id) not in r.similar_ids.split(",")
+
+
+def test_incremental_dedup_is_new_side_only(spark, tables):
+    """Every flagged doc is from the NEW batch (odd source number), and its
+    pairs are a subset of the full near-dup relation restricted to
+    new×historical."""
+    inc = {r.doc_id: r for r in _run(spark, "incremental_dedup_new_batch").collect()}
+    parity = {
+        r.doc_id: int(r.source[3:]) % 2
+        for r in tables["documents"].select("doc_id", "source").collect()
+    }
+    assert all(parity[d] == 1 for d in inc)
+    full = _run(spark, "minhash_near_dups").collect()
+    cross_pairs = [
+        r
+        for r in full
+        if parity[r.doc_a] != parity[r.doc_b]
+    ]
+    flagged_from_full = {
+        (r.doc_a if parity[r.doc_a] == 1 else r.doc_b) for r in cross_pairs
+    }
+    # full near-dups require doc_a < doc_b; incremental has no order
+    # constraint, so it can only find MORE new-side docs, never fewer
+    assert flagged_from_full <= set(inc)
+
+
+def test_near_dup_prune_keeps_exactly_one_per_cluster(spark):
+    rows = _run(spark, "near_dup_prune_documents").collect()
+    kept_per_cluster: dict[int, int] = {}
+    for r in rows:
+        kept_per_cluster.setdefault(r.cluster_id, 0)
+        if r.kept:
+            kept_per_cluster[r.cluster_id] += 1
+            assert r.doc_id == r.cluster_id  # canonical = min = label
+    assert all(n == 1 for n in kept_per_cluster.values())
+
+
 def test_retention_cohort_offsets_start_at_zero(spark):
     """Every cohort has a week-0 row (the week its users first appeared)."""
     rows = _run(spark, "retention_cohorts_events").collect()
