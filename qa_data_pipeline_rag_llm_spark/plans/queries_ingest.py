@@ -161,3 +161,32 @@ def flatten_comment_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(full, 1, (F.col("doc_id") % 6).cast("int")).alias("comments"),
     )
     return flatten_comments(posts, max_per_post=3)
+
+
+@register(
+    "pysource_api_scan",
+    """
+    SELECT 't3_' || CAST(doc_id AS VARCHAR) AS id_post,
+           substr(coalesce(text, ''), 1, 40) AS title,
+           CAST(n_chars AS BIGINT) AS score,
+           CAST(doc_id // 100 AS INTEGER) AS page
+    FROM documents
+    """,
+    doc="S1/S3 as a Spark 4 PYTHON DATA SOURCE (sources/pyapi.py): the "
+    "reference's paged-API driver loops (REDDIT-Ingestion.py:43-59, "
+    "STACK-Ingestion.py:40-64) become spark.read.format('qa_api') — one "
+    "input partition per API page, so fetch parallelism scales with "
+    "executors; rows arrive schema'd and normalized (t3_ ids, capped "
+    "titles). Transport is a deterministic local page server (pyarrow), "
+    "so the whole connector is oracle-checked end to end.",
+)
+def pysource_api_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.sources.pyapi import register_qa_api
+
+    register_qa_api(spark)
+    return (
+        spark.read.format("qa_api")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("page_size", "100")
+        .load()
+    )

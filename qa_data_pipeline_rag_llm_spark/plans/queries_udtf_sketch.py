@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 from qa_data_pipeline_rag_llm_spark.streaming.events import (
     stream_stream_click_purchase,
+    stream_stream_click_purchase_full,
     stream_stream_click_purchase_left,
     stream_user_type_profile,
 )
@@ -136,6 +137,42 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def streaming_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_click_purchase_left(spark, sf_dir)
+
+
+@register(
+    "streaming_click_purchase_full",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT least((SELECT MAX(click_ts) FROM c),
+                   (SELECT MAX(purchase_ts) FROM p))
+             - INTERVAL 2 HOUR AS w
+    ), j AS (
+      SELECT COALESCE(c.user_id, p.p_user_id) AS user_id,
+             c.click_id, c.click_ts, p.purchase_id, p.purchase_ts
+      FROM c FULL OUTER JOIN p
+        ON c.user_id = p.p_user_id
+       AND p.purchase_ts > c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+    SELECT user_id, click_id, purchase_id
+    FROM j, wm
+    WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+       OR (purchase_id IS NULL AND click_ts + INTERVAL 30 MINUTE < wm.w)
+       OR (click_id IS NULL AND purchase_ts < wm.w)
+    """,
+    doc="Watermarked stream-stream FULL OUTER join, deterministic subset "
+    "(completes the inner/left/full matrix): both sides' NULL rows are "
+    "kept only below the final-watermark horizon — a purchase's window "
+    "is the 30 min before it, so its bound is its own timestamp. Oracle "
+    "= batch full interval join under the same horizon predicates.",
+)
+def streaming_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stream_click_purchase_full(spark, sf_dir)
 
 
 @register(

@@ -513,6 +513,80 @@ def stream_stream_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def stream_stream_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join, deterministic subset — completes the
+    inner/left/full matrix. Same NULL-tail rule as the left join
+    (:func:`stream_stream_click_purchase_left`), now applied on BOTH
+    sides: unmatched clicks and unmatched purchases emit their NULL row
+    only once the watermark passes their window, so each side filters to
+    windows strictly below the final-watermark horizon. A purchase's join
+    window is the 30 minutes BEFORE it, so its horizon bound is its own
+    timestamp."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user_id = p_user_id AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("c_user_id", "p_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+    out = run_to_completion(joined, "append")
+
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 2 HOURS")
+        ).alias("__wm")
+    )
+    matched = F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+    click_final = F.col("click_ts") + F.expr("INTERVAL 30 MINUTES") < F.col("__wm")
+    purchase_final = F.col("purchase_ts") < F.col("__wm")
+    return (
+        out.crossJoin(F.broadcast(horizon))
+        .filter(
+            matched
+            | (F.col("purchase_id").isNull() & click_final)
+            | (F.col("click_id").isNull() & purchase_final)
+        )
+        .select("user_id", "click_id", "purchase_id")
+    )
+
+
 def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with watermarks: each purchase pairs with
     the same user's clicks from the preceding 30 minutes. Inner-join rows
