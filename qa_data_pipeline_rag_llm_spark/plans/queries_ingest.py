@@ -190,3 +190,25 @@ def pysource_api_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("page_size", "100")
         .load()
     )
+
+
+@register(
+    "pysource_api_stream",
+    """
+    SELECT 't3_' || CAST(doc_id AS VARCHAR) AS id_post,
+           substr(coalesce(text, ''), 1, 40) AS title,
+           CAST(n_chars AS BIGINT) AS score,
+           CAST(doc_id // 100 AS INTEGER) AS page
+    FROM documents
+    """,
+    doc="The reference's polling-with-sleep ingest loop "
+    "(REDDIT-Ingestion.py:57-59) as a Spark 4 Python STREAMING data "
+    "source: page-number offsets, one page per micro-batch, exactly-once "
+    "replay via readBetweenOffsets (sources/pyapi.py). Stream output "
+    "equals the batch connector's output, so the streaming connector is "
+    "held to the same full value-hash oracle as the batch one.",
+)
+def pysource_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.sources.pyapi import run_api_stream
+
+    return run_api_stream(spark, f"{sf_dir}/documents.parquet", page_size=100)

@@ -25,7 +25,12 @@ from __future__ import annotations
 import sys
 
 from pyspark import cloudpickle
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -62,18 +67,55 @@ class QAApiReader(DataSourceReader):
     def read(self, partition: InputPartition):
         start = partition.value * self.page_size
         for row in _fetch_page(self.path, start, self.page_size):
-            text = row["text"] or ""
-            # python slicing and SQL substr both count codepoints
-            yield (
-                f"t3_{row['doc_id']}",
-                text[:TITLE_CAP],
-                int(row["n_chars"]),
-                int(row["doc_id"]) // self.page_size,
-            )
+            yield _normalize_row(row, self.page_size)
+
+
+def _normalize_row(row: dict, page_size: int) -> tuple:
+    text = row["text"] or ""
+    # python slicing and SQL substr both count codepoints
+    return (
+        f"t3_{row['doc_id']}",
+        text[:TITLE_CAP],
+        int(row["n_chars"]),
+        int(row["doc_id"]) // page_size,
+    )
+
+
+class QAApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the reference's
+    polling-with-sleep ingest loop (``REDDIT-Ingestion.py:57-59``) as a
+    real Structured Streaming source — offset = next page number, one
+    page per micro-batch, exactly-once via offset tracking
+    (``readBetweenOffsets`` replays any page range on recovery). A live
+    deployment's ``read`` would poll the API for pages past the cursor;
+    here the page server is the same deterministic table the batch
+    source reads, so stream output == batch output, oracle-checked."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        page = start["page"]
+        rows = _fetch_page(self.path, page * self.page_size, self.page_size)
+        out = [_normalize_row(r, self.page_size) for r in rows]
+        # advance only when the "API" returned data — an exhausted cursor
+        # holds its offset (the polling steady-state)
+        return iter(out), {"page": page + (1 if rows else 0)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for page in range(start["page"], end["page"]):
+            for r in _fetch_page(self.path, page * self.page_size, self.page_size):
+                yield _normalize_row(r, self.page_size)
 
 
 class QAApiDataSource(DataSource):
-    """``spark.read.format("qa_api").option("path", ...).load()``."""
+    """``spark.read.format("qa_api")`` (batch) and
+    ``spark.readStream.format("qa_api")`` (streaming) over the same
+    page server."""
 
     @classmethod
     def name(cls) -> str:
@@ -85,6 +127,9 @@ class QAApiDataSource(DataSource):
     def reader(self, schema) -> QAApiReader:
         return QAApiReader(self.options)
 
+    def simpleStreamReader(self, schema) -> QAApiStreamReader:
+        return QAApiStreamReader(self.options)
+
 
 def register_qa_api(spark) -> None:
     """Idempotent registration of the qa_api format on a session."""
@@ -92,3 +137,43 @@ def register_qa_api(spark) -> None:
         spark.dataSource.register(QAApiDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+def run_api_stream(spark, path: str, page_size: int = DEFAULT_PAGE_SIZE):
+    """Run the streaming source over every available page and return the
+    appended result as a batch DataFrame.
+
+    ``Trigger.AvailableNow`` drains only the prefetched first page of a
+    Python simple stream reader (probed on this Spark build), so the
+    query runs on a tight processing-time trigger and stops once the
+    memory sink holds every backing row — the deterministic end state
+    the page-number offsets guarantee (each page appended exactly once).
+    """
+    import time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    register_qa_api(spark)
+    expected = pq.read_metadata(path).num_rows
+    name = f"qa_api_{uuid.uuid4().hex}"
+    df = (
+        spark.readStream.format("qa_api")
+        .option("path", path)
+        .option("page_size", str(page_size))
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline and spark.table(name).count() < expected:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name).localCheckpoint(eager=True)
