@@ -21,6 +21,7 @@ from typing import Any, Callable, Iterable, Iterator, Protocol
 
 from pyspark import cloudpickle
 from pyspark.sql import DataFrame
+from pyspark.sql.datasource import WriterCommitMessage
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -32,6 +33,101 @@ class VectorClient(Protocol):
     def upsert(self, batch: list[dict[str, Any]]) -> None: ...
 
     def close(self) -> None: ...
+
+
+class _VectorCommit(WriterCommitMessage):
+    """Per-task commit message: which staged file holds how many points."""
+
+    def __init__(self, filename: str, n: int) -> None:
+        self.filename = filename
+        self.n = n
+
+
+def make_vector_sink_datasource():
+    """Spark 4 Python Data Source WRITER for the vector collection (K3):
+    ``df.write.format("qa_vector").option("path", dir).mode(...).save()``.
+
+    Where :func:`upsert_vectors` streams to a live store, this writer is
+    the TABLE-shaped version with a real two-phase commit — the property
+    the reference's driver-side rebuild-then-upsert loop lacks entirely
+    (a crash there leaves the collection half-rebuilt,
+    ``PLATFORM-contextual-Chunking.py:132-176``):
+
+      * each task stages its partition to ``_staged-<uuid>.jsonl`` and
+        returns a commit message (file, row count);
+      * ``commit`` writes ``_MANIFEST.json`` listing exactly the staged
+        files — readers resolve the collection THROUGH the manifest, so
+        a job that dies mid-write publishes nothing;
+      * ``abort`` deletes the orphaned staging files.
+
+    Built lazily inside a function because declaring a DataSource
+    subclass imports Spark session machinery.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceWriter
+
+    class QAVectorWriter(DataSourceWriter):
+        def __init__(self, options: dict, overwrite: bool) -> None:
+            self.path = options["path"]
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            fname = f"_staged-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, fname), "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(recursive=True)) + "\n")
+                    n += 1
+            return _VectorCommit(fname, n)
+
+        def commit(self, messages) -> None:
+            import json
+            import os
+
+            manifest_path = os.path.join(self.path, "_MANIFEST.json")
+            files = []
+            if not self.overwrite and os.path.exists(manifest_path):
+                files = json.load(open(manifest_path))["files"]
+            files += [
+                {"file": m.filename, "n": m.n} for m in messages if m is not None
+            ]
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"files": files, "n_total": sum(x["n"] for x in files)}, f)
+            os.replace(tmp, manifest_path)  # atomic publish
+
+        def abort(self, messages) -> None:
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.filename))
+                    except OSError:
+                        pass
+
+    class QAVectorDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "qa_vector"
+
+        def writer(self, schema, overwrite: bool) -> QAVectorWriter:
+            return QAVectorWriter(self.options, overwrite)
+
+    return QAVectorDataSource
+
+
+def read_vector_manifest(path: str) -> dict:
+    """Resolve a qa_vector collection through its manifest (the ONLY
+    correct entry point — staged files not listed there are uncommitted)."""
+    import json
+    import os
+
+    return json.load(open(os.path.join(path, "_MANIFEST.json")))
 
 
 def upsert_vectors(

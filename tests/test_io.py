@@ -193,3 +193,52 @@ def test_compact_small_files(spark, tables, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == n
     assert back.select("doc_id").subtract(docs.select("doc_id")).count() == 0
+
+
+def test_vector_sink_writer_two_phase_commit(spark, tables, tmp_path):
+    """K3 as a Python DataSourceWriter: staged files publish only through
+    the manifest (two-phase commit), append accumulates, and a failing
+    write publishes NOTHING."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    from qa_data_pipeline_rag_llm_spark.sinks import (
+        make_vector_sink_datasource,
+        read_vector_manifest,
+    )
+
+    spark.dataSource.register(make_vector_sink_datasource())
+    dest = str(tmp_path / "collection")
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(50)
+    emb.write.format("qa_vector").option("path", dest).mode("overwrite").save()
+
+    manifest = read_vector_manifest(dest)
+    assert manifest["n_total"] == 50
+    staged = {os.path.basename(p) for p in glob.glob(f"{dest}/_staged-*.jsonl")}
+    assert {f["file"] for f in manifest["files"]} == staged
+    rows = [
+        json.loads(line)
+        for f in manifest["files"]
+        for line in open(os.path.join(dest, f["file"]))
+    ]
+    assert len(rows) == 50 and all(len(r["embedding"]) == 64 for r in rows)
+
+    # append mode extends the manifest
+    emb.write.format("qa_vector").option("path", dest).mode("append").save()
+    assert read_vector_manifest(dest)["n_total"] == 100
+
+    # a poisoned job must abort without publishing anything new
+    from pyspark.sql import functions as F
+
+    bad = emb.select(
+        F.udf(lambda _: (_ for _ in ()).throw(RuntimeError("boom")))(
+            "vec_id"
+        ).alias("vec_id"),
+        "embedding",
+    )
+    with pytest.raises(Exception):
+        bad.write.format("qa_vector").option("path", dest).mode("append").save()
+    assert read_vector_manifest(dest)["n_total"] == 100
