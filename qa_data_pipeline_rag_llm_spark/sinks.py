@@ -110,6 +110,63 @@ def make_vector_sink_datasource():
                     except OSError:
                         pass
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class QAVectorStreamWriter(DataSourceStreamWriter):
+        """Streaming variant: per-micro-batch manifest commits keyed by
+        batchId, IDEMPOTENT on replay — Structured Streaming re-runs a
+        batch after driver failure, and a sink that appends blindly
+        double-counts it. A batchId already present in the manifest is
+        dropped (its prior staged files win), which together with the
+        source's replayable offsets gives end-to-end exactly-once."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def write(self, iterator):
+            return QAVectorWriter(
+                {"path": self.path}, overwrite=False
+            ).write(iterator)
+
+        def commit(self, messages, batchId: int) -> None:
+            import json
+            import os
+
+            manifest_path = os.path.join(self.path, "_MANIFEST.json")
+            state = {"files": [], "batches": []}
+            if os.path.exists(manifest_path):
+                state = json.load(open(manifest_path))
+                state.setdefault("batches", [])
+            if batchId in state["batches"]:  # replayed batch: keep original
+                for m in messages:
+                    if m is not None:
+                        try:
+                            os.remove(os.path.join(self.path, m.filename))
+                        except OSError:
+                            pass
+                return
+            state["files"] += [
+                {"file": m.filename, "n": m.n, "batch": batchId}
+                for m in messages
+                if m is not None
+            ]
+            state["batches"].append(batchId)
+            state["n_total"] = sum(x["n"] for x in state["files"])
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, manifest_path)
+
+        def abort(self, messages, batchId: int) -> None:
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.filename))
+                    except OSError:
+                        pass
+
     class QAVectorDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -117,6 +174,9 @@ def make_vector_sink_datasource():
 
         def writer(self, schema, overwrite: bool) -> QAVectorWriter:
             return QAVectorWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool) -> QAVectorStreamWriter:
+            return QAVectorStreamWriter(self.options)
 
     return QAVectorDataSource
 

@@ -242,3 +242,63 @@ def test_vector_sink_writer_two_phase_commit(spark, tables, tmp_path):
     with pytest.raises(Exception):
         bad.write.format("qa_vector").option("path", dest).mode("append").save()
     assert read_vector_manifest(dest)["n_total"] == 100
+
+
+def test_vector_sink_stream_writer_exactly_once(spark, tmp_path):
+    """Streaming writes land through per-batch manifest commits; a
+    replayed batchId is dropped so totals never double-count."""
+    import json
+    import os
+
+    from qa_data_pipeline_rag_llm_spark.sinks import (
+        make_vector_sink_datasource,
+        read_vector_manifest,
+    )
+    from qa_data_pipeline_rag_llm_spark.sources.pyapi import register_qa_api
+
+    spark.dataSource.register(make_vector_sink_datasource())
+    register_qa_api(spark)
+    dest = str(tmp_path / "stream_collection")
+
+    # qa_api streaming source → qa_vector streaming sink, page by page
+    df = (
+        spark.readStream.format("qa_api")
+        .option("path", f"{os.environ.get('SPARK_GRAFT_TEST_SF_DIR', '/root/testdata/sf0.001')}/documents.parquet")
+        .option("page_size", "50")
+        .load()
+    )
+    import time
+
+    import pyarrow.parquet as pq
+
+    src_path = f"{os.environ.get('SPARK_GRAFT_TEST_SF_DIR', '/root/testdata/sf0.001')}/documents.parquet"
+    expected = pq.read_metadata(src_path).num_rows
+    q = (
+        df.writeStream.format("qa_vector")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            try:
+                if read_vector_manifest(dest)["n_total"] >= expected:
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    manifest = read_vector_manifest(dest)
+    assert manifest["n_total"] == expected
+    assert len(manifest["batches"]) == len(set(manifest["batches"]))
+    ids = [
+        json.loads(line)["id_post"]
+        for f in manifest["files"]
+        for line in open(os.path.join(dest, f["file"]))
+    ]
+    assert len(ids) == len(set(ids)) == expected
