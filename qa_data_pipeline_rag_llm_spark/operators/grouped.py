@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark import cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -113,6 +114,25 @@ def _reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             "first_purchase_us": [fp],
             "converted": [converted],
         }
+    )
+
+
+@F.pandas_udf(LongType())
+def micro_sum_udaf(v: pd.Series) -> int:
+    """Grouped-agg pandas UDAF (the aggregate UDF flavor next to scalar/
+    iterator pandas_udfs and applyInPandas): exact micro-scaled integer
+    sum of a double column. Scaling rounds half-away-from-zero to match
+    both engines' round(); the sum itself is exact int64 arithmetic, so
+    the aggregate is order-independent across partitions — the property
+    any custom distributed aggregate must have."""
+    scaled = v.to_numpy() * 1_000_000.0
+    return int(np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).sum())
+
+
+def user_value_micro_totals(events: DataFrame) -> DataFrame:
+    """Per-user exact micro-unit value totals via the grouped-agg UDAF."""
+    return events.groupBy("user_id").agg(
+        micro_sum_udaf("value").alias("value_micro")
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from qa_data_pipeline_rag_llm_spark.operators.grouped import (
     fit_value_trend_per_user,
     reconcile_clicks_purchases,
+    user_value_micro_totals,
 )
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 
@@ -82,3 +83,21 @@ def cogroup_reconcile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return reconcile_clicks_purchases(clicks, purchases)
+
+
+@register(
+    "pandas_udaf_user_totals",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM events GROUP BY user_id
+    """,
+    doc="Grouped-agg pandas UDAF (completing the UDF-flavor matrix next "
+    "to scalar/iterator pandas_udfs, applyInPandas, cogroup, mapInPandas, "
+    "mapInArrow, and the UDTF): exact micro-scaled integer sum per user — "
+    "int64 arithmetic makes the custom aggregate order-independent across "
+    "partitions, which is the admission test for ANY distributed UDAF.",
+)
+def pandas_udaf_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_value_micro_totals(_t(spark, sf_dir, "events"))
