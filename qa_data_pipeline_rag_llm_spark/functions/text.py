@@ -137,6 +137,29 @@ def token_count(col: Column | str) -> Column:
     return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " ")))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs both Java
+# regex and RE2 execute identically (no lookahead — RE2 has none; probed
+# for parity on apostrophe contractions, unicode, and whitespace runs).
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-style
+    pre-tokenizer split pattern over the RAW text — the budget-estimation
+    complement to whitespace :func:`token_count` (subword tokenizers see
+    punctuation, contractions, and digit runs as separate tokens, which
+    whitespace counting underestimates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(BPE_SPLIT_PATTERN))
+
+
+def o_bpe_token_count(expr: str) -> str:
+    """DuckDB twin of :func:`bpe_token_count` (RE2 leftmost-first
+    alternation matches Java's here — same generated pattern)."""
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all(coalesce({expr}, ''), '{pat}')) AS INTEGER)"
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles → array<string> (for MinHash/Jaccard dedup).
 

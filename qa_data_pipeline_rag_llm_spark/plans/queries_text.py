@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qa_data_pipeline_rag_llm_spark.functions.text import LANG_STOPWORDS, lang_id
+from qa_data_pipeline_rag_llm_spark.functions.text import (
+    LANG_STOPWORDS,
+    bpe_token_count,
+    lang_id,
+    o_bpe_token_count,
+)
 from qa_data_pipeline_rag_llm_spark.operators.dedup import (
     dedup_exact,
     minhash_incremental_pairs,
@@ -95,6 +100,119 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("lang", lang_id("text").alias("lang_pred")).groupBy(
         "lang", "lang_pred"
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "bpe_token_budget_documents",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             {O.token_count("text")} AS n_ws_tokens,
+             {o_bpe_token_count("text")} AS n_bpe_tokens
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(MAX(n_bpe_tokens) AS INTEGER) AS max_doc_bpe
+    FROM per_doc GROUP BY source
+    """,
+    doc="Per-source token BUDGET (SURVEY extension list: whitespace + "
+    "BPE-ish regex counting): the GPT-2-style pre-tokenizer pattern "
+    "counts subword-visible tokens (contractions, punctuation, digit "
+    "runs) that whitespace counting underestimates — the numbers a "
+    "training-mix planner actually budgets with. Pure codegen'd "
+    "projection + one map-side-combinable aggregate.",
+)
+def bpe_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws_tokens").alias("ws_tokens"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        F.max("n_bpe_tokens").alias("max_doc_bpe"),
+    )
+
+
+WINNOW_K = 8   # char k-gram length
+WINNOW_W = 4   # winnowing window (consecutive k-gram hashes)
+
+
+@register(
+    "winnow_fingerprints_documents",
+    f"""
+    WITH base AS (SELECT doc_id, {O.norm("text")} AS n FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(n) >= {WINNOW_K}
+                  THEN list_transform(range(1, len(n) - {WINNOW_K} + 2),
+                                      i -> {O.stable_int32(f"substr(n, i, {WINNOW_K})")})
+                  ELSE [] END AS hs
+      FROM base),
+    w AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) >= {WINNOW_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(hs) - {WINNOW_W} + 2),
+                         j -> list_min(hs[j:j+{WINNOW_W - 1}])))
+                  WHEN len(hs) >= 1 THEN [list_min(hs)]
+                  ELSE [] END AS fps
+      FROM g)
+    SELECT doc_id,
+           CAST(len(hs) AS INTEGER) AS n_grams,
+           CAST(len(fps) AS INTEGER) AS n_fingerprints,
+           list_min(fps) AS min_fp
+    FROM w
+    """,
+    doc=f"Document fingerprinting by WINNOWING (Schleimer et al. 2003, the "
+    "MOSS rolling-hash scheme; SURVEY extension list): hash every "
+    f"{WINNOW_K}-char gram of the normalized text, keep the minimum of "
+    f"each {WINNOW_W}-window of consecutive hashes, dedup — a position-"
+    "robust fingerprint set guaranteeing any shared run ≥ k+w−1 chars "
+    "yields a shared fingerprint. Pure higher-order projection, zero "
+    "shuffles, zero Python.",
+)
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
+    from qa_data_pipeline_rag_llm_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    n = normalize_text("text")
+    base = d.select("doc_id", n.alias("n"))
+    hs = F.when(
+        F.length("n") >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.length("n") - WINNOW_K + 1),
+            lambda i: stable_int32(F.substring(F.col("n"), i, WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = base.select("doc_id", hs.alias("hs"))
+    fps = (
+        F.when(
+            F.size("hs") >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - WINNOW_W + 1),
+                    lambda j: F.array_min(F.slice("hs", j, WINNOW_W)),
+                )
+            ),
+        )
+        .when(F.size("hs") >= 1, F.array(F.array_min("hs")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return g.select(
+        "doc_id",
+        F.size("hs").alias("n_grams"),
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+    )
 
 
 @register(

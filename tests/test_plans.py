@@ -168,6 +168,14 @@ def test_bloom_filter_prunes_selective_fact_join(spark, tables):
             conf.set(k, v)
 
 
+def test_winnowing_is_shuffle_free(spark):
+    """Rolling-hash fingerprinting is a pure higher-order projection —
+    no Exchange, no Python boundary."""
+    plan = _plan(spark, "winnow_fingerprints_documents")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_hash_sample_is_scan_side(spark):
     """md5-bucket sampling is a pure predicate: no Exchange anywhere."""
     plan = _plan(spark, "hash_sample_documents")
