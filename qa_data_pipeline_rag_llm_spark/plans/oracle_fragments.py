@@ -53,13 +53,10 @@ def stable_int32(expr: str) -> str:
 
 
 def stopword_hits(c: str, lang: str) -> str:
-    """functions.text.stopword_hits (split-count, non-overlapping)"""
-    padded = f"(' ' || {norm(c)} || ' ')"
-    parts = [
-        f"(len(string_split({padded}, ' {w} ')) - 1)"
-        for w in LANG_STOPWORDS[lang]
-    ]
-    return "(" + " + ".join(parts) + ")"
+    """functions.text.stopword_hits (token membership filter — counts
+    every token equal to a stopword, adjacent repeats included)"""
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"CAST(len(list_filter({toks(c)}, x -> x IN ({words}))) AS INTEGER)"
 
 
 def lang_id(score_col: dict[str, str], default: str = "und") -> str:
