@@ -77,6 +77,38 @@ def test_bench_queries_never_cartesian(spark, name):
     assert "CartesianProduct" not in plan
 
 
+# Excluded from the registry-wide cartesian gate:
+#   cross_join_nation_region — an intentional cartesian (25×5 dims);
+#   streaming_* / pysource_api_stream — building them RUNS the stream to
+#     completion (their returned plan is a materialized checkpoint scan);
+#   pagerank / kmeans_fixedpoint / dedup_clusters / near_dup_prune —
+#     iterative: construction executes eager checkpoints.
+_CARTESIAN_GATE_EXCLUDE = {"cross_join_nation_region"}
+_CARTESIAN_GATE_SKIP_PREFIXES = ("streaming_", "pysource_api_stream")
+_CARTESIAN_GATE_SKIP = {
+    "pagerank_cust_supp",
+    "kmeans_fixedpoint_embeddings",
+    "dedup_clusters_minhash",
+    "near_dup_prune_documents",
+}
+
+
+def test_no_registry_query_plans_cartesian(spark, tables):
+    """Registry-wide scale gate: NO query may physically plan a
+    CartesianProduct — the unbounded-pair blowup that a 100× scale-up
+    turns into a non-terminating job. (Bounded 1-row/tiny-dim
+    BroadcastNestedLoopJoins are allowed; full cartesians are not.)"""
+    offenders = []
+    for name in REGISTRY:
+        if name in _CARTESIAN_GATE_EXCLUDE or name in _CARTESIAN_GATE_SKIP:
+            continue
+        if name.startswith(_CARTESIAN_GATE_SKIP_PREFIXES):
+            continue
+        if "CartesianProduct" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, f"cartesian plans: {offenders}"
+
+
 def test_join_hints_are_honored(spark, tables):
     """Strategy hints survive to the physical plan: SHUFFLE_HASH avoids
     the sort of SMJ where one side is modest; MERGE forces SMJ."""
