@@ -1,0 +1,128 @@
+"""Public facade: what a user of the reference calls after switching.
+
+The reference exposes three entry points (SURVEY.md §3): the 7-script
+batch ETL, the embed/cluster index build, and the per-chat-message RAG
+serving flow (``/root/reference/app2.py:133-247`` — reload CSVs, embed
+the question, Qdrant top-1, pandas point lookups + isin filters, prompt
+Ollama). This module is that surface as a handful of composable
+functions over DataFrames — each a thin parameterized veneer over the
+operator library, so everything here inherits the oracle-checked
+semantics of the underlying registry queries.
+
+Determinism note: :func:`ask` runs with whatever embed/LLM backends are
+configured (``functions/embed.py`` / ``functions/llm.py`` seams); the
+defaults are the deterministic fakes, so tests can assert exact output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Re-exported pipeline stages (entry point 1: clean → rank → join → merge)
+from qa_data_pipeline_rag_llm_spark.operators.clustering import (  # noqa: F401
+    density_cluster,
+    kmeans_assign,
+    similar_items,
+)
+from qa_data_pipeline_rag_llm_spark.operators.joins import (  # noqa: F401
+    enrich_with_child_ids,
+)
+from qa_data_pipeline_rag_llm_spark.operators.merge import (  # noqa: F401
+    dedup_first,
+    union_corpus,
+)
+from qa_data_pipeline_rag_llm_spark.operators.normalize import (  # noqa: F401
+    normalize_reddit_comments,
+    normalize_reddit_posts,
+    normalize_stack_answers,
+    normalize_stack_questions,
+)
+from qa_data_pipeline_rag_llm_spark.operators.ranking import (  # noqa: F401
+    top_k_per_group,
+)
+from qa_data_pipeline_rag_llm_spark.operators.similarity import cosine_topk
+
+
+def embed_corpus(
+    df: DataFrame, text_col: str = "text", out_col: str = "embedding"
+) -> DataFrame:
+    """Entry point 2, step 1: add an embedding column via the configured
+    backend (Arrow-batched; deterministic fake unless injected)."""
+    from qa_data_pipeline_rag_llm_spark.functions.embed import embed_text
+
+    return df.withColumn(out_col, embed_text(F.col(text_col)))
+
+
+def retrieve(
+    vectors: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Parameterized similarity retrieval (S7/M4): exact cosine top-k of an
+    ARBITRARY query vector against the corpus, thresholded — app2.py:32-45
+    without the fixed probe the registry demo uses. The query vector rides
+    as a literal array (broadcast by construction, no driver math)."""
+    spark = vectors.sparkSession
+    # probe_id = -1: cosine_topk excludes id collisions (self-match when
+    # probing with a corpus row); an external query vector must exclude
+    # nothing, and corpus ids are non-negative
+    probe = spark.createDataFrame(
+        [(-1, [float(x) for x in query_vector])],
+        "probe_id int, probe_vec array<double>",
+    )
+    out = cosine_topk(vectors, probe, k=k, id_col=id_col, vec_col=vec_col)
+    return out.filter(F.col("sim") >= threshold).drop("probe_id")
+
+
+def ask(
+    spark: SparkSession,
+    question: str,
+    documents: DataFrame,
+    k: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Entry point 3 as ONE plan (app2.py:133-247 per-message flow):
+    embed the corpus AND the question with the same configured backend
+    (one vector space — mixing a pre-built index from a different model
+    with a fresh question embedding is the classic serving bug) →
+    cosine top-k ≥ threshold → join context docs → rank-ordered
+    grounded prompt → batched generation. Returns (n_docs,
+    prompt_chars, answer). For a pre-computed index from the SAME
+    backend, use :func:`retrieve` + your own prompt assembly."""
+    from qa_data_pipeline_rag_llm_spark.functions.embed import embed_text
+    from qa_data_pipeline_rag_llm_spark.functions.llm import generate_text
+
+    vectors = documents.select(
+        F.col("doc_id").alias("vec_id"), embed_text(F.col("text")).alias("embedding")
+    )
+    q = spark.createDataFrame([(question,)], "q string").select(
+        F.lit(-1).alias("probe_id"), embed_text(F.col("q")).alias("probe_vec")
+    )
+    top = (
+        cosine_topk(vectors, q, k=k)
+        .filter(F.col("sim") >= threshold)
+        .select("vec_id", "rank")
+    )
+    assembled = (
+        top.join(documents.select("doc_id", "text"), top.vec_id == F.col("doc_id"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat(
+                F.lit("Answer from context.\nContext:\n"),
+                F.concat_ws(
+                    "\n\n",
+                    F.array_sort(F.collect_list(F.struct("rank", "text"))).text,
+                ),
+            ).alias("prompt"),
+        )
+    )
+    return assembled.select(
+        "n_docs",
+        F.length("prompt").cast("long").alias("prompt_chars"),
+        generate_text(F.col("prompt")).alias("answer"),
+    )
