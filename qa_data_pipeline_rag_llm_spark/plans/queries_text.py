@@ -141,6 +141,68 @@ def bpe_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_PREFIX = 8     # block key: first chars of the normalized title
+FUZZY_MAX_LEV = 2    # verified edit-distance threshold
+FUZZY_MAX_BLOCK = 50  # skip degenerate blocks (the max_df analogue)
+
+
+@register(
+    "fuzzy_title_pairs_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, substr({O.norm("text")}, 1, 40) AS title
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, title, substr(title, 1, {FUZZY_PREFIX}) AS blk
+      FROM t WHERE len(title) >= {FUZZY_PREFIX}),
+    ok_blocks AS (
+      SELECT blk FROM keyed GROUP BY blk
+      HAVING COUNT(*) BETWEEN 2 AND {FUZZY_MAX_BLOCK}),
+    b AS (SELECT k.* FROM keyed k JOIN ok_blocks USING (blk))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS lev
+    FROM b a JOIN b b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_LEV}
+    """,
+    doc=f"Fuzzy key matching: near-identical normalized titles found by "
+    f"{FUZZY_PREFIX}-char-prefix blocking + verified Levenshtein ≤ "
+    f"{FUZZY_MAX_LEV} — the curation join for typo-level duplicates that "
+    "hash equality misses and shingle Jaccard over-fragments. Blocking "
+    f"bounds candidates (blocks over {FUZZY_MAX_BLOCK} members skipped, "
+    "the max_df analogue); the documented recall trade-off is that edits "
+    "inside the first prefix chars are missed — the standard blocked-"
+    "fuzzy-join contract.",
+)
+def fuzzy_title_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.substring(normalize_text("text"), 1, 40).alias("title")
+    )
+    keyed = t.filter(F.length("title") >= FUZZY_PREFIX).withColumn(
+        "blk", F.substring("title", 1, FUZZY_PREFIX)
+    )
+    ok = (
+        keyed.groupBy("blk")
+        .agg(F.count("*").alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= FUZZY_MAX_BLOCK))
+        .select("blk")
+    )
+    b = keyed.join(F.broadcast(ok), "blk")
+    return (
+        b.alias("a")
+        .join(b.alias("b"), "blk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).alias("lev"),
+        )
+        .filter(F.col("lev") <= FUZZY_MAX_LEV)
+    )
+
+
 WINNOW_K = 8   # char k-gram length
 WINNOW_W = 4   # winnowing window (consecutive k-gram hashes)
 
