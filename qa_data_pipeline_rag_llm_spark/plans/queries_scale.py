@@ -28,6 +28,7 @@ from qa_data_pipeline_rag_llm_spark.operators.skew import (
     salt_fact,
     salted_aggregate,
 )
+from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 
 
@@ -163,4 +164,92 @@ def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text2")).alias("total_chars"),
         F.count_distinct("text2").alias("n_distinct"),
+    )
+
+
+ZBITS = 16  # bits interleaved per dimension → 32-bit z-key
+
+
+def _o_zkey(a: str, b: str) -> str:
+    """Oracle twin of the bit-interleave below (identical integer ops)."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "zorder_key_orders",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             o_custkey % 65536 AS a,
+             (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 65536 AS b
+      FROM orders)
+    SELECT o_orderkey, CAST({_o_zkey("a", "b")} AS BIGINT) AS zkey
+    FROM base
+    """,
+    doc="Z-order (Morton) layout key over (customer, order-day): bit-"
+    "interleaving the two dimensions so a sortWithinPartitions on zkey "
+    "clusters rows for row-group min/max skipping on BOTH columns at "
+    "once — the multi-dimensional data-skipping layout single-column "
+    "sort can't give (the OPTIMIZE ZORDER primitive, as a plain "
+    "deterministic expression). Pure integer bit ops, identical in both "
+    "engines, zero shuffles.",
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 65536).cast("long")
+    b = (
+        F.expr("unix_timestamp(o_orderdate) div 86400") % 65536
+    ).cast("long")
+    zkey = None
+    for i in range(ZBITS):
+        ta = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        tb = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        term = ta.bitwiseOR(tb)
+        zkey = term if zkey is None else zkey.bitwiseOR(term)
+    return o.select("o_orderkey", zkey.cast("long").alias("zkey"))
+
+
+@register(
+    "table_checksum_orders",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST({O.stable_int32(
+               "o_orderkey || '|' || o_custkey || '|' || "
+               "CAST(round(o_totalprice * 10000) AS BIGINT) || '|' || "
+               "o_orderpriority || '|' || CAST(o_orderdate AS VARCHAR)"
+           )} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM orders
+    """,
+    doc="Order-independent table checksum: md5-int of each row's "
+    "canonical string (money micro-scaled so doubles never print), "
+    "summed in DECIMAL(38,0) — commutative, so any partitioning/"
+    "replica computes the same digest. The replication/migration "
+    "verification audit (compare source and destination without "
+    "moving either). One map-side-combinable aggregate.",
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
+
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 10000).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+        F.col("o_orderdate").cast("string"),
+    )
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        # stringified: DuckDB DECIMAL lands in pandas as float64, which
+        # would diverge in repr; exact digits compare as text (memory:
+        # HUGEINT/decimal → float64 trap)
+        F.sum(stable_int32(canon).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("checksum"),
     )
