@@ -212,3 +212,42 @@ def pysource_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.sources.pyapi import run_api_stream
 
     return run_api_stream(spark, f"{sf_dir}/documents.parquet", page_size=100)
+
+
+@register(
+    "ingest_corrupt_payloads",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 23 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_valid
+    FROM documents
+    """,
+    doc="S1 fault path: truncated (malformed) JSON payloads under "
+    "explicit-schema from_json yield NULL parses instead of failing the "
+    "job — the PERMISSIVE ingest contract a real API scraper needs "
+    "(partial pages, interrupted responses). The audit counts corrupt "
+    "vs valid in one pass; the oracle recomputes the deterministic "
+    "fault-injection rule from base columns.",
+)
+def ingest_corrupt_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.sources.ingest import RAW_POST_SCHEMA
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.concat(F.lit("t3_"), F.col("doc_id").cast("string")).alias("id"),
+            F.col("source").alias("subreddit"),
+            F.col("n_chars").alias("score"),
+        )
+    )
+    corrupted = F.when(
+        F.col("doc_id") % 23 == 0, F.substring(payload, 1, 10)
+    ).otherwise(payload)
+    parsed = d.select(F.from_json(corrupted, RAW_POST_SCHEMA).alias("p"))
+    return parsed.agg(
+        F.count("*").alias("n_payloads"),
+        F.sum(F.when(F.col("p.id").isNull(), 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(F.col("p.id").isNull(), 0).otherwise(1)).alias("n_valid"),
+    )
