@@ -13,6 +13,13 @@ per-query ``queries_min``, the total-of-mins ``value_min``, and a
 ``contaminated`` flag (true when median exceeds min by >1.5× on ≥3
 queries — the signature of a busy sandbox inflating some samples). A
 reader should trust ``value_min`` over ``value`` when ``contaminated``.
+
+``calibration_sec`` guards against the failure mode the flag cannot see:
+UNIFORM host throttling (every sample slow, median≈min, flag stays
+false). It is the minimum of 3 runs of a fixed data-independent probe
+(sum over range(10^8)) on the same session; ~0.5 s on an unloaded
+local[32] box. To compare two bench artifacts fairly, normalize their
+totals by their calibration values.
 """
 
 from __future__ import annotations
@@ -47,6 +54,14 @@ def main() -> None:
     for df in load_all(spark, sf_dir, register_views=False).values():
         df.count()
 
+    # Machine-speed anchor (see module docstring).
+    cal_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id)").collect()
+        cal_samples.append(time.perf_counter() - t0)
+    calibration = round(min(cal_samples), 3)
+
     bench_names = [n for n, s in REGISTRY.items() if s.bench]
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
@@ -76,6 +91,7 @@ def main() -> None:
                 "runs": RUNS,
                 "warm": True,
                 "contaminated": inflated >= 3,
+                "calibration_sec": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
