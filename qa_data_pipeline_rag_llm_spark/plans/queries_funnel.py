@@ -197,3 +197,42 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_wk", "week_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "event_path_counts",
+    """
+    WITH paths AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(path, 'view,click,purchase'))
+                AS INTEGER) AS n_vcp_runs
+    FROM paths
+    """,
+    doc="Behavioral path-pattern matching: each user's event sequence "
+    "(deterministic ts,event_id order) collapsed to a path string, then "
+    "the contiguous view→click→purchase motif counted by regex — the "
+    "sequence-analytics complement to the ordered funnel (which asks "
+    "'ever, in order'; this asks 'as an immediate run, how often'). One "
+    "shuffle on user_id; the path regex is whole-stage codegen'd.",
+)
+def event_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).event_type,
+        ).alias("path"),
+    )
+    return paths.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("path", F.lit("view,click,purchase"))
+        .cast("int")
+        .alias("n_vcp_runs"),
+    )

@@ -267,3 +267,67 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(c).alias("column_name"), "*")
 
     return reduce(DataFrame.unionByName, (one(c) for c in _PROFILE_COLS))
+
+
+TRI_MIN_COOCCUR = 2  # edge = parts co-purchased in >= this many orders
+
+
+@register(
+    "triangle_count_copurchase",
+    f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_COOCCUR}),
+    e AS (SELECT p_a AS a, p_b AS b FROM pairs)
+    SELECT CAST((SELECT COUNT(*) FROM e e1
+                 JOIN e e2 ON e2.a = e1.b
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+             AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM (SELECT DISTINCT x FROM
+                 (SELECT a AS x FROM e UNION ALL SELECT b FROM e)))
+                AS BIGINT) AS n_nodes
+    """,
+    doc=f"Triangle counting on the co-purchase graph (edges = part pairs "
+    f"co-occurring in ≥ {TRI_MIN_COOCCUR} orders): the classic clustering-"
+    "coefficient primitive. Edges are oriented low→high id, so each "
+    "triangle is counted exactly once by the two-hop join e1(a,b) ⋈ "
+    "e2(b,c) ⋈ e3(a,c) — the standard orientation trick that keeps the "
+    "wedge join bounded by out-degree instead of total degree (at 100 TB, "
+    "orient by degree rather than id for the skew-optimal bound).",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= TRI_MIN_COOCCUR)
+        .select("a", "b")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edge_count = edges.agg(F.count("*").alias("n_edges"))
+    node_count = (
+        edges.select(F.col("a").alias("x"))
+        .unionAll(edges.select(F.col("b").alias("x")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    return tri.crossJoin(F.broadcast(edge_count)).crossJoin(
+        F.broadcast(node_count)
+    )
