@@ -196,3 +196,60 @@ def test_retention_cohort_offsets_start_at_zero(spark):
     zero_offset = {r.cohort_wk for r in rows if r.week_offset == 0}
     assert cohorts == zero_offset
     assert all(r.week_offset >= 0 for r in rows)
+
+
+def test_span_dup_fraction_bounds_and_coverage(spark, tables):
+    """Every doc gets a row; dup_spans ≤ n_spans; the flag replays the
+    threshold on the emitted (rounded) fraction."""
+    from qa_data_pipeline_rag_llm_spark.plans.queries_curation import SPAN_DUP_T
+
+    rows = _run(spark, "span_dup_fraction_documents").collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows:
+        assert 0 < r.n_spans
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert 0.0 <= r.dup_frac <= 1.0
+        assert r.flagged == (r.dup_frac > SPAN_DUP_T)
+
+
+def test_gopher_keep_is_conjunction_of_rules(spark, tables):
+    rows = _run(spark, "gopher_quality_documents").collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows:
+        assert r.keep == (
+            r.pass_len
+            and r.pass_word_len
+            and r.pass_symbol
+            and r.pass_alpha
+            and r.pass_stop
+        )
+        assert 0.0 <= r.symbol_frac <= 1.0
+        assert 0.0 <= r.alpha_word_frac <= 1.0
+
+
+def test_knn_purity_shape_and_bounds(spark):
+    from qa_data_pipeline_rag_llm_spark.plans.queries_curation import (
+        KNN_K,
+        KNN_PROBES,
+    )
+
+    rows = _run(spark, "knn_label_purity_embeddings").collect()
+    assert len(rows) == KNN_PROBES
+    for r in rows:
+        assert r.k_eff == KNN_K
+        assert 0 <= r.n_same <= r.k_eff
+        assert abs(r.purity - r.n_same / r.k_eff) < 1e-6
+
+
+def test_mixture_weights_rebalance_to_uniform(spark, tables):
+    """Shares sum to 1; applying the weight moves every source to the
+    uniform target budget (within emitted rounding)."""
+    rows = _run(spark, "mixture_weights_by_source").collect()
+    n_src = tables["documents"].select("source").distinct().count()
+    assert len(rows) == n_src
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.sample_weight > 0
+        assert abs(r.sample_weight * r.bpe_tokens - r.target_tokens) <= max(
+            1.0, 1e-4 * r.target_tokens
+        )
