@@ -548,3 +548,4 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_funnel  # noqa: E402,F4
 from qa_data_pipeline_rag_llm_spark.plans import queries_retrieval  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_diff_mining  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_curation  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_audit  # noqa: E402,F401

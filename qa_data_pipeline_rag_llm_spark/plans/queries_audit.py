@@ -1,0 +1,196 @@
+"""Registry entries: cross-table data-quality auditing + incremental
+aggregate maintenance.
+
+The operational pair every production warehouse runs nightly (extension
+surface; the reference has no integrity checking at all — its ingest
+silently trusts API payloads, ``/root/reference/REDDIT-Ingestion.py``):
+
+  * ``integrity_audit_tables`` — a dbt-test-style suite of PK-uniqueness,
+    FK-orphan, child-coverage, temporal-consistency, completeness and
+    domain checks, emitted as one row per check so a scheduler can alert
+    on ``pass = false``.
+  * ``incremental_agg_merge_events`` — incremental view maintenance for a
+    decomposable aggregate: partial-aggregate the historical and delta
+    partitions separately, then MERGE the partials. The oracle recomputes
+    from scratch over the full table, proving merge ≡ recompute — the
+    algebraic property that lets a 100 TB rollup update by touching only
+    the new partition.
+
+Scale notes: every audit check is one linear scan or one key-shuffled
+anti/equi join (no pair blowups); the audit unions 7 one-row aggregates.
+The IVM merge re-aggregates one row per (user, side) — the merge input is
+bounded by group cardinality, not event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+# Day-of-month boundary between the "historical" and "delta" partitions of
+# events (spans 2024-01-01..2024-01-30; <=20 puts ~2/3 in history).
+IVM_CUTOFF_DAY = 20
+
+
+def _check(df: DataFrame, check_name: str, table_name: str, violations: F.Column) -> DataFrame:
+    return df.agg(violations.cast("long").alias("n_violations")).select(
+        F.lit(check_name).alias("check_name"),
+        F.lit(table_name).alias("table_name"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+@register(
+    "integrity_audit_tables",
+    """
+    WITH checks AS (
+      SELECT 'pk_unique' AS check_name, 'orders' AS table_name,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'pk_unique', 'customer',
+             CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'fk_orphan_custkey', 'orders',
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'fk_orphan_orderkey', 'lineitem',
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'childless_order', 'orders',
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT 'ship_before_order', 'lineitem',
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate < o.o_orderdate
+      UNION ALL
+      SELECT 'null_text', 'documents',
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents)
+    SELECT check_name, table_name, n_violations,
+           n_violations = 0 AS pass
+    FROM checks
+    """,
+    doc="dbt-test-style integrity suite over the warehouse: PK "
+    "uniqueness, FK orphans (both directions of the orders⋈customer / "
+    "lineitem⋈orders spine), childless parents, temporal consistency "
+    "(shipped before ordered), and completeness — one row per check "
+    "with a pass flag. Each check is one linear scan or one key-"
+    "shuffled semi/anti join; the union glues 7 one-row aggregates.",
+)
+def integrity_audit_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    documents = _t(spark, sf_dir, "documents")
+
+    pk_orders = _check(
+        orders,
+        "pk_unique",
+        "orders",
+        F.count("*") - F.countDistinct("o_orderkey"),
+    )
+    pk_customer = _check(
+        customer,
+        "pk_unique",
+        "customer",
+        F.count("*") - F.countDistinct("c_custkey"),
+    )
+    fk_cust = _check(
+        orders.join(
+            customer,
+            orders["o_custkey"] == customer["c_custkey"],
+            "left_anti",
+        ),
+        "fk_orphan_custkey",
+        "orders",
+        F.count("*"),
+    )
+    fk_order = _check(
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        ),
+        "fk_orphan_orderkey",
+        "lineitem",
+        F.count("*"),
+    )
+    childless = _check(
+        orders.join(
+            lineitem.select("l_orderkey"),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+            "left_anti",
+        ),
+        "childless_order",
+        "orders",
+        F.count("*"),
+    )
+    ship_before = _check(
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        "ship_before_order",
+        "lineitem",
+        F.count("*"),
+    )
+    null_text = _check(
+        documents,
+        "null_text",
+        "documents",
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)),
+    )
+    out = pk_orders
+    for c in (pk_customer, fk_cust, fk_order, childless, ship_before, null_text):
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "incremental_agg_merge_events",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Incremental view maintenance for a decomposable per-user rollup: "
+    "history (day ≤ 20) and delta (day > 20) are partial-aggregated "
+    "SEPARATELY, then merged by summing partials — the oracle "
+    "recomputes from the full table, proving merge ≡ recompute. "
+    "Decimal partials keep the merge bit-exact regardless of how rows "
+    "were split, which is the property that lets a planet-scale rollup "
+    "absorb a new partition without re-reading history.",
+)
+def incremental_agg_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+
+    hist = partial(ev.filter(F.dayofmonth("ts") <= IVM_CUTOFF_DAY))
+    delta = partial(ev.filter(F.dayofmonth("ts") > IVM_CUTOFF_DAY))
+    return (
+        hist.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv").cast("double"), 4).alias("total_value"),
+        )
+    )
