@@ -260,6 +260,61 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(cand, sh, threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DIRECTED containment near-dups: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|.
+
+    Jaccard misses asymmetric duplication — a short doc quoted verbatim
+    inside a much longer one scores low Jaccard (union is large) but
+    containment ≈ 1. This is the measure that catches quote-farms and
+    wrapper pages in a training corpus. Same shared-rare-shingle blocking
+    as :func:`ngram_jaccard_pairs` (df ≤ max_df), so candidates stay
+    near-linear; both directions of each surviving pair are emitted
+    because containment is not symmetric.
+    """
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") > 1) & (F.col("df") <= max_df))
+        .select("shingle")
+    )
+    blocked = sh.join(rare, "shingle")
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "shingle")
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc"))
+        .join(
+            sh.alias("sb"),
+            (cand.doc_b == F.col("sb.doc"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("na"), inter.doc_a == F.col("na.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("na.n"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -196,3 +196,53 @@ def sample_frames(
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         gen, out_schema
     )
+
+
+def patch_grid(
+    blobs: DataFrame,
+    patch_w: int = 160,
+    patch_h: int = 120,
+    max_nx: int = 4,
+    max_ny: int = 3,
+) -> DataFrame:
+    """Image → bounded grid of patch GEOMETRY rows (1→N, zero shuffle).
+
+    The ViT-style pre-processing step: tile each image into up to
+    ``max_nx × max_ny`` patches of ``patch_w × patch_h``, edge patches
+    truncated to the image bounds. Emits geometry + a stable patch id —
+    the work-list a decode stage (stub policy above) would map over.
+    Pure codegen'd generators (two sequence explodes), no Python, no
+    shuffle; at 100 TB this is a map-only stage whose output partitioning
+    inherits the scan's.
+    """
+    w = F.col("meta.width").cast("int")
+    h = F.col("meta.height").cast("int")
+    nx = F.least(F.lit(max_nx), F.ceil(w / patch_w)).cast("int")
+    ny = F.least(F.lit(max_ny), F.ceil(h / patch_h)).cast("int")
+    g = (
+        blobs.select(
+            "doc_id",
+            w.alias("width"),
+            h.alias("height"),
+            nx.alias("nx"),
+            ny.alias("ny"),
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("nx") - 1)).alias("px")
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("ny") - 1)).alias("py")
+        )
+    )
+    x_off = (F.col("px") * patch_w).cast("int")
+    y_off = (F.col("py") * patch_h).cast("int")
+    return g.select(
+        "doc_id",
+        F.col("px").cast("int").alias("px"),
+        F.col("py").cast("int").alias("py"),
+        x_off.alias("x_off"),
+        y_off.alias("y_off"),
+        F.least(F.lit(patch_w), F.col("width") - x_off).cast("int").alias("pw"),
+        F.least(F.lit(patch_h), F.col("height") - y_off).cast("int").alias("ph"),
+        F.md5(F.concat_ws(":", "doc_id", "px", "py")).alias("patch_id"),
+    )

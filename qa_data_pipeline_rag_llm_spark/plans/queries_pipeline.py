@@ -334,3 +334,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.operators.multimodal import sample_frames
 
     return sample_frames(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_patch_grid",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(320 + ({_H}) % 1280 AS INTEGER) AS width,
+             CAST(240 + (({_H}) // 1280) % 720 AS INTEGER) AS height
+      FROM documents),
+    g AS (
+      SELECT doc_id, width, height,
+             least(4, CAST(ceil(width / 160.0) AS INTEGER)) AS nx,
+             least(3, CAST(ceil(height / 120.0) AS INTEGER)) AS ny
+      FROM dims),
+    p AS (
+      SELECT doc_id, width, height,
+             CAST(x.px AS INTEGER) AS px, CAST(y.py AS INTEGER) AS py
+      FROM g, LATERAL unnest(range(nx)) AS x(px),
+              LATERAL unnest(range(ny)) AS y(py))
+    SELECT doc_id, px, py,
+           CAST(px * 160 AS INTEGER) AS x_off,
+           CAST(py * 120 AS INTEGER) AS y_off,
+           CAST(least(160, width - px * 160) AS INTEGER) AS pw,
+           CAST(least(120, height - py * 120) AS INTEGER) AS ph,
+           md5(concat_ws(':', doc_id, px, py)) AS patch_id
+    FROM p
+    """,
+    doc="ViT-style patch tiling: image meta → bounded nx×ny grid of "
+    "patch-geometry rows with truncated edge patches and stable patch "
+    "ids (operators/multimodal.patch_grid). Two codegen'd sequence "
+    "explodes — map-only, zero shuffle, no Python.",
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import patch_grid
+
+    return patch_grid(attach_blobs(_t(spark, sf_dir, "documents")))

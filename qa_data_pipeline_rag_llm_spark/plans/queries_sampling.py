@@ -234,3 +234,39 @@ def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+QUOTA_PER_SOURCE = 15
+
+
+@register(
+    "quota_sample_documents",
+    f"""
+    SELECT source, doc_id, CAST(smp_rank AS INTEGER) AS smp_rank FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS smp_rank
+      FROM documents)
+    WHERE smp_rank <= {QUOTA_PER_SOURCE}
+    """,
+    doc="EXACT-quota stratified sample: precisely N docs per source, "
+    "chosen by md5-hash order (uniform, reproducible, engine-"
+    "independent — the deterministic twin of sample_documents_"
+    "stratified's RNG sampleBy, which can only promise expected "
+    "fractions). One window shuffle on the stratum key; the hash order "
+    "makes the pick unbiased without any RNG state.",
+)
+def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("int").alias("smp_rank"),
+        )
+        .filter(F.col("smp_rank") <= QUOTA_PER_SOURCE)
+    )

@@ -25,6 +25,7 @@ from qa_data_pipeline_rag_llm_spark.operators.dedup import (
     dedup_exact,
     minhash_incremental_pairs,
     minhash_lsh_pairs,
+    containment_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -42,6 +43,7 @@ JACCARD_T = 0.2
 SIMHASH_N = 2
 MAX_HAMMING = 6
 NGRAM_MAX_DF = 20
+CONTAINMENT_T = 0.5
 
 
 def _quality_sql(select_ids: str) -> str:
@@ -593,3 +595,41 @@ REGISTRY["near_dup_prune_documents"].oracle = f"""
            doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS kept
     FROM ({REGISTRY["dedup_clusters_minhash"].oracle})
 """
+
+
+@register(
+    "containment_pairs_documents",
+    f"""
+    WITH {_sh_cte(SHINGLE_N)},
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {NGRAM_MAX_DF}),
+    blocked AS (SELECT doc, shingle FROM sh JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM blocked a JOIN blocked b USING (shingle)
+      WHERE a.doc != b.doc),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON c.doc_a = sa.doc
+      JOIN sh sb ON c.doc_b = sb.doc AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter / na.n, 6) AS containment
+    FROM inter i JOIN sizes na ON i.doc_a = na.doc
+    WHERE round(i.n_inter / na.n, 6) >= {CONTAINMENT_T}
+    """,
+    doc="DIRECTED containment near-dups: |sh(a)∩sh(b)| / |sh(a)| — the "
+    "asymmetric measure Jaccard misses (a short doc quoted inside a "
+    "long one). Same rare-shingle blocking as ngram_jaccard_near_dups; "
+    "both directions emitted (operators/dedup.containment_pairs).",
+)
+def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        max_df=NGRAM_MAX_DF,
+        threshold=CONTAINMENT_T,
+    )

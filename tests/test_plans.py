@@ -233,3 +233,23 @@ def test_length_band_broadcasts_cuts(spark):
     plan = _plan(spark, "length_band_documents")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_registry_query_plans_row_udf(spark, tables):
+    """Registry-wide gate: no query may plan a row-at-a-time Python UDF
+    (BatchEvalPython). Python is only allowed at Arrow boundaries —
+    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas / mapInArrow —
+    where batch transfer amortizes serialization ~10-100×. (UDTF nodes
+    print as BatchEvalPythonUDTF; the word-boundary regex skips them —
+    Spark 4 UDTFs are a distinct, arrow-optimizable surface.)"""
+    import re
+
+    offenders = []
+    for name in REGISTRY:
+        if name in _CARTESIAN_GATE_EXCLUDE or name in _CARTESIAN_GATE_SKIP:
+            continue
+        if name.startswith(_CARTESIAN_GATE_SKIP_PREFIXES):
+            continue
+        if re.search(r"\bBatchEvalPython\b", _plan(spark, name)):
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDF plans: {offenders}"
