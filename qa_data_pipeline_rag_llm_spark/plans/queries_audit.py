@@ -194,3 +194,115 @@ def incremental_agg_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("pv").cast("double"), 4).alias("total_value"),
         )
     )
+
+
+SKEW_TOP_N = 20
+
+
+@register(
+    "skew_profile_events",
+    f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT user_id, n,
+             round(n * 1.0 / SUM(n) OVER (), 6) AS share,
+             ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS heavy_rank
+      FROM counts)
+    SELECT user_id, n, share, CAST(heavy_rank AS INTEGER) AS heavy_rank
+    FROM ranked WHERE heavy_rank <= {SKEW_TOP_N}
+    """,
+    doc="Shuffle-skew diagnostic: the top-N heaviest join/agg keys with "
+    "their row share — the measurement that decides whether a key needs "
+    "salting (operators/skew.py) or AQE skew-split suffices. One "
+    "map-side-combinable count; the window runs over the already-"
+    "aggregated key frame.",
+)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    share = F.round(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy()), 6)
+    rank = F.row_number().over(Window.orderBy(F.desc("n"), "user_id"))
+    return (
+        counts.select(
+            "user_id",
+            "n",
+            share.alias("share"),
+            rank.cast("int").alias("heavy_rank"),
+        )
+        .filter(F.col("heavy_rank") <= SKEW_TOP_N)
+    )
+
+
+@register(
+    "curation_decisions_documents",
+    None,  # composed oracle injected below (needs sibling REGISTRY oracles)
+    doc="The curator's FINAL verdict table: per doc, the Gopher rule "
+    "gate, the span-duplication flag, and the near-dup prune decision "
+    "joined into one keep/drop row with a first-failing-reason label — "
+    "what actually ships to the training-mix builder. Pure composition "
+    "of three oracle-checked plans; the joins are 1:1 on doc_id.",
+)
+def curation_decisions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    g = (
+        REGISTRY["gopher_quality_documents"]
+        .spark(spark, sf_dir)
+        .select("doc_id", F.col("keep").alias("rule_keep"))
+    )
+    s = (
+        REGISTRY["span_dup_fraction_documents"]
+        .spark(spark, sf_dir)
+        .select("doc_id", F.col("flagged").alias("span_flagged"))
+    )
+    p = (
+        REGISTRY["near_dup_prune_documents"]
+        .spark(spark, sf_dir)
+        .select("doc_id", F.col("kept").alias("dedup_kept"))
+    )
+    joined = g.join(s, "doc_id").join(p, "doc_id")
+    reason = (
+        F.when(~F.col("rule_keep"), "quality")
+        .when(F.col("span_flagged"), "span_dup")
+        .when(~F.col("dedup_kept"), "near_dup")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id",
+        "rule_keep",
+        "span_flagged",
+        "dedup_kept",
+        (
+            F.col("rule_keep")
+            & ~F.col("span_flagged")
+            & F.col("dedup_kept")
+        ).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY  # noqa: E402
+
+REGISTRY["curation_decisions_documents"].oracle = f"""
+    WITH g AS (
+      SELECT doc_id, keep AS rule_keep
+      FROM ({REGISTRY["gopher_quality_documents"].oracle})),
+    s AS (
+      SELECT doc_id, flagged AS span_flagged
+      FROM ({REGISTRY["span_dup_fraction_documents"].oracle})),
+    p AS (
+      SELECT doc_id, kept AS dedup_kept
+      FROM ({REGISTRY["near_dup_prune_documents"].oracle}))
+    SELECT g.doc_id, rule_keep, span_flagged, dedup_kept,
+           rule_keep AND NOT span_flagged AND dedup_kept AS keep,
+           CASE WHEN NOT rule_keep THEN 'quality'
+                WHEN span_flagged THEN 'span_dup'
+                WHEN NOT dedup_kept THEN 'near_dup'
+                ELSE 'keep' END AS reason
+    FROM g JOIN s ON g.doc_id = s.doc_id
+           JOIN p ON g.doc_id = p.doc_id
+"""

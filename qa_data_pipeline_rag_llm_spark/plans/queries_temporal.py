@@ -139,3 +139,63 @@ def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.operators.timeseries import gapfill_daily
 
     return gapfill_daily(_t(spark, sf_dir, "events"))
+
+
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "asof_tolerance_click_purchase",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT p.user_id, p.event_id, c.click_event_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT user_id, event_id,
+           CASE WHEN gap_us <= {ASOF_TOLERANCE_US}
+                THEN click_event_id END AS click_event_id,
+           CASE WHEN gap_us <= {ASOF_TOLERANCE_US}
+                THEN gap_us END AS gap_us,
+           gap_us IS NOT NULL AND gap_us <= {ASOF_TOLERANCE_US} AS attributed
+    FROM matched
+    """,
+    doc="As-of join with a match TOLERANCE (pandas merge_asof semantics): "
+    "a prior click only attributes a purchase if it happened within the "
+    "last hour — stale matches are nulled, and the attributed flag "
+    "makes the windowed-attribution rate directly aggregable. Same "
+    "one-shuffle carry-forward plan as asof_click_before_purchase; the "
+    "tolerance is a post-window projection, costing nothing extra.",
+)
+def asof_tolerance_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumnRenamed("ts", "click_ts"),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_event_id", "click_ts"],
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("click_ts")
+    in_tol = gap <= ASOF_TOLERANCE_US
+    return out.select(
+        "user_id",
+        "event_id",
+        F.when(in_tol, F.col("click_event_id")).alias("click_event_id"),
+        F.when(in_tol, gap).alias("gap_us"),
+        (gap.isNotNull() & in_tol).alias("attributed"),
+    )

@@ -90,6 +90,7 @@ _CARTESIAN_GATE_SKIP = {
     "kmeans_fixedpoint_embeddings",
     "dedup_clusters_minhash",
     "near_dup_prune_documents",
+    "curation_decisions_documents",  # composes near_dup_prune (iterative)
 }
 
 
