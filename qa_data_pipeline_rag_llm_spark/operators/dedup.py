@@ -95,6 +95,38 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    sig: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """Signature frame (doc, mh0..mh{k-1}) → LSH band rows
+    (doc, band_id, band_key): one md5 band key per ``num_perm/bands``
+    consecutive signature slots. Stateless projection + generator — safe
+    in batch AND in a streaming plan (no shuffle, no state)."""
+    rows = num_perm // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"mh{b * rows + r}" for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    return (
+        sig.select("doc", *band_cols)
+        .select(
+            "doc",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        )
+        .select("doc", "bk.band_id", "bk.band_key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -106,23 +138,8 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH banding, verified with exact
     Jaccard over the shingle sets: (doc_a, doc_b, jaccard)."""
-    rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[f"mh{b * rows + r}" for r in range(rows)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", *band_cols).select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("doc", "bk.band_id", "bk.band_key")
+    banded = minhash_bands(sig, num_perm, bands)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band_id", "band_key"])
@@ -157,29 +174,10 @@ def minhash_incremental_pairs(
     the small new-batch side shuffles into. Returns verified
     (doc_a=new, doc_b=historical, jaccard) pairs.
     """
-    rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[f"mh{b * rows + r}" for r in range(rows)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
     flags = df.select(F.col(id_col).alias("doc"), new_pred.alias("__new"))
     banded = (
-        sig.select("doc", *band_cols)
-        .select(
-            "doc",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bk"),
-        )
-        .select("doc", "bk.band_id", "bk.band_key")
+        minhash_bands(sig, num_perm, bands)
         .join(flags, "doc")
     )
     cand = (

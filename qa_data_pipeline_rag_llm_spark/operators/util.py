@@ -27,6 +27,10 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     no-op — the shuffle is only paid when the input couldn't parallelize
     anyway.
     """
+    if df.isStreaming:
+        # micro-batch parallelism is the source's concern (file-source
+        # maxFilesPerTrigger / partitioned topics); .rdd is illegal here
+        return df
     cached = _DECIDED.get(df)
     if cached is not None:
         return cached

@@ -156,3 +156,70 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enriched(spark, sf_dir)
+
+
+def _near_dup_gate_sql() -> str:
+    """Batch replay of stream_near_dup_gate: both sides' affine MinHash
+    signatures + band keys in SQL, then the LEFT-join hit count."""
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+    from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+
+    coeffs = minhash_coeffs(16)
+    rows = 4
+
+    def side(al: str, pred: str) -> str:
+        mins = ", ".join(
+            f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+            for i, (a, b) in enumerate(coeffs)
+        )
+        band_keys = ", ".join(
+            "md5(concat_ws('|', "
+            + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+            + f")) AS band{b}"
+            for b in range(4)
+        )
+        union = " UNION ALL ".join(
+            f"SELECT doc, {b} AS band_id, band{b} AS band_key FROM keys_{al}"
+            for b in range(4)
+        )
+        return f"""
+    sh_{al} AS (SELECT doc_id AS doc, unnest({O.shingles("text", 3)}) AS shingle
+                FROM documents WHERE {pred}),
+    hsh_{al} AS (SELECT doc, {O.stable_int32("shingle")} % {MINHASH_P} AS h
+                 FROM sh_{al}),
+    sig_{al} AS (SELECT doc, {mins} FROM hsh_{al} GROUP BY doc),
+    keys_{al} AS (SELECT doc, {band_keys} FROM sig_{al}),
+    bands_{al} AS ({union})"""
+
+    return f"""
+    WITH {side("s", "doc_id % 2 = 1")},{side("h", "doc_id % 2 = 0")}
+    SELECT s.doc AS doc_id,
+           CAST(SUM(CASE WHEN h.doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_band_hits,
+           SUM(CASE WHEN h.doc IS NOT NULL THEN 1 ELSE 0 END) = 0 AS is_new
+    FROM bands_s s LEFT JOIN bands_h h
+      ON s.band_id = h.band_id AND s.band_key = h.band_key
+    GROUP BY s.doc
+    """
+
+
+@register(
+    "streaming_near_dup_gate",
+    _near_dup_gate_sql(),
+    doc="Streaming curation admission control: incoming docs are MinHash-"
+    "banded MAP-ONLY (the array_min signature needs no shuffle, so it "
+    "is legal mid-stream) and LEFT-joined against the static historical "
+    "band table; the per-doc hit count is the only stateful op. is_new "
+    "docs are safe to admit — the streaming twin of "
+    "incremental_dedup_new_batch (streaming/events.py:"
+    "stream_near_dup_gate).",
+)
+def streaming_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        stream_near_dup_gate,
+    )
+
+    return stream_near_dup_gate(spark, sf_dir)

@@ -634,3 +634,60 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(joined, "append")
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (explicit schema —
+    the streaming reader cannot infer)."""
+    from qa_data_pipeline_rag_llm_spark.schemas import TESTDATA_SCHEMAS
+
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dup GATE: each incoming doc (odd doc_id —
+    the simulated ingest stream) is banded map-only and checked against
+    the static band table of the historical corpus (even doc_id).
+
+    This is the production admission-control shape: signatures are a pure
+    per-row projection (operators/dedup.minhash_signatures — no explode,
+    no shuffle, hence legal in a streaming plan), banding is a stateless
+    generator, the history lookup is a stream-static LEFT join (static
+    side re-planned per micro-batch; at scale a bucketed-by-band_key
+    table), and the only stateful op is the final per-doc count. Output:
+    (doc_id, n_band_hits, is_new) — is_new docs are safe to admit.
+    """
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+    from qa_data_pipeline_rag_llm_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    hist = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    hist_bands = minhash_bands(minhash_signatures(hist)).select(
+        F.col("doc").alias("hist_doc"), "band_id", "band_key"
+    )
+
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    s_bands = minhash_bands(minhash_signatures(stream))
+
+    hit = F.when(F.col("hist_doc").isNotNull(), 1).otherwise(0)
+    gated = (
+        s_bands.join(hist_bands, ["band_id", "band_key"], "left_outer")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.sum(hit).alias("n_band_hits"))
+        .select(
+            "doc_id",
+            "n_band_hits",
+            (F.col("n_band_hits") == 0).alias("is_new"),
+        )
+    )
+    return run_to_completion(gated, "complete")
