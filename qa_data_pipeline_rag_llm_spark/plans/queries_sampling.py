@@ -270,3 +270,34 @@ def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("smp_rank") <= QUOTA_PER_SOURCE)
     )
+
+
+@register(
+    "survivorship_documents",
+    """
+    SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(doc_id) AS survivor_doc_id,
+           MAX(n_chars) AS best_n_chars,
+           MIN(source) AS first_source
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="MDM-style survivorship merge: exact-duplicate groups (normalized-"
+    "text fingerprint) collapse to ONE golden record whose fields are "
+    "picked field-wise across members — stable min id, the longest "
+    "length, the first source. The step after dedup detection that "
+    "actually emits the merged corpus row. One map-side-combinable "
+    "aggregate on the content hash (uniform key, skew-safe).",
+)
+def survivorship_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint("text").alias("fingerprint")).agg(
+        F.count("*").alias("n_members"),
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.max("n_chars").alias("best_n_chars"),
+        F.min("source").alias("first_source"),
+    )

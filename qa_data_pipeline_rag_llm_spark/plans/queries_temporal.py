@@ -8,7 +8,7 @@ the non-trivial carry-forward plan is value-checked end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.operators.temporal import (
@@ -198,4 +198,86 @@ def asof_tolerance_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(in_tol, F.col("click_event_id")).alias("click_event_id"),
         F.when(in_tol, gap).alias("gap_us"),
         (gap.isNotNull() & in_tol).alias("attributed"),
+    )
+
+
+ATTR_WINDOW_US = 3_600_000_000  # linear-attribution lookback: 1 hour
+
+
+@register(
+    "attribution_linear_events",
+    f"""
+    WITH purchases AS (
+      SELECT event_id AS p_event, user_id, epoch_us(ts) AS p_us, value
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'),
+    touched AS (
+      SELECT p.p_event, p.value, c.click_event_id, c.user_id,
+             COUNT(*) OVER (PARTITION BY p.p_event) AS n_touch
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND p.p_us - c.c_us BETWEEN 0 AND {ATTR_WINDOW_US})
+    SELECT click_event_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CAST(SUM(CAST(round(value / n_touch, 6)
+                          AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS attributed_value
+    FROM touched GROUP BY click_event_id, user_id
+    """,
+    doc="Linear multi-touch attribution: every click in the hour before "
+    "a purchase shares that purchase's value equally; per-click credits "
+    "sum exactly (6-dp rounded credits accumulate in DECIMAL so the "
+    "total is order-independent). The Spark plan blocks the range join "
+    "through 1-hour time buckets (purchase side probes its own and the "
+    "previous bucket) — candidates are bounded by per-bucket density, "
+    "never per-user row counts squared. Complements the single-touch "
+    "as-of queries.",
+)
+def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event"),
+            "user_id",
+            us.alias("p_us"),
+            "value",
+            (us / ATTR_WINDOW_US).cast("long").alias("bucket"),
+        )
+        .select(
+            "p_event",
+            "user_id",
+            "p_us",
+            "value",
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"))
+            ).alias("jbucket"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user"),
+        us.alias("c_us"),
+        (us / ATTR_WINDOW_US).cast("long").alias("jbucket"),
+    )
+    gap = F.col("p_us") - F.col("c_us")
+    touched = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (purchases["jbucket"] == clicks["jbucket"]),
+    ).filter((gap >= 0) & (gap <= ATTR_WINDOW_US))
+    n_touch = F.count("*").over(Window.partitionBy("p_event"))
+    credit = F.round(F.col("value") / n_touch, 6).cast("decimal(18,6)")
+    return (
+        touched.select("click_event_id", "user_id", credit.alias("credit"))
+        .groupBy("click_event_id", "user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("credit").cast("double"), 4).alias(
+                "attributed_value"
+            ),
+        )
     )
