@@ -34,3 +34,24 @@ def test_sketch_estimates_within_budget(spark, tables):
         # 10k-accuracy percentile_approx: rank error 1/10000 of the group.
         for q in ("p50", "p95"):
             assert abs(g[q] - e[q]) <= max(0.05 * abs(e[q]), 0.5)
+
+
+def test_hll_sketches_merge_exactly(spark, tables):
+    """Mergeability — the property that makes sketches the 100 TB path:
+    per-day HLL sketches unioned with hll_union_agg give the IDENTICAL
+    estimate as one global sketch (deterministic binary, not just close).
+    A planet-scale rollup can therefore maintain daily sketches and
+    answer any date-range cardinality by merging."""
+    ev = tables["events"]
+    global_est = (
+        ev.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        ).collect()[0]["est"]
+    )
+    merged_est = (
+        ev.groupBy(F.dayofmonth("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert merged_est == global_est
