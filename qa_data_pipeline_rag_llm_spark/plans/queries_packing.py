@@ -160,3 +160,102 @@ def except_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = p.filter(F.col("p_size") >= 30).select("p_brand")
     b = p.filter(F.col("p_retailprice") > 1500).select("p_brand")
     return a.exceptAll(b)
+
+
+SQ8_PROBES = 5      # same deterministic probe set as cosine_topk
+SQ8_CAND = 25       # coarse candidates per probe (int8 dot product)
+SQ8_K = 5           # refined exact-cosine top-k
+
+
+def _sq8_refine_sql() -> str:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+    from qa_data_pipeline_rag_llm_spark.plans.queries_vector import _O_COS
+
+    return f"""
+    WITH qvec AS ({REGISTRY["quantize_embeddings_int8"].oracle}),
+    coarse AS (
+      SELECT pq.vec_id AS probe_id, eq.vec_id,
+             list_dot_product(CAST(eq.qvec AS DOUBLE[]),
+                              CAST(pq.qvec AS DOUBLE[])) AS qscore
+      FROM qvec eq JOIN qvec pq
+        ON pq.vec_id < {SQ8_PROBES} AND eq.vec_id != pq.vec_id),
+    cand AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY qscore DESC, vec_id) AS crank
+        FROM coarse) WHERE crank <= {SQ8_CAND}),
+    refined AS (
+      SELECT c.probe_id, c.vec_id, {_O_COS} AS sim
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings p ON p.vec_id = c.probe_id)
+    SELECT probe_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, vec_id) AS rank
+      FROM refined) WHERE rank <= {SQ8_K}
+    """
+
+
+@register(
+    "ann_sq8_refine_topk",
+    None,  # injected below (composes the quantizer's oracle)
+    doc="Two-stage ANN serving (the production SQ8 pattern): coarse scan "
+    "scores int8-quantized vectors (4× less IO, integer dot products — "
+    "exact in both engines), takes 5× over-fetched candidates, then "
+    "re-ranks ONLY those with the exact double cosine. At 100 TB the "
+    "qvec table is the materialized index the scan reads; the refine "
+    "join touches k·probes full vectors. Deterministic ties at both "
+    "stages.",
+)
+def ann_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    qv = REGISTRY["quantize_embeddings_int8"].spark(spark, sf_dir)
+    probes_q = qv.filter(F.col("vec_id") < SQ8_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qvec").alias("pqvec")
+    )
+    coarse = (
+        qv.join(F.broadcast(probes_q), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            dot(F.col("qvec"), F.col("pqvec")).alias("qscore"),
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("qscore"), "vec_id")
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= SQ8_CAND)
+        .select("probe_id", "vec_id")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probes_full = emb.filter(F.col("vec_id") < SQ8_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    refined = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(probes_full), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("pvec"))
+                / (norm(F.col("embedding")) * norm(F.col("pvec"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= SQ8_K)
+        .select("probe_id", "vec_id", "sim", "rank")
+    )
+
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY  # noqa: E402
+
+REGISTRY["ann_sq8_refine_topk"].oracle = _sq8_refine_sql()

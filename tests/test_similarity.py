@@ -9,6 +9,7 @@ from qa_data_pipeline_rag_llm_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
 )
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
 from tests.conftest import SF_DIR
 
 
@@ -69,3 +70,20 @@ def test_ivf_recall_vs_bruteforce(spark, tables):
     for r in approx:
         per_probe[r["probe_id"]] = per_probe.get(r["probe_id"], 0) + 1
     assert all(v <= k for v in per_probe.values())
+
+
+def test_sq8_refine_recall_vs_exact(spark, tables):
+    """Two-stage SQ8 serving: refined top-k must substantially agree with
+    the exact brute-force top-k (5× over-fetch at 64 dims keeps recall
+    high), and its scores are exact cosines, so any shared (probe,
+    neighbor) pair has the identical sim."""
+    exact = REGISTRY["cosine_topk_embeddings"].spark(spark, SF_DIR).collect()
+    sq8 = REGISTRY["ann_sq8_refine_topk"].spark(spark, SF_DIR).collect()
+    exact_pairs = {(r.probe_id, r.vec_id): r.sim for r in exact}
+    sq8_pairs = {(r.probe_id, r.vec_id): r.sim for r in sq8}
+    assert len(sq8_pairs) == len(exact_pairs)
+    hits = set(exact_pairs) & set(sq8_pairs)
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.6, f"recall@5 {recall:.2f}"
+    for pair in hits:
+        assert sq8_pairs[pair] == exact_pairs[pair]
