@@ -245,3 +245,76 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("p_a", "p_b", "n")
     )
+
+
+@register(
+    "cross_source_leakage",
+    None,  # injected below: composes the verified near-dup pair oracle
+    doc="Cross-SOURCE near-duplicate leakage: verified MinHash pairs "
+    "whose two docs come from different sources, aggregated to a "
+    "source-pair contamination matrix (canonical source order). The "
+    "measure that catches one provider reselling another's corpus — "
+    "or eval data leaking into training sources. Reuses the banded, "
+    "Jaccard-verified pair stream; the per-pair source lookup joins "
+    "the tiny pair set back to documents.",
+)
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    pairs = REGISTRY["minhash_near_dups"].spark(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            d.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("src_a") != F.col("src_b"))
+    )
+    lo = F.least("src_a", "src_b")
+    hi = F.greatest("src_a", "src_b")
+    return labeled.select(
+        lo.alias("source_x"), hi.alias("source_y"), "jaccard"
+    ).groupBy("source_x", "source_y").agg(
+        F.count("*").alias("n_pairs"),
+        # order-independent exact mean: 6-dp-scaled longs sum in DECIMAL
+        F.round(
+            F.sum(
+                F.round(F.col("jaccard") * 1000000)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / 1000000.0
+            / F.count("*"),
+            6,
+        ).alias("avg_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY as _R  # noqa: E402
+
+_R["cross_source_leakage"].oracle = f"""
+    WITH pairs AS ({_R["minhash_near_dups"].oracle}),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_x,
+             greatest(da.source, db.source) AS source_y,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+      WHERE da.source != db.source)
+    SELECT source_x, source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(round(jaccard * 1000000) AS DECIMAL(38,0)))
+                      AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_jaccard,
+           MAX(jaccard) AS max_jaccard
+    FROM labeled GROUP BY source_x, source_y
+"""
