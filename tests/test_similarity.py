@@ -87,3 +87,17 @@ def test_sq8_refine_recall_vs_exact(spark, tables):
     assert recall >= 0.6, f"recall@5 {recall:.2f}"
     for pair in hits:
         assert sq8_pairs[pair] == exact_pairs[pair]
+
+
+def test_sq8_index_materializes_and_serves_identically(spark, tmp_path):
+    """Index-build / serve separation: the quantized vector table written
+    to parquet and read back (the materialized ANN index a serving
+    cluster would scan) yields bit-identical qvecs — so the coarse stage
+    can run from the index file with no recompute."""
+    direct = REGISTRY["quantize_embeddings_int8"].spark(spark, SF_DIR)
+    path = str(tmp_path / "qvec_index")
+    direct.write.mode("overwrite").parquet(path)
+    served = spark.read.parquet(path)
+    a = {r.vec_id: list(r.qvec) for r in direct.collect()}
+    b = {r.vec_id: list(r.qvec) for r in served.collect()}
+    assert a == b
