@@ -241,6 +241,17 @@ def ngram_jaccard_pairs(
     candidate set near-linear at corpus scale.
     """
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    cand = _blocked_candidates(sh, max_df, directed=False)
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _blocked_candidates(
+    sh: DataFrame, max_df: int, directed: bool
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs sharing a rare shingle (df in
+    (1, max_df]): unordered ``a < b`` pairs, or both directions when
+    ``directed``. Shared by the Jaccard and containment families so the
+    blocking policy cannot silently diverge between them."""
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -248,14 +259,18 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     blocked = sh.join(rare, "shingle")
-    cand = (
+    pair_pred = (
+        F.col("a.doc") != F.col("b.doc")
+        if directed
+        else F.col("a.doc") < F.col("b.doc")
+    )
+    return (
         blocked.alias("a")
         .join(blocked.alias("b"), "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(pair_pred)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sh, threshold)
 
 
 def containment_pairs(
@@ -277,20 +292,7 @@ def containment_pairs(
     because containment is not symmetric.
     """
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") > 1) & (F.col("df") <= max_df))
-        .select("shingle")
-    )
-    blocked = sh.join(rare, "shingle")
-    cand = (
-        blocked.alias("a")
-        .join(blocked.alias("b"), "shingle")
-        .filter(F.col("a.doc") != F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    cand = _blocked_candidates(sh, max_df, directed=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc"))

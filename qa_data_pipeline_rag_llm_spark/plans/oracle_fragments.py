@@ -37,13 +37,18 @@ def token_count(c: str) -> str:
 
 
 def shingles(c: str, n: int) -> str:
-    """functions.text.word_shingles"""
+    """functions.text.word_shingles
+
+    NULL-text parity: Spark's short-doc branch is ``concat_ws`` over the
+    token array, and concat_ws(NULL) = '' — so a NULL text yields ['']
+    there. array_to_string(NULL, ' ') is NULL in DuckDB; the coalesce
+    replays the Spark semantics (probed 2026-08-14)."""
     t = toks(c)
     return (
         f"CASE WHEN len({t}) >= {n} THEN "
         f"list_transform(range(1, len({t}) - {n} + 2), "
         f"i -> array_to_string(({t})[i:i+{n - 1}], ' ')) "
-        f"ELSE [array_to_string({t}, ' ')] END"
+        f"ELSE [coalesce(array_to_string({t}, ' '), '')] END"
     )
 
 

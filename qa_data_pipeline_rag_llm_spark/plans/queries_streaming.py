@@ -160,42 +160,14 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_gate_sql() -> str:
     """Batch replay of stream_near_dup_gate: both sides' affine MinHash
-    signatures + band keys in SQL, then the LEFT-join hit count."""
-    from qa_data_pipeline_rag_llm_spark.functions.hashing import (
-        MINHASH_P,
-        minhash_coeffs,
+    signatures + band keys come from queries_text.minhash_side_sql (the
+    shared layout), then the LEFT-join hit count."""
+    from qa_data_pipeline_rag_llm_spark.plans.queries_text import (
+        minhash_side_sql,
     )
-    from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
-
-    coeffs = minhash_coeffs(16)
-    rows = 4
-
-    def side(al: str, pred: str) -> str:
-        mins = ", ".join(
-            f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
-            for i, (a, b) in enumerate(coeffs)
-        )
-        band_keys = ", ".join(
-            "md5(concat_ws('|', "
-            + ", ".join(f"mh{b * rows + r}" for r in range(rows))
-            + f")) AS band{b}"
-            for b in range(4)
-        )
-        union = " UNION ALL ".join(
-            f"SELECT doc, {b} AS band_id, band{b} AS band_key FROM keys_{al}"
-            for b in range(4)
-        )
-        return f"""
-    sh_{al} AS (SELECT doc_id AS doc, unnest({O.shingles("text", 3)}) AS shingle
-                FROM documents WHERE {pred}),
-    hsh_{al} AS (SELECT doc, {O.stable_int32("shingle")} % {MINHASH_P} AS h
-                 FROM sh_{al}),
-    sig_{al} AS (SELECT doc, {mins} FROM hsh_{al} GROUP BY doc),
-    keys_{al} AS (SELECT doc, {band_keys} FROM sig_{al}),
-    bands_{al} AS ({union})"""
 
     return f"""
-    WITH {side("s", "doc_id % 2 = 1")},{side("h", "doc_id % 2 = 0")}
+    WITH {minhash_side_sql("s", "doc_id % 2 = 1")},{minhash_side_sql("h", "doc_id % 2 = 0")}
     SELECT s.doc AS doc_id,
            CAST(SUM(CASE WHEN h.doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_band_hits,

@@ -633,3 +633,40 @@ def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=NGRAM_MAX_DF,
         threshold=CONTAINMENT_T,
     )
+
+
+def minhash_side_sql(al: str, pred: str) -> str:
+    """Reusable oracle CTE chain ``sh_{al} → hsh_{al} → sig_{al} →
+    keys_{al} → bands_{al}`` for one predicate-filtered side of documents,
+    built from THE SAME constants (NUM_PERM/BANDS/SHINGLE_N) and fragment
+    builders as the batch minhash oracles — so a layout change here
+    re-layouts every consumer (queries_streaming's near-dup gate
+    included) instead of silently diverging."""
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    rows = NUM_PERM // BANDS
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(NUM_PERM))
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f")) AS band{b}"
+        for b in range(BANDS)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band_id, band{b} AS band_key FROM keys_{al}"
+        for b in range(BANDS)
+    )
+    return f"""
+    sh_{al} AS (SELECT doc_id AS doc, unnest({O.shingles("text", SHINGLE_N)}) AS shingle
+                FROM documents WHERE {pred}),
+    hsh_{al} AS (SELECT doc, {O.stable_int32("shingle")} % {MINHASH_P} AS h
+                 FROM sh_{al}),
+    sig_{al} AS (SELECT doc, {mins} FROM hsh_{al} GROUP BY doc),
+    keys_{al} AS (SELECT doc, {band_keys} FROM sig_{al}),
+    bands_{al} AS ({union})"""
