@@ -39,9 +39,17 @@ _PERSIST = False
 
 
 def enable_table_persist(flag: bool = True) -> None:
-    """Persist memoized tables (MEMORY_AND_DISK) for multi-query sessions."""
+    """Persist memoized tables (MEMORY_AND_DISK) for multi-query sessions.
+
+    Applies retroactively to frames already memoized — the driver runs
+    ``entry()`` (which loads tables) BEFORE flipping this on for the
+    query sweep, and those early loads must not stay unpersisted for the
+    whole ~190-query session."""
     global _PERSIST
     _PERSIST = flag
+    if flag:
+        for df in _DF_CACHE.values():
+            df.persist()
 
 
 def clear_table_cache() -> None:

@@ -82,7 +82,13 @@ def make_embed_udf(
     def embed_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         model = resolved  # "model load" point: once per worker
         for batch in batches:
-            yield pd.Series(model(batch.tolist()), index=batch.index)
+            vecs = model(batch.tolist())
+            # SentenceTransformer.encode returns a 2-D ndarray, which
+            # pd.Series rejects ("must be 1-dimensional") — normalize any
+            # array-like-of-rows to a list of row lists first.
+            if hasattr(vecs, "tolist") and getattr(vecs, "ndim", 1) == 2:
+                vecs = vecs.tolist()
+            yield pd.Series(list(vecs), index=batch.index)
 
     return embed_text
 

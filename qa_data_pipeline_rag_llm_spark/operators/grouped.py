@@ -125,8 +125,14 @@ def micro_sum_udaf(v: pd.Series) -> int:
     both engines' round(); the sum itself is exact int64 arithmetic, so
     the aggregate is order-independent across partitions — the property
     any custom distributed aggregate must have."""
-    scaled = v.to_numpy() * 1_000_000.0
-    return int(np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).sum())
+    scaled = v.dropna().to_numpy() * 1_000_000.0  # NULLs skip, like SUM
+    # int64 BEFORE the reduction: a float64 .sum() loses exactness (and
+    # order-independence) past 2^53 — exactly the at-scale regime.
+    return int(
+        np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
+        .astype("int64")
+        .sum()
+    )
 
 
 def user_value_micro_totals(events: DataFrame) -> DataFrame:

@@ -12,9 +12,10 @@ from pyspark.sql import DataFrame
 # (catalog.load_table cache) many times per session. Key by input object
 # identity, weakly, so the probe is paid once per distinct input
 # (VERDICT r01: rdd.getNumPartitions per invocation).
-_DECIDED: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = (
+_DECIDED: "weakref.WeakKeyDictionary[DataFrame, DataFrame | None]" = (
     weakref.WeakKeyDictionary()
 )
+_MISSING = object()
 
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
@@ -31,13 +32,15 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
         # micro-batch parallelism is the source's concern (file-source
         # maxFilesPerTrigger / partitioned topics); .rdd is illegal here
         return df
-    cached = _DECIDED.get(df)
-    if cached is not None:
-        return cached
+    cached = _DECIDED.get(df, _MISSING)
+    if cached is not _MISSING:
+        return df if cached is None else cached
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    out = df
+    out = None  # None = "no repartition needed, return the key itself" —
+    # storing df as its own value would strongly pin the WeakKeyDictionary
+    # key forever (value references key), leaking every probed DataFrame
     if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
         out = df.repartition(target)
     _DECIDED[df] = out
-    return out
+    return df if out is None else out

@@ -275,9 +275,10 @@ TRI_MIN_COOCCUR = 2  # edge = parts co-purchased in >= this many orders
 @register(
     "triangle_count_copurchase",
     f"""
-    WITH pairs AS (
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
       SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
-      FROM lineitem a JOIN lineitem b
+      FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_COOCCUR}),
     e AS (SELECT p_a AS a, p_b AS b FROM pairs)
@@ -299,7 +300,13 @@ TRI_MIN_COOCCUR = 2  # edge = parts co-purchased in >= this many orders
     "orient by degree rather than id for the skew-optimal bound).",
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # distinct first: a part on two lineitems of ONE order must not
+    # manufacture a co-occurrence (edge = distinct co-purchase ORDERS)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(

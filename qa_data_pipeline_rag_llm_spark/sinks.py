@@ -90,15 +90,34 @@ def make_vector_sink_datasource():
 
             manifest_path = os.path.join(self.path, "_MANIFEST.json")
             files = []
+            state: dict = {}
             if not self.overwrite and os.path.exists(manifest_path):
-                files = json.load(open(manifest_path))["files"]
+                state = json.load(open(manifest_path))
+                files = state["files"]
             files += [
                 {"file": m.filename, "n": m.n} for m in messages if m is not None
             ]
+            out = {"files": files, "n_total": sum(x["n"] for x in files)}
+            # a batch append to a collection a STREAM also writes must not
+            # drop the stream's replay ledger — losing 'batches' would let
+            # a checkpoint-recovered micro-batch double-commit its rows
+            if "batches" in state:
+                out["batches"] = state["batches"]
             tmp = manifest_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"files": files, "n_total": sum(x["n"] for x in files)}, f)
+                json.dump(out, f)
             os.replace(tmp, manifest_path)  # atomic publish
+            if self.overwrite:
+                # stale staged files from prior manifests are unreachable
+                # through the new manifest; remove them so readers that
+                # (incorrectly) glob the directory can't resurrect them
+                keep = {x["file"] for x in files}
+                for fn in os.listdir(self.path):
+                    if fn.startswith("_staged-") and fn not in keep:
+                        try:
+                            os.remove(os.path.join(self.path, fn))
+                        except OSError:
+                            pass
 
         def abort(self, messages) -> None:
             import os

@@ -172,7 +172,14 @@ def run_api_stream(spark, path: str, page_size: int = DEFAULT_PAGE_SIZE):
     )
     deadline = time.time() + 120
     try:
-        while time.time() < deadline and spark.table(name).count() < expected:
+        while spark.table(name).count() < expected:
+            if time.time() >= deadline:
+                # a silent partial return would look like an engine bug
+                # downstream (hash mismatch / truncated data); fail loud.
+                raise TimeoutError(
+                    f"qa_api stream drained {spark.table(name).count()}"
+                    f"/{expected} rows within 120s"
+                )
             time.sleep(0.2)
     finally:
         q.stop()

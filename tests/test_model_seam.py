@@ -62,3 +62,28 @@ def test_default_backends_remain_the_oracle_fakes(spark):
 
     vecs = [tuple(r.v) for r in df.select(embed_text("t").alias("v")).collect()]
     assert vecs[0] == vecs[1] and len(vecs[0]) == 8
+
+
+def test_embed_backend_accepts_2d_ndarray(spark, tables):
+    """A real SentenceTransformer.encode returns a 2-D ndarray — the seam
+    must accept that shape, not just list-of-lists."""
+    import numpy as np
+
+    from qa_data_pipeline_rag_llm_spark.functions.embed import (
+        EMBED_DIMS,
+        make_embed_udf,
+    )
+
+    def ndarray_backend(texts):
+        return np.ones((len(texts), EMBED_DIMS), dtype="float64")
+
+    udf = make_embed_udf(backend=ndarray_backend)
+    out = (
+        tables["documents"]
+        .limit(8)
+        .select(udf("text").alias("emb"))
+        .collect()
+    )
+    assert len(out) == 8
+    assert all(len(r.emb) == EMBED_DIMS for r in out)
+    assert all(v == 1.0 for v in out[0].emb)
