@@ -910,3 +910,53 @@ def centroid_by_label_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+@register(
+    "label_centroid_distances",
+    None,  # injected below: composes the centroid oracle
+    doc="Cluster-separation matrix: pairwise cosine between the per-label "
+    "centroid vectors — low off-diagonal similarity means labels occupy "
+    "distinct regions (the companion diagnostic to kNN label purity). "
+    "Centroids come from the exact scaled-sum query, so the ≤K² matrix "
+    "is deterministic; the pair join runs over K tiny assembled rows.",
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    cent = REGISTRY["centroid_by_label_embeddings"].spark(spark, sf_dir)
+    vec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda x: x.centroid,
+        ).alias("cvec")
+    )
+    a = vec.select(F.col("label").alias("label_a"), F.col("cvec").alias("va"))
+    b = vec.select(F.col("label").alias("label_b"), F.col("cvec").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (norm(F.col("va")) * norm(F.col("vb"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY as _R2  # noqa: E402
+
+_R2["label_centroid_distances"].oracle = f"""
+    WITH cent AS ({_R2["centroid_by_label_embeddings"].oracle}),
+    vec AS (SELECT label, array_agg(centroid ORDER BY pos) AS cvec
+            FROM cent GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.cvec, b.cvec)
+                 / (sqrt(list_dot_product(a.cvec, a.cvec))
+                    * sqrt(list_dot_product(b.cvec, b.cvec))), 6) AS cos_sim
+    FROM vec a JOIN vec b ON a.label < b.label
+"""
