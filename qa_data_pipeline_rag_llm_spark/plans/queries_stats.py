@@ -960,3 +960,113 @@ _R2["label_centroid_distances"].oracle = f"""
                     * sqrt(list_dot_product(b.cvec, b.cvec))), 6) AS cos_sim
     FROM vec a JOIN vec b ON a.label < b.label
 """
+
+
+@register(
+    "silhouette_by_label",
+    None,  # injected below: composes the centroid oracle
+    doc="Centroid-based silhouette per label: each vector's cosine to its "
+    "OWN label centroid vs its best cosine to any FOREIGN centroid, "
+    "averaged exactly (6-dp-scaled decimal sums) per label. Linear in "
+    "corpus size — the K centroids broadcast; no member-pair joins. "
+    "separation > 0 means the label coheres better than it bleeds.",
+)
+def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    cent = REGISTRY["centroid_by_label_embeddings"].spark(spark, sf_dir)
+    vec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda x: x.centroid,
+        ).alias("cvec")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def cos(v, c):
+        return F.round(dot(v, c) / (norm(v) * norm(c)), 6)
+
+    own = emb.join(
+        F.broadcast(vec), "label"
+    ).select(
+        "vec_id",
+        "label",
+        cos(F.col("embedding"), F.col("cvec")).alias("cos_own"),
+    )
+    other = (
+        emb.join(
+            F.broadcast(
+                vec.select(
+                    F.col("label").alias("olabel"), F.col("cvec").alias("ovec")
+                )
+            ),
+            F.col("label") != F.col("olabel"),
+        )
+        .select(
+            "vec_id",
+            cos(F.col("embedding"), F.col("ovec")).alias("cos_other"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos_other").alias("cos_best_other"))
+    )
+
+    def exact_avg(c):
+        return F.round(
+            F.sum(
+                F.round(c * 1000000).cast("long").cast("decimal(38,0)")
+            ).cast("double")
+            / 1000000.0
+            / F.count("*"),
+            6,
+        )
+
+    joined = own.join(other, "vec_id")
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n"),
+        exact_avg(F.col("cos_own")).alias("avg_cos_own"),
+        exact_avg(F.col("cos_best_other")).alias("avg_cos_best_other"),
+        F.round(
+            exact_avg(F.col("cos_own")) - exact_avg(F.col("cos_best_other")),
+            6,
+        ).alias("separation"),
+    )
+
+
+_R2["silhouette_by_label"].oracle = f"""
+    WITH cent AS ({_R2["centroid_by_label_embeddings"].oracle}),
+    vec AS (SELECT label, array_agg(centroid ORDER BY pos) AS cvec
+            FROM cent GROUP BY label),
+    own AS (
+      SELECT e.vec_id, e.label,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), v.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(v.cvec, v.cvec))), 6) AS cos_own
+      FROM embeddings e JOIN vec v ON e.label = v.label),
+    other AS (
+      SELECT e.vec_id,
+             MAX(round(list_dot_product(CAST(e.embedding AS DOUBLE[]), v.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(v.cvec, v.cvec))), 6))
+               AS cos_best_other
+      FROM embeddings e JOIN vec v ON e.label != v.label
+      GROUP BY e.vec_id)
+    SELECT o.label, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(o.cos_own * 1000000) AS DECIMAL(38,0)))
+                      AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_cos_own,
+           round(CAST(SUM(CAST(round(t.cos_best_other * 1000000)
+                               AS DECIMAL(38,0)))
+                      AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+             AS avg_cos_best_other,
+           round(round(CAST(SUM(CAST(round(o.cos_own * 1000000)
+                                     AS DECIMAL(38,0)))
+                            AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+                 - round(CAST(SUM(CAST(round(t.cos_best_other * 1000000)
+                                       AS DECIMAL(38,0)))
+                              AS DOUBLE) / 1000000.0 / COUNT(*), 6), 6)
+             AS separation
+    FROM own o JOIN other t ON o.vec_id = t.vec_id
+    GROUP BY o.label
+"""
