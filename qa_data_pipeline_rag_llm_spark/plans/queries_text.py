@@ -670,3 +670,61 @@ def minhash_side_sql(al: str, pred: str) -> str:
     sig_{al} AS (SELECT doc, {mins} FROM hsh_{al} GROUP BY doc),
     keys_{al} AS (SELECT doc, {band_keys} FROM sig_{al}),
     bands_{al} AS ({union})"""
+
+
+@register(
+    "dataset_card_documents",
+    f"""
+    WITH q AS ({_quality_sql("doc_id")})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT q.fingerprint) AS BIGINT) AS n_unique_docs,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           round(100.0 * SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+                 / COUNT(*), 4) AS pct_en,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM({o_bpe_token_count("d.text")}) AS BIGINT) AS bpe_tokens,
+           round(CAST(SUM(CAST(round(q.quality * 1000000) AS DECIMAL(38,0)))
+                      AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_quality,
+           round(SUM(d.n_chars) * 1.0 / COUNT(*), 4) AS avg_n_chars
+    FROM q JOIN documents d ON q.doc_id = d.doc_id
+    """,
+    doc="The one-row DATASET CARD: corpus size, exact-dup-unique count "
+    "(distinct content fingerprints), source/language diversity, token "
+    "budgets (whitespace + BPE-ish), exact average quality, and mean "
+    "length — the summary block a dataset release ships. One combinable "
+    "aggregation pass over the per-doc stats projection; the quality "
+    "average accumulates 6-dp-scaled decimals (order-independent).",
+)
+def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per = text_stats(d).join(
+        d.select("doc_id", "source", "lang", "n_chars", "text"), "doc_id"
+    )
+    return per.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("pct_en"),
+        F.sum("n_tokens").alias("ws_tokens"),
+        F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+        F.round(
+            F.sum(
+                F.round(F.col("quality") * 1000000)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / 1000000.0
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+        F.round(F.sum("n_chars") * 1.0 / F.count("*"), 4).alias("avg_n_chars"),
+    )
