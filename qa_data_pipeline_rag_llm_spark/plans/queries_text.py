@@ -728,3 +728,43 @@ def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_quality"),
         F.round(F.sum("n_chars") * 1.0 / F.count("*"), 4).alias("avg_n_chars"),
     )
+
+
+@register(
+    "near_dup_rate_by_source",
+    None,  # injected below (builds on the prune decision's oracle)
+    doc="Per-source near-duplicate PRUNE RATE: how much of each source "
+    "the dedup decision removes — the provider-quality scorecard that "
+    "feeds acquisition decisions. Composes near_dup_prune_documents "
+    "with the source dimension; one combinable aggregate.",
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pruned = REGISTRY["near_dup_prune_documents"].spark(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pruned.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_pruned"),
+            F.round(
+                F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("prune_rate"),
+        )
+    )
+
+
+REGISTRY["near_dup_rate_by_source"].oracle = f"""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT p.kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned,
+           round(SUM(CASE WHEN NOT p.kept THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS prune_rate
+    FROM ({REGISTRY["near_dup_prune_documents"].oracle}) p
+    JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source
+"""
