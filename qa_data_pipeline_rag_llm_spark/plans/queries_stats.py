@@ -931,7 +931,8 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
             lambda x: x.centroid,
         ).alias("cvec")
-    )
+    ).persist()  # K tiny rows; both join sides reference this subtree —
+    # without the cache the posexplode+agg centroid computation runs twice
     a = vec.select(F.col("label").alias("label_a"), F.col("cvec").alias("va"))
     b = vec.select(F.col("label").alias("label_b"), F.col("cvec").alias("vb"))
     return (
@@ -981,7 +982,8 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
             lambda x: x.centroid,
         ).alias("cvec")
-    )
+    ).persist()  # K tiny rows, referenced by both the own- and other-
+    # centroid broadcasts; caching halves the dominant flatten+agg cost
     emb = _t(spark, sf_dir, "embeddings")
 
     def cos(v, c):

@@ -697,11 +697,23 @@ def minhash_side_sql(al: str, pred: str) -> str:
     "average accumulates 6-dp-scaled decimals (order-independent).",
 )
 def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qa_data_pipeline_rag_llm_spark.functions.text import bpe_token_count
+    from qa_data_pipeline_rag_llm_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    per = text_stats(d).join(
-        d.select("doc_id", "source", "lang", "n_chars", "text"), "doc_id"
+    # one projection carrying stats expressions next to the raw columns —
+    # joining text_stats(d) back to d would scan+shuffle documents twice
+    per = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fingerprint"),
     )
     return per.agg(
         F.count("*").alias("n_docs"),

@@ -66,9 +66,15 @@ def generate(spark, out_dir: str) -> None:
                     r = r.withColumn(k, F.col(k) + F.lit(i * OFF))
                 if t == "documents" and i > 0:
                     # perturb text so replicas aren't verbatim dups (keeps
-                    # dedup candidate generation non-degenerate)
+                    # dedup candidate generation non-degenerate); preserve
+                    # NULL text — concat_ws would swallow it
                     r = r.withColumn(
-                        "text", F.concat_ws(" ", "text", F.lit(f"r{i}"))
+                        "text",
+                        F.when(
+                            F.col("text").isNull(), F.lit(None)
+                        ).otherwise(
+                            F.concat_ws(" ", "text", F.lit(f"r{i}"))
+                        ),
                     )
                 parts.append(r)
             reps = parts[0]
@@ -79,7 +85,8 @@ def generate(spark, out_dir: str) -> None:
 
 
 def main() -> None:
-    out_dir = sys.argv[-1] if not sys.argv[-1].startswith("-") and len(sys.argv) > 1 else "/tmp/sfsynth1"
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    out_dir = positional[0] if positional else "/tmp/sfsynth1"
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--gen" in sys.argv:
