@@ -780,3 +780,123 @@ REGISTRY["near_dup_rate_by_source"].oracle = f"""
     JOIN documents d ON p.doc_id = d.doc_id
     GROUP BY d.source
 """
+
+
+VOCAB_COVERAGE_TARGET = 0.95
+OOV_VOCAB_K = 200
+
+
+@register(
+    "vocab_coverage_documents",
+    f"""
+    WITH occ AS (
+      SELECT unnest({O.toks("text")}) AS token FROM documents
+      WHERE len({O.norm("text")}) > 0),
+    counts AS (SELECT token, COUNT(*) AS n FROM occ GROUP BY token),
+    ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS vocab_rank,
+             SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum_n,
+             SUM(n) OVER () AS total_n
+      FROM counts)
+    SELECT token, CAST(n AS BIGINT) AS n,
+           CAST(vocab_rank AS INTEGER) AS vocab_rank,
+           round(cum_n * 1.0 / total_n, 6) AS cum_share
+    FROM ranked
+    WHERE cum_n - n < total_n * {VOCAB_COVERAGE_TARGET}
+    """,
+    doc="Tokenizer-planning metric: the smallest frequency-ranked "
+    "vocabulary covering 95% of token occurrences (each kept row is a "
+    "vocab entry with its cumulative share — the last row crosses the "
+    "target). One token-count aggregate + one global-order window over "
+    "the DISTINCT-token frame (bounded by vocabulary size, not corpus "
+    "size). The keep predicate is exact integer math (cum_n - n < "
+    "total*t), immune to double rounding at the boundary.",
+)
+def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.filter(F.length(normalize_text("text")) > 0).select(
+        F.explode(tokens("text")).alias("token")
+    )
+    counts = occ.groupBy("token").agg(F.count("*").alias("n"))
+    w_order = Window.orderBy(F.desc("n"), "token")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w_order).cast("int").alias("vocab_rank"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    return ranked.filter(
+        F.col("cum_n") - F.col("n")
+        < F.col("total_n") * VOCAB_COVERAGE_TARGET
+    ).select(
+        "token",
+        "n",
+        "vocab_rank",
+        F.round(F.col("cum_n") * 1.0 / F.col("total_n"), 6).alias("cum_share"),
+    )
+
+
+@register(
+    "oov_rate_by_source",
+    f"""
+    WITH occ AS (
+      SELECT source, unnest({O.toks("text")}) AS token FROM documents
+      WHERE len({O.norm("text")}) > 0),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+                 AS r
+        FROM occ GROUP BY token) WHERE r <= {OOV_VOCAB_K})
+    SELECT o.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM occ o LEFT JOIN vocab v ON o.token = v.token
+    GROUP BY o.source
+    """,
+    doc="Domain-shift metric: per-source rate of token occurrences "
+    "outside the global top-K vocabulary — a source whose OOV rate "
+    "spikes needs its own tokenizer budget or gets fragmented. The "
+    "vocab is a bounded top-K (broadcast into the probe join); the "
+    "occurrence side streams through one left join + combinable agg.",
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.filter(F.length(normalize_text("text")) > 0).select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .select("token", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        occ.join(F.broadcast(vocab), "token", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+            F.round(F.sum(oov) * 1.0 / F.count("*"), 6).alias("oov_rate"),
+        )
+    )
