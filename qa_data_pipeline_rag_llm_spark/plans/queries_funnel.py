@@ -236,3 +236,91 @@ def event_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_vcp_runs"),
     )
+
+
+@register(
+    "abtest_conversion_events",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                       AS INTEGER) < 128 THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT
+        SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+        SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS conv_a,
+        SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS conv_b
+      FROM users)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+           round(conv_a * 1.0 / n_a, 6) AS rate_a,
+           round(conv_b * 1.0 / n_b, 6) AS rate_b,
+           CASE WHEN (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+                THEN round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                     / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_stat
+    FROM v
+    """,
+    doc="A/B experiment readout: users split deterministically by md5 "
+    "bucket (the cross-engine-checkable twin of random assignment), "
+    "per-variant purchase conversion, and the two-proportion z-test "
+    "statistic — the decision number an experimentation platform "
+    "serves. Exact integer counts; the z arithmetic is identical "
+    "IEEE double expression shape in both engines. One user-level "
+    "aggregate then a single-row reduction.",
+)
+def abtest_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(bucket < 128, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    v = users.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)
+        ).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") * 1.0 / F.col("n_a")
+    rate_b = F.col("conv_b") * 1.0 / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    tot_conv = F.col("conv_a") + F.col("conv_b")
+    tot_n = F.col("n_a") + F.col("n_b")
+    z = F.when(
+        (tot_conv > 0) & (tot_conv < tot_n),  # degenerate p∈{0,1}: no var
+        F.round(
+            (rate_a - rate_b)
+            / F.sqrt(
+                p_pool
+                * (1.0 - p_pool)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
+        ),
+    )
+    return v.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        z.alias("z_stat"),
+    )
