@@ -301,3 +301,68 @@ def survivorship_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("best_n_chars"),
         F.min("source").alias("first_source"),
     )
+
+
+@register(
+    "cdc_apply_orders",
+    """
+    WITH changes AS (
+      SELECT o_orderkey, o_totalprice, 'D' AS op FROM orders
+      WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 100.0, 'U' FROM orders
+      WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice, 'I' FROM orders
+      WHERE o_orderkey % 5 = 0),
+    unioned AS (
+      SELECT o_orderkey, o_totalprice, 'base' AS op, 0 AS seq FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, op, 1 AS seq FROM changes),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM unioned) WHERE rn = 1)
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           op AS last_op
+    FROM latest WHERE op != 'D'
+    """,
+    doc="CDC APPLY (the lakehouse MERGE pattern beyond snapshot_merge's "
+    "upserts): a change batch carrying inserts, updates, AND deletes "
+    "lands on the base snapshot — latest-wins per key via one window "
+    "over the union, deletes drop out at the end. The synthesized "
+    "change feed derives deterministically from orders so both engines "
+    "replay it; one shuffle on the merge key.",
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    deletes = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("D").alias("op")
+    )
+    updates = o.filter(
+        (F.col("o_orderkey") % 11 != 0) & (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("I").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    unioned = o.select(
+        "o_orderkey", "o_totalprice", F.lit("base").alias("op"), F.lit(0).alias("seq")
+    ).unionByName(changes.withColumn("seq", F.lit(1)))
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("op").alias("last_op"),
+        )
+    )
