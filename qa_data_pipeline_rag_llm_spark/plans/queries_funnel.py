@@ -324,3 +324,103 @@ def abtest_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b, 6).alias("rate_b"),
         z.alias("z_stat"),
     )
+
+
+PARETO_TARGET = 0.8
+
+
+@register(
+    "pareto_users_events",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 1000000) AS BIGINT)) AS v_micro
+      FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT user_id, v_micro,
+             ROW_NUMBER() OVER (ORDER BY v_micro DESC, user_id) AS user_rank,
+             SUM(v_micro) OVER (ORDER BY v_micro DESC, user_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_micro,
+             SUM(v_micro) OVER () AS total_micro,
+             COUNT(*) OVER () AS n_users
+      FROM per_user)
+    SELECT CAST(user_rank AS INTEGER) AS user_rank, user_id,
+           round(v_micro / 1000000.0, 4) AS user_value,
+           round(cum_micro * 1.0 / total_micro, 6) AS cum_share,
+           round(user_rank * 1.0 / n_users, 6) AS user_share
+    FROM ranked
+    WHERE cum_micro - v_micro < total_micro * {PARETO_TARGET}
+    """,
+    doc="Pareto concentration: the smallest value-ranked user set "
+    "producing 80% of total event value (each row a member with its "
+    "cumulative share — the last row crosses the target; user_share "
+    "at that row IS the Pareto point). Per-user totals sum exactly in "
+    "micro-units; the boundary predicate is exact integer math. The "
+    "global window runs over the per-user frame, bounded by user "
+    "cardinality.",
+)
+def pareto_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("v_micro")
+    )
+    w_order = Window.orderBy(F.desc("v_micro"), "user_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "user_id",
+        "v_micro",
+        F.row_number().over(w_order).cast("int").alias("user_rank"),
+        F.sum("v_micro").over(w_cum).alias("cum_micro"),
+        F.sum("v_micro").over(w_all).alias("total_micro"),
+        F.count("*").over(w_all).alias("n_users"),
+    )
+    return ranked.filter(
+        F.col("cum_micro") - F.col("v_micro")
+        < F.col("total_micro") * PARETO_TARGET
+    ).select(
+        "user_rank",
+        "user_id",
+        F.round(F.col("v_micro") / 1000000.0, 4).alias("user_value"),
+        F.round(F.col("cum_micro") * 1.0 / F.col("total_micro"), 6).alias(
+            "cum_share"
+        ),
+        F.round(F.col("user_rank") * 1.0 / F.col("n_users"), 6).alias(
+            "user_share"
+        ),
+    )
+
+
+@register(
+    "repeat_rate_cohorts",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             strftime(MIN(o_orderdate), '%Y-%m') AS cohort_month,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey)
+    SELECT cohort_month,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS repeat_rate
+    FROM per_cust GROUP BY cohort_month
+    """,
+    doc="Cohort repeat rate: customers grouped by first-order month, "
+    "share that ever ordered again — the loyalty readout next to "
+    "retention_cohorts_events' activity view. Two combinable "
+    "aggregates, no window.",
+)
+def repeat_rate_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort_month"),
+        F.count("*").alias("n_orders"),
+    )
+    repeat = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return per_cust.groupBy("cohort_month").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(repeat).alias("n_repeat"),
+        F.round(F.sum(repeat) * 1.0 / F.count("*"), 6).alias("repeat_rate"),
+    )
