@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+from qa_data_pipeline_rag_llm_spark.plans.queries_sampling import (
+    _DUCK_BUCKET,
+    _SPARK_BUCKET,
+)
 
 
 @register(
@@ -240,11 +244,11 @@ def event_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "abtest_conversion_events",
-    """
+    f"""
     WITH users AS (
       SELECT user_id,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
-                       AS INTEGER) < 128 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN {_DUCK_BUCKET.format(key="user_id")} < 128
+                  THEN 'A' ELSE 'B' END AS variant,
              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
       FROM events GROUP BY user_id),
     v AS (
@@ -275,9 +279,7 @@ def event_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def abtest_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
+    bucket = F.expr(_SPARK_BUCKET.format(key="user_id"))
     users = ev.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)

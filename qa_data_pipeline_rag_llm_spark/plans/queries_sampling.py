@@ -322,7 +322,7 @@ def survivorship_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest AS (
       SELECT * FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-                                     ORDER BY seq DESC) AS rn
+                                     ORDER BY seq DESC, op) AS rn
         FROM unioned) WHERE rn = 1)
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
            op AS last_op
@@ -356,7 +356,10 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned = o.select(
         "o_orderkey", "o_totalprice", F.lit("base").alias("op"), F.lit(0).alias("seq")
     ).unionByName(changes.withColumn("seq", F.lit(1)))
-    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    # op tie-break: at huge SFs a synthetic insert key (base + 1e9) can
+    # collide with a real orderkey whose D/U change shares seq=1 — the op
+    # order keeps the winner deterministic and cross-engine identical
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"), "op")
     return (
         unioned.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))

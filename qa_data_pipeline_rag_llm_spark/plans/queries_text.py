@@ -849,22 +849,24 @@ def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "oov_rate_by_source",
     f"""
-    WITH occ AS (
-      SELECT source, unnest({O.toks("text")}) AS token FROM documents
-      WHERE len({O.norm("text")}) > 0),
+    WITH counts_st AS (
+      SELECT source, token, COUNT(*) AS cnt FROM (
+        SELECT source, unnest({O.toks("text")}) AS token FROM documents
+        WHERE len({O.norm("text")}) > 0)
+      GROUP BY source, token),
     vocab AS (
       SELECT token FROM (
-        SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+        SELECT token, ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, token)
                  AS r
-        FROM occ GROUP BY token) WHERE r <= {OOV_VOCAB_K})
-    SELECT o.source,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_oov,
-           round(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 6) AS oov_rate
-    FROM occ o LEFT JOIN vocab v ON o.token = v.token
-    GROUP BY o.source
+        FROM counts_st GROUP BY token) WHERE r <= {OOV_VOCAB_K})
+    SELECT c.source,
+           CAST(SUM(c.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN c.cnt ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(SUM(CASE WHEN v.token IS NULL THEN c.cnt ELSE 0 END) * 1.0
+                 / SUM(c.cnt), 6) AS oov_rate
+    FROM counts_st c LEFT JOIN vocab v ON c.token = v.token
+    GROUP BY c.source
     """,
     doc="Domain-shift metric: per-source rate of token occurrences "
     "outside the global top-K vocabulary — a source whose OOV rate "
@@ -879,24 +881,31 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    occ = d.filter(F.length(normalize_text("text")) > 0).select(
-        "source", F.explode(tokens("text")).alias("token")
+    # ONE tokenize/explode pass: aggregate to (source, token, cnt) first;
+    # both the vocab ranking and the probe join consume that small frame
+    # instead of re-scanning the corpus (review 8d3f4d6..HEAD #3)
+    counts_st = (
+        d.filter(F.length(normalize_text("text")) > 0)
+        .select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # bounded by |sources|×|vocab|; two consumers below
     )
     w = Window.orderBy(F.desc("n"), "token")
     vocab = (
-        occ.groupBy("token")
-        .agg(F.count("*").alias("n"))
+        counts_st.groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
         .select("token", F.row_number().over(w).alias("r"))
         .filter(F.col("r") <= OOV_VOCAB_K)
         .select("token", F.lit(1).alias("in_vocab"))
     )
-    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    oov_cnt = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)
     return (
-        occ.join(F.broadcast(vocab), "token", "left_outer")
+        counts_st.join(F.broadcast(vocab), "token", "left_outer")
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(oov).alias("n_oov"),
-            F.round(F.sum(oov) * 1.0 / F.count("*"), 6).alias("oov_rate"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(oov_cnt).alias("n_oov"),
+            F.round(F.sum(oov_cnt) * 1.0 / F.sum("cnt"), 6).alias("oov_rate"),
         )
     )
