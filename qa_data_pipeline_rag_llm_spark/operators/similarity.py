@@ -145,6 +145,65 @@ def embedding_near_dup(
     return pairs.filter(F.col("sim") >= cosine_threshold)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    planes: int = 4,
+    cosine_threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape:
+    cluster, then drop all-but-one of each within-cluster ε-ball).
+
+    The corpus is partitioned into deterministic angular cells (SRP-LSH
+    orthants — the zero-RNG stand-in for SemDeDup's k-means step), then a
+    vector is DROPPED iff some higher-priority member of its cell (lower
+    id — the keeper-priority proxy for SemDeDup's "closest to centroid")
+    has exact cosine ≥ ``cosine_threshold`` with it. Returns every input
+    row as (id, cell, kept) so the caller can filter or audit.
+
+    Non-greedy relaxation, documented: priority is the global id order,
+    not prefix-dependent greedy suppression (which is order-sequential,
+    unscalable, and not SQL-expressible); the relaxation can only
+    over-prune, never under-prune.
+
+    Scale: cell assignment is a map-only projection; the pair join
+    shuffles on the cell key and generates candidates only within cells
+    (n²/cells bound — pick ``planes`` so cells stay executor-sized at the
+    target corpus; at 100 TB that is 16+ planes, not the toy 4 here).
+    Reference parity: the reference's only semantic grouping is HDBSCAN →
+    similar-posts (PLATFORM-contextual-Chunking.py:83-113); this is the
+    training-data extension of that surface.
+    """
+    sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
+    v = vectors.join(sig, id_col).withColumn("_n", norm(F.col(vec_col)))
+    dup_ids = (
+        v.alias("a")
+        .join(v.alias("b"), "sig")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.round(
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            )
+            >= cosine_threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        v.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            F.col("sig").alias("cell"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     probes: DataFrame,

@@ -240,6 +240,47 @@ def density_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_PLANES = 4
+SEMDEDUP_COS = 0.3
+
+_O_PAIR_COS = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+)
+
+
+@register(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH sig AS (SELECT vec_id, {_o_sig("embeddings", SEMDEDUP_PLANES)} AS sig FROM embeddings),
+    v AS (SELECT e.vec_id, e.embedding, s.sig
+          FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE {_O_PAIR_COS} >= {SEMDEDUP_COS})
+    SELECT v.vec_id, v.sig AS cell, (d.vec_id IS NULL) AS kept
+    FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic "
+    f"SRP angular cells ({SEMDEDUP_PLANES} planes) stand in for the k-means "
+    "step, then within each cell every vector with exact cosine ≥ "
+    f"{SEMDEDUP_COS} to a higher-priority (lower-id) member is dropped. "
+    "Per-row keep/drop verdict, fully oracle-checked; candidate pairs are "
+    "bounded by cell size, never O(n²).",
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        planes=SEMDEDUP_PLANES,
+        cosine_threshold=SEMDEDUP_COS,
+        dims=DIMS,
+    )
+
+
 @register(
     "kmeans_clusters",
     None,  # iterative ML (M2 stand-in) — not SQL-expressible; determinism
