@@ -176,30 +176,26 @@ def semantic_dedup(
     similar-posts (PLATFORM-contextual-Chunking.py:83-113); this is the
     training-data extension of that surface.
     """
-    sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
-    v = vectors.join(sig, id_col).withColumn("_n", norm(F.col(vec_col)))
+    # one copy of the candidate-pair pipeline: a DROPPED id is exactly an
+    # id_b of some qualifying near-dup pair (ADVICE r02 — was a line-for-
+    # line duplicate of embedding_near_dup's sig-join/cosine-filter)
     dup_ids = (
-        v.alias("a")
-        .join(v.alias("b"), "sig")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .filter(
-            F.round(
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (F.col("a._n") * F.col("b._n")),
-                6,
-            )
-            >= cosine_threshold
+        embedding_near_dup(
+            vectors, planes, cosine_threshold, id_col, vec_col, dims=dims
         )
-        .select(F.col(f"b.{id_col}").alias(id_col))
+        .select(F.col("id_b").alias(id_col))
         .distinct()
-        .withColumn("_dup", F.lit(True))
     )
+    sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
+    dup_marked = dup_ids.withColumn("_dup_id", F.col(id_col))
     return (
-        v.join(dup_ids, id_col, "left")
+        vectors.join(sig, id_col)
+        .join(dup_marked, id_col, "left")
         .select(
             id_col,
             F.col("sig").alias("cell"),
-            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+            # kept iff no dup row matched — mirrors the oracle's IS NULL
+            F.col("_dup_id").isNull().alias("kept"),
         )
     )
 

@@ -160,10 +160,13 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.expr(f"{_IDF} * {_TFW}")), 4).alias("score"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k
+    # + driver merge of depth·P rows) — the rank window then touches only
+    # `depth` rows instead of pushing the corpus-sized score frame through
+    # a single task (VERDICT r02 #1).
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(depth)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= depth
-    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 _O_COS_Q = (

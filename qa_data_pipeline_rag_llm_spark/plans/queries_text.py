@@ -809,9 +809,10 @@ OOV_VOCAB_K = 200
     doc="Tokenizer-planning metric: the smallest frequency-ranked "
     "vocabulary covering 95% of token occurrences (each kept row is a "
     "vocab entry with its cumulative share — the last row crosses the "
-    "target). One token-count aggregate + one global-order window over "
-    "the DISTINCT-token frame (bounded by vocabulary size, not corpus "
-    "size). The keep predicate is exact integer math (cum_n - n < "
+    "target). One token-count aggregate; rank + running sum over the "
+    "token-TYPE frame use the two-pass partition-offset pattern "
+    "(operators/cumulative.py) since vocabulary size grows with the "
+    "corpus. The keep predicate is exact integer math (cum_n - n < "
     "total*t), immune to double rounding at the boundary.",
 )
 def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,16 +825,26 @@ def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.filter(F.length(normalize_text("text")) > 0).select(
         F.explode(tokens("text")).alias("token")
     )
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum,
+    )
+
     counts = occ.groupBy("token").agg(F.count("*").alias("n"))
-    w_order = Window.orderBy(F.desc("n"), "token")
-    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = counts.select(
-        "token",
-        "n",
-        F.row_number().over(w_order).cast("int").alias("vocab_rank"),
-        F.sum("n").over(w_cum).alias("cum_n"),
-        F.sum("n").over(w_all).alias("total_n"),
+    # The token-TYPE frame grows with the corpus (tens of millions of
+    # types at 100 TB) — rank + running sum go through the two-pass
+    # partition-offset pattern, total via one-row aggregate broadcast
+    # (VERDICT r02 #1).
+    total = counts.agg(F.sum("n").alias("total_n"))
+    ranked = (
+        rank_cumsum(
+            counts,
+            [F.desc("n"), F.col("token")],
+            "n",
+            rank_col="vocab_rank",
+            cumsum_col="cum_n",
+        )
+        .withColumn("vocab_rank", F.col("vocab_rank").cast("int"))
+        .crossJoin(F.broadcast(total))
     )
     return ranked.filter(
         F.col("cum_n") - F.col("n")
@@ -882,21 +893,25 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     # ONE tokenize/explode pass: aggregate to (source, token, cnt) first;
-    # both the vocab ranking and the probe join consume that small frame
-    # instead of re-scanning the corpus (review 8d3f4d6..HEAD #3)
+    # both the vocab ranking and the probe join consume the SAME plan
+    # subtree, so ReuseExchange computes the explode+agg shuffle once —
+    # no persist() needed (a registry query can't unpersist after the
+    # caller executes it; VERDICT r02 #9 leak class).
     counts_st = (
         d.filter(F.length(normalize_text("text")) > 0)
         .select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("cnt"))
-        .persist()  # bounded by |sources|×|vocab|; two consumers below
     )
-    w = Window.orderBy(F.desc("n"), "token")
+    # top-K vocab membership needs no rank column → orderBy+limit
+    # compiles to TakeOrderedAndProject (per-partition top-K + driver
+    # merge), not a token-type-sized single-task rank window (VERDICT
+    # r02 #1).
     vocab = (
         counts_st.groupBy("token")
         .agg(F.sum("cnt").alias("n"))
-        .select("token", F.row_number().over(w).alias("r"))
-        .filter(F.col("r") <= OOV_VOCAB_K)
+        .orderBy(F.desc("n"), "token")
+        .limit(OOV_VOCAB_K)
         .select("token", F.lit(1).alias("in_vocab"))
     )
     oov_cnt = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)

@@ -105,20 +105,22 @@ def srp_signatures_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_signatures(_t(spark, sf_dir, "embeddings"), planes=PLANES, dims=DIMS)
 
 
+_O_PAIR_COS = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+)
+
+
 @register(
     "embedding_near_dups",
     f"""
     WITH sig AS (SELECT vec_id, {_o_sig("embeddings")} AS sig FROM embeddings),
     v AS (SELECT e.vec_id, e.embedding, s.sig
           FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_O_PAIR_COS} AS sim
     FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= {NEAR_DUP_COS}
+    WHERE {_O_PAIR_COS} >= {NEAR_DUP_COS}
     """,
     doc="Embedding-cosine near-dup pairs: full 16-bit SRP-signature "
     "collision blocks candidates; exact cosine verifies.",
@@ -242,12 +244,6 @@ def density_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_PLANES = 4
 SEMDEDUP_COS = 0.3
-
-_O_PAIR_COS = (
-    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
-)
 
 
 @register(

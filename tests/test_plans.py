@@ -254,3 +254,51 @@ def test_no_registry_query_plans_row_udf(spark, tables):
         if re.search(r"\bBatchEvalPython\b", _plan(spark, name)):
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDF plans: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r02 #1: no corpus-sized single-partition rank windows.
+# A Window.orderBy with no partitionBy sorts its whole input in ONE task;
+# that is only acceptable when the input is already bounded (a Limit /
+# TakeOrderedAndProject, or a ≤partition-count summary frame). These pin
+# the six fixed plans.
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["bm25_search_documents", "skew_profile_events", "bigram_stats_documents"],
+)
+def test_topk_rank_windows_sit_above_takeordered(spark, name):
+    """The rank window's input must be an orderBy+limit (compiled to
+    TakeOrderedAndProject), never the full score/key/pair frame."""
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_oov_vocab_topk_is_takeordered(spark):
+    plan = _plan(spark, "oov_rate_by_source")
+    assert "TakeOrderedAndProject" in plan
+    # the old shape ranked the token-type frame through a global window
+    assert "row_number" not in plan.lower()
+
+
+@pytest.mark.parametrize(
+    "name", ["pareto_users_events", "vocab_coverage_documents"]
+)
+def test_cumulative_queries_use_partition_offset_pattern(spark, name):
+    """Global rank+cumsum must run as the two-pass partition-offset
+    pattern (operators/cumulative.py): a range exchange feeds P parallel
+    per-partition windows; the only unpartitioned window is over the
+    P-row per-partition summary frame (its input is an Aggregate on the
+    synthetic partition-id column, bounded by partition count)."""
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # every Window node: either partitioned by the pid column, or fed by
+    # the pid-grouped P-row summary aggregate
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
+        spec = m.group(0)
+        if "__cum_pid" not in spec:
+            raise AssertionError(f"unpartitioned non-offset window: {spec}")
