@@ -549,3 +549,64 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_retrieval  # noqa: E402
 from qa_data_pipeline_rag_llm_spark.plans import queries_diff_mining  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_curation  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_audit  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Deterministic registry ordering for external verification sweeps.
+#
+# The driver's correctness sweep samples a PREFIX of the registry, so the
+# iteration order decides which queries get an independent cross-engine
+# check each round. Order by verification debt: queries the recorded
+# CORRECTNESS artifacts have never covered come first (oracled before
+# rows-only), already-verified ones last — each round's artifact then
+# rotates fresh coverage in automatically. The §2 ingest/serving spine
+# (the reference's entry points 1 and 3: main-spark.py:4-10,
+# app2.py:133-247) is pinned to the very front (VERDICT r02 #3: never
+# verified in two rounds).
+
+
+_PINNED_FIRST = [
+    "ingest_normalize_posts",
+    "ingest_keep_first",
+    "flatten_comment_tree",
+    "csv_roundtrip_documents",
+    "catalog_tables",
+    "rag_generate",
+]
+
+
+def _verified_names() -> set[str]:
+    import json
+    from pathlib import Path
+
+    seen: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for art in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            seen.update(json.loads(art.read_text()))
+        except Exception:  # artifact malformed/absent — order still total
+            pass
+    return seen
+
+
+def _reorder_registry() -> None:
+    seen = _verified_names()
+    names = list(REGISTRY)
+
+    def bucket(n: str) -> int:
+        if n in _PINNED_FIRST:
+            return 0
+        if n not in seen and REGISTRY[n].oracle:
+            return 1
+        if n not in seen:
+            return 2
+        return 3
+
+    ordered = sorted(names, key=lambda n: (bucket(n), names.index(n)))
+    snapshot = dict(REGISTRY)
+    REGISTRY.clear()
+    for n in ordered:
+        REGISTRY[n] = snapshot[n]
+
+
+_reorder_registry()
