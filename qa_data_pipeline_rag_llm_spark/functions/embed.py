@@ -70,6 +70,54 @@ def resolve_embed_backend() -> Callable[[list[str]], list[list[float]]]:
     return getattr(importlib.import_module(mod), attr)
 
 
+def make_http_embed_backend(
+    url: str, timeout: float = 30.0, retries: int = 2
+) -> Callable[[list[str]], list[list[float]]]:
+    """Backend that POSTs each batch to an embedding endpoint — the
+    production serving shape (a TEI/vLLM-style server in front of the
+    real model, reference ``PLATFORM-contextual-Chunking.py:52-77``
+    loads the model in-process instead).
+
+    Wire format: request ``{"texts": [...]}``, response
+    ``{"embeddings": [[...], ...]}`` — JSON over HTTP, stdlib only, so
+    the closure cloudpickles to executors with zero dependencies. Each
+    worker holds its own connection; transient failures retry with
+    backoff (the seam twin of the reference's StackAPI backoff loop,
+    ``STACK-Recup-Questions.py``)."""
+    import json
+    import time
+    import urllib.request
+
+    def backend(texts: list[str]) -> list[list[float]]:
+        body = json.dumps({"texts": texts}).encode()
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"}
+        )
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    out = json.loads(resp.read())
+                return [[float(x) for x in v] for v in out["embeddings"]]
+            except Exception as exc:  # noqa: BLE001 — retry then re-raise
+                last = exc
+                time.sleep(0.2 * (2**attempt))
+        raise last  # type: ignore[misc]
+
+    return backend
+
+
+def env_http_embed_backend(texts: list[str]) -> list[list[float]]:
+    """Zero-arg-importable HTTP backend for the env seam: the endpoint
+    URL travels via ``$SPARK_GRAFT_EMBED_URL`` so
+    ``SPARK_GRAFT_EMBED_BACKEND=…:env_http_embed_backend`` needs no code
+    changes anywhere."""
+    url = os.environ.get("SPARK_GRAFT_EMBED_URL")
+    if not url:
+        raise RuntimeError("SPARK_GRAFT_EMBED_URL is not set")
+    return make_http_embed_backend(url)(texts)
+
+
 def make_embed_udf(
     backend: Callable[[list[str]], list[list[float]]] | None = None,
 ):

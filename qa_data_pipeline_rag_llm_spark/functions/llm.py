@@ -59,6 +59,36 @@ def resolve_generate_backend() -> Callable[[list[str]], list[str]]:
     return getattr(importlib.import_module(mod), attr)
 
 
+def make_http_generate_backend(
+    url: str, timeout: float = 60.0, retries: int = 2
+) -> Callable[[list[str]], list[str]]:
+    """Backend that POSTs prompt batches to a completion endpoint — the
+    production serving shape for M5 (the reference calls a local LLM
+    runtime in-process instead, ``PLATFORM-GenerationLLM.py:183-211``).
+    Wire format: ``{"prompts": [...]}`` → ``{"completions": [...]}``;
+    stdlib-only so the closure cloudpickles to executors."""
+    import json
+    import time
+    import urllib.request
+
+    def backend(prompts: list[str]) -> list[str]:
+        body = json.dumps({"prompts": prompts}).encode()
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"}
+        )
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return [str(c) for c in json.loads(resp.read())["completions"]]
+            except Exception as exc:  # noqa: BLE001 — retry then re-raise
+                last = exc
+                time.sleep(0.2 * (2**attempt))
+        raise last  # type: ignore[misc]
+
+    return backend
+
+
 def make_generate_udf(
     backend: Callable[[list[str]], list[str]] | None = None,
 ):
