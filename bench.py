@@ -19,7 +19,11 @@ UNIFORM host throttling (every sample slow, median≈min, flag stays
 false). It is the minimum of 3 runs of a fixed data-independent probe
 (sum over range(10^8)) on the same session; ~0.5 s on an unloaded
 local[32] box. To compare two bench artifacts fairly, normalize their
-totals by their calibration values.
+totals by their calibration values — the artifact now does this itself:
+``value_calibrated`` applies ``anchor/measured`` when the probe ran
+slower than the recorded anchor, and ``contaminated_uniform`` flags a
+probe slower than 1.5× it (VERDICT r02 #6: a uniformly-loaded host
+inflates median and min alike, invisible to the per-query flag).
 """
 
 from __future__ import annotations
@@ -38,6 +42,16 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY  # noqa: E402
 from qa_data_pipeline_rag_llm_spark.session import get_spark  # noqa: E402
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Recorded anchor for the calibration probe: the round-2 driver
+# environment measured 0.483 (BENCH_r02.json). value_calibrated rescales
+# the total by anchor/measured — but only DOWNWARD (a host slower than
+# the anchor gets corrected; a faster host is reported as-is, since the
+# single-thread probe under-predicts full-query speedups) — so a
+# uniformly-throttled run self-identifies in the artifact instead of
+# needing a judge re-run (VERDICT r02 #6). contaminated_uniform trips
+# when the probe itself ran >1.5× the anchor.
+CAL_ANCHOR_SEC = 0.483
 
 
 def execute(df) -> None:
@@ -62,7 +76,23 @@ def main() -> None:
         cal_samples.append(time.perf_counter() - t0)
     calibration = round(min(cal_samples), 3)
 
-    bench_names = [n for n, s in REGISTRY.items() if s.bench]
+    # Canonical execution order, pinned for artifact-to-artifact
+    # comparability (the registry's iteration order now rotates by
+    # verification debt; bench timing must not rotate with it). New
+    # bench-flagged queries append after the recorded set.
+    canonical = [
+        "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+        "topk_orders_per_customer", "order_line_ids", "sessionize_events",
+        "text_stats_documents", "minhash_signatures_documents",
+        "cosine_topk_embeddings", "qa_pipeline_docs", "q6_forecast_revenue",
+        "q10_returned_items", "q13_customer_distribution",
+        "asof_click_before_purchase", "chunk_documents",
+        "corpus_prep_pipeline", "hybrid_rrf_retrieval",
+    ]
+    flagged = [n for n, s in REGISTRY.items() if s.bench]
+    bench_names = [n for n in canonical if n in flagged] + [
+        n for n in flagged if n not in canonical
+    ]
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     for name in bench_names:
@@ -92,6 +122,13 @@ def main() -> None:
                 "warm": True,
                 "contaminated": inflated >= 3,
                 "calibration_sec": calibration,
+                "calibration_anchor_sec": CAL_ANCHOR_SEC,
+                "value_calibrated": round(
+                    total * min(1.0, CAL_ANCHOR_SEC / calibration), 3
+                )
+                if calibration > 0
+                else total,
+                "contaminated_uniform": calibration > 1.5 * CAL_ANCHOR_SEC,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
