@@ -1,30 +1,41 @@
-"""Distributed global rank + running sum (two-pass partition-offset).
+"""Distributed global rank + running sum (two-pass bucket-offset).
 
 A ``Window.orderBy(...)`` with no ``partitionBy`` pushes the whole frame
 through ONE task — fine for a pre-aggregated bounded frame, a scale
 killer when the frame grows with the data (VERDICT r02 #1: the Pareto
 per-user frame and the vocabulary-coverage token-type frame both do).
 
-The classic fix is the two-pass partition-offset pattern (the same shape
-MapReduce "total order" sorts and Flink's range-partitioned rank use):
+The fix is the classic two-pass offset pattern, with one hard-won
+subtlety: the buckets MUST be a pure function of the data, never of the
+physical partition layout. A first cut used ``repartitionByRange`` +
+``spark_partition_id()``; under AQE the two plan branches that read the
+exchange (the local-window branch and the per-bucket-summary branch) can
+get DIFFERENT coalesced shuffle reads, so the same row observes two
+different partition ids and the offsets silently corrupt (caught by the
+sf0.01 driver-emulation sweep — 11 "deciles" out of a 10-bucket query).
 
-1. ``repartitionByRange`` on the sort key → partition *i* holds a
-   contiguous key range, partitions ordered by the sort order.
-2. Within each partition, a window PARTITIONED by the physical partition
-   id computes a local ``row_number`` and local running sum — P parallel
-   tasks, no global sort task.
-3. A per-partition summary (count, sum) — P rows — gets its own
-   cumulative offsets via a window over those P rows (bounded by the
-   partition count, not the data), and is broadcast-joined back.
+Data-derived design, no physical dependence anywhere:
 
-``global rank = local rank + rows in earlier partitions``;
-``running sum = local running sum + sum of earlier partitions``.
+1. One aggregate computes ~P approximate quantile boundaries of the
+   bucket key (a one-row frame, broadcast; both branches share the same
+   BroadcastExchange, and even a recompute is the same pure function).
+2. ``bucket id = #boundaries strictly before the key`` — a projection of
+   the row against the broadcast bounds array. Equal keys always land in
+   the same bucket, and bucket id is monotone in the sort order, so
+   buckets are contiguous key ranges.
+3. A window PARTITIONED by bucket id computes local rank/running sum —
+   ≤P parallel sorts, no single-task global sort.
+4. The per-bucket summary (count, sum — ≤P rows) gets cumulative
+   offsets via a window over bucket ids (bounded by P, not the data) and
+   broadcast-joins back:
+   ``global rank = local rank + rows in earlier buckets``;
+   ``running sum = local running sum + sum of earlier buckets``.
 
-Correctness subtlety: ``spark_partition_id()`` is only meaningful
-relative to the range partitioning, so the frame is materialized through
-the exchange before the id is read; the order columns must form a total
-order (callers pass a unique tie-break column) so results are
-deterministic and oracle-hashable.
+The order columns must form a total order (callers pass a unique
+tie-break) so results are deterministic and oracle-hashable. Skew note:
+a single key with a huge tie mass (e.g. count=1 token types) collapses
+into one bucket — the residual hot-bucket risk; pick a higher-resolution
+bucket key if that bites.
 """
 
 from __future__ import annotations
@@ -34,7 +45,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_PID = "__cum_pid"
+_BID = "__cum_bid"
+_BOUNDS = "__cum_bounds"
 _LRANK = "__cum_lrank"
 _LSUM = "__cum_lsum"
 _OFF_ROWS = "__cum_off_rows"
@@ -47,46 +59,69 @@ def rank_cumsum(
     value_col: str,
     rank_col: str = "rank",
     cumsum_col: str = "cumsum",
-    num_partitions: int | None = None,
+    bucket_col: str | None = None,
+    descending: bool = False,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Append a global ``row_number`` (``rank_col``) and running sum of
     ``value_col`` (``cumsum_col``) ordered by ``order_by``, without a
     single-task global window.
 
     ``order_by`` must totally order the frame (include a unique
-    tie-break). ``num_partitions`` defaults to the session shuffle
-    partition count.
+    tie-break). ``bucket_col`` is the numeric column driving the range
+    buckets — it must be the leading sort key — and ``descending`` its
+    direction; ``num_buckets`` defaults to the session shuffle partition
+    count.
     """
-    if num_partitions is None:
-        num_partitions = int(
+    if bucket_col is None:
+        raise ValueError("bucket_col (the leading numeric sort key) is required")
+    if num_buckets is None:
+        num_buckets = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    parts = df.repartitionByRange(num_partitions, *order_by).withColumn(
-        _PID, F.spark_partition_id()
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(
+            F.col(bucket_col).cast("double"),
+            F.array(*[F.lit(q) for q in qs]),
+            F.lit(10_000),
+        ).alias(_BOUNDS)
     )
-    w_local = Window.partitionBy(_PID).orderBy(*order_by)
+    key = F.col(bucket_col).cast("double")
+    before = (lambda b: b > key) if descending else (lambda b: b < key)
+    bid = F.aggregate(
+        F.coalesce(F.col(_BOUNDS), F.array()),
+        F.lit(0),
+        lambda acc, b: acc + F.when(before(b), 1).otherwise(0),
+    )
+    parts = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(_BID, bid)
+        .drop(_BOUNDS)
+    )
+    w_local = Window.partitionBy(_BID).orderBy(*order_by)
     w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = parts.select(
         "*",
         F.row_number().over(w_local).alias(_LRANK),
         F.sum(value_col).over(w_cum).alias(_LSUM),
     )
-    # P-row summary frame: cumulative offsets over partition ids. The
-    # window here is global but bounded by the partition count.
-    psum = local.groupBy(_PID).agg(
+    # ≤P-row summary frame: cumulative offsets over bucket ids. The
+    # window here is global but bounded by the bucket count.
+    psum = parts.groupBy(_BID).agg(
         F.count("*").alias("_rows"), F.sum(value_col).alias("_sum")
     )
-    w_off = Window.orderBy(_PID).rowsBetween(
+    w_off = Window.orderBy(_BID).rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
     offsets = psum.select(
-        _PID,
+        _BID,
         F.coalesce(F.sum("_rows").over(w_off), F.lit(0)).alias(_OFF_ROWS),
         F.coalesce(F.sum("_sum").over(w_off), F.lit(0)).alias(_OFF_SUM),
     )
-    out = local.join(F.broadcast(offsets), _PID)
+    out = local.join(F.broadcast(offsets), _BID)
     return (
         out.withColumn(rank_col, (F.col(_LRANK) + F.col(_OFF_ROWS)))
         .withColumn(cumsum_col, F.col(_LSUM) + F.col(_OFF_SUM))
-        .drop(_PID, _LRANK, _LSUM, _OFF_ROWS, _OFF_SUM)
+        .drop(_BID, _LRANK, _LSUM, _OFF_ROWS, _OFF_SUM)
     )

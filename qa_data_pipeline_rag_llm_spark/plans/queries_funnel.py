@@ -386,6 +386,8 @@ def pareto_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_micro",
             rank_col="user_rank",
             cumsum_col="cum_micro",
+            bucket_col="v_micro",
+            descending=True,
         )
         .withColumn("user_rank", F.col("user_rank").cast("int"))
         .crossJoin(F.broadcast(totals))

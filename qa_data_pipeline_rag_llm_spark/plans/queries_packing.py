@@ -129,6 +129,72 @@ def pack_documents_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SHARDS = 8
+
+
+@register(
+    "pack_documents_sharded",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len(string_split(coalesce(text, ''), ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS start_off
+      FROM toks)
+    SELECT shard * 1000000 + CAST(start_off AS BIGINT) // {BLOCK_TOKENS}
+             AS block_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS block_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """,
+    doc="The 100 TB twin of pack_documents_blocks (VERDICT r02 #7): "
+    f"documents shard by doc_id mod {PACK_SHARDS}, each shard packs its "
+    f"own {BLOCK_TOKENS}-token blocks independently (running offset is a "
+    "PARTITIONED window — one shuffle, S parallel sorts, no single-task "
+    "total order), and block ids are globally unique by shard prefix. "
+    "Blocks never cross shard boundaries, so the only difference from "
+    "the exact form is WHICH docs share a block — per-block invariants "
+    "and corpus totals are preserved (tests/test_scale_twins.py); with "
+    "one shard the outputs are identical.",
+)
+def pack_documents_sharded(
+    spark: SparkSession, sf_dir: str, shards: int = PACK_SHARDS
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        packed.groupBy(
+            (
+                F.col("shard") * 1000000
+                + F.expr(f"start_off div {BLOCK_TOKENS}")
+            ).alias("block_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("block_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 @register(
     "cross_join_nation_region",
     """

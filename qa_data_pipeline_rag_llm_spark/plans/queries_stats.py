@@ -277,6 +277,64 @@ def decile_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decile_stats_approx",
+    f"""
+    WITH vc AS (SELECT l_extendedprice AS p, COUNT(*) AS c
+                FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM vc),
+    cum AS (SELECT p, c,
+                   SUM(c) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c AS cum_lt
+            FROM vc)
+    SELECT CAST((cum_lt * 10) // n + 1 AS INTEGER) AS decile,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           min(p) AS min_price, max(p) AS max_price,
+           round(CAST(SUM(CAST(CAST(round(p * 10000) AS BIGINT) * c
+                 AS DECIMAL(38,0))) AS DOUBLE) / 10000.0, 2) AS total
+    FROM cum, tot GROUP BY 1
+    """,
+    doc="The 100 TB twin of decile_stats_lineitem (VERDICT r02 #7): "
+    "value-level deciles with NO single-task sort — aggregate to the "
+    "distinct-price frame, distribute rank+cumsum over it (two-pass "
+    "partition-offset, operators/cumulative.py), assign decile by exact "
+    "integer position math, and compute every per-decile stat from the "
+    "(price, count) frame itself — rows never re-join. Ties never split "
+    "across deciles (the one semantic difference from ntile, which "
+    "splits them by tie-break); with all-distinct values the two agree "
+    "exactly (tests/test_scale_twins.py).",
+)
+def decile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum,
+    )
+    from qa_data_pipeline_rag_llm_spark.plans.queries import SCALE, _sl
+
+    li = _t(spark, sf_dir, "lineitem")
+    vc = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
+        F.count("*").alias("c")
+    )
+    tot = vc.agg(F.sum("c").alias("n"))
+    cum = rank_cumsum(
+        vc, [F.col("p")], "c", cumsum_col="cum", bucket_col="p"
+    ).crossJoin(
+        F.broadcast(tot)
+    )
+    decile = (F.expr("((cum - c) * 10) div n") + 1).cast("int")
+    return cum.groupBy(decile.alias("decile")).agg(
+        F.sum("c").alias("n_rows"),
+        F.min("p").alias("min_price"),
+        F.max("p").alias("max_price"),
+        F.round(
+            F.sum((_sl(F.col("p")) * F.col("c")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.lit(float(SCALE)),
+            2,
+        ).alias("total"),
+    )
+
+
+@register(
     "range_window_events",
     f"""
     SELECT event_id, user_id,

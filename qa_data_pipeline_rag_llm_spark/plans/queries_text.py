@@ -842,6 +842,8 @@ def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             rank_col="vocab_rank",
             cumsum_col="cum_n",
+            bucket_col="n",
+            descending=True,
         )
         .withColumn("vocab_rank", F.col("vocab_rank").cast("int"))
         .crossJoin(F.broadcast(total))

@@ -1,10 +1,11 @@
 """operators/cumulative.rank_cumsum: distributed global rank + running sum.
 
-Parity against the naive single-task window (the thing it replaces), plus
-determinism across repeated executions — the pattern's one correctness
-subtlety is that both plan branches must observe the SAME range-partition
-assignment (ReuseExchange); a mismatch would show up here as offset
-drift.
+Parity against the naive single-task window (the thing it replaces),
+determinism across repeated executions, and the regression that forced
+the data-derived-bucket design: with a CACHED input under AQE, the two
+plan branches can read the same shuffle through different coalesced
+specs, so any physical-partition-id bucketing silently corrupts offsets
+(first seen as 11 "deciles" at sf0.01 through the driver wrapper).
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def _naive(df):
 def test_rank_cumsum_matches_single_window(spark):
     df = _frame(spark)
     got = (
-        rank_cumsum(df, [F.desc("v"), F.col("id")], "v")
+        rank_cumsum(df, [F.desc("v"), F.col("id")], "v", bucket_col="v", descending=True)
         .select("id", "rank", "cumsum")
         .collect()
     )
@@ -46,9 +47,9 @@ def test_rank_cumsum_matches_single_window(spark):
 
 def test_rank_cumsum_deterministic_across_runs(spark):
     df = _frame(spark, n=3000)
-    res = rank_cumsum(df, [F.desc("v"), F.col("id")], "v").select(
-        "id", "rank", "cumsum"
-    )
+    res = rank_cumsum(
+        df, [F.desc("v"), F.col("id")], "v", bucket_col="v", descending=True
+    ).select("id", "rank", "cumsum")
     a = sorted(map(tuple, res.collect()))
     b = sorted(map(tuple, res.collect()))
     assert a == b
@@ -56,7 +57,7 @@ def test_rank_cumsum_deterministic_across_runs(spark):
 
 def test_rank_cumsum_rank_is_dense_total_order(spark):
     df = _frame(spark, n=1000)
-    rows = rank_cumsum(df, [F.desc("v"), F.col("id")], "v").collect()
+    rows = rank_cumsum(df, [F.desc("v"), F.col("id")], "v", bucket_col="v", descending=True).collect()
     ranks = sorted(r["rank"] for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
     # running sum at the max rank equals the exact total
@@ -68,9 +69,28 @@ def test_rank_cumsum_rank_is_dense_total_order(spark):
 def test_rank_cumsum_more_partitions_than_rows(spark):
     df = _frame(spark, n=7)
     got = rank_cumsum(
-        df, [F.desc("v"), F.col("id")], "v", num_partitions=32
+        df, [F.desc("v"), F.col("id")], "v",
+        bucket_col="v", descending=True, num_buckets=32,
     ).collect()
     want = _naive(df).collect()
     assert sorted((r["id"], r["rank"], r["cumsum"]) for r in got) == sorted(
         map(tuple, want)
     )
+
+
+def test_rank_cumsum_consistent_over_cached_input(spark):
+    """The sf0.01 regression shape: cached input + AQE. Bucket ids must
+    be a pure function of the data so both plan branches agree."""
+    df = _frame(spark, n=4000).cache()
+    try:
+        df.count()  # materialize the cache
+        got = rank_cumsum(
+            df, [F.desc("v"), F.col("id")], "v",
+            bucket_col="v", descending=True,
+        ).select("id", "rank", "cumsum")
+        want = _naive(df)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        df.unpersist()

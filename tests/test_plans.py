@@ -286,19 +286,17 @@ def test_oov_vocab_topk_is_takeordered(spark):
     "name", ["pareto_users_events", "vocab_coverage_documents"]
 )
 def test_cumulative_queries_use_partition_offset_pattern(spark, name):
-    """Global rank+cumsum must run as the two-pass partition-offset
-    pattern (operators/cumulative.py): a range exchange feeds P parallel
-    per-partition windows; the only unpartitioned window is over the
-    P-row per-partition summary frame (its input is an Aggregate on the
-    synthetic partition-id column, bounded by partition count)."""
+    """Global rank+cumsum must run as the two-pass bucket-offset
+    pattern (operators/cumulative.py): data-derived range buckets feed
+    ≤P parallel per-bucket windows; the only unpartitioned window is
+    over the ≤P-row per-bucket summary frame (bounded by bucket count,
+    not the data)."""
     df = REGISTRY[name].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
-    # every Window node: either partitioned by the pid column, or fed by
-    # the pid-grouped P-row summary aggregate
+    assert "hashpartitioning(__cum_bid" in plan
     import re
 
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
         spec = m.group(0)
-        if "__cum_pid" not in spec:
+        if "__cum_bid" not in spec:
             raise AssertionError(f"unpartitioned non-offset window: {spec}")
