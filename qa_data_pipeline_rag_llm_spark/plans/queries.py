@@ -549,6 +549,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_retrieval  # noqa: E402
 from qa_data_pipeline_rag_llm_spark.plans import queries_diff_mining  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_curation  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_audit  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_sft  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -276,6 +276,86 @@ def decile_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_O_BIGRAMS = """
+      SELECT doc_id, w AS w1,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM (
+        SELECT doc_id, w, ord FROM (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS w,
+                 unnest(generate_series(1,
+                   len(string_split(coalesce(text, ''), ' ')))) AS ord
+          FROM documents)
+        WHERE w <> '')
+"""
+
+
+@register(
+    "bigram_logprob_documents",
+    f"""
+    WITH big AS (SELECT * FROM ({_O_BIGRAMS}) WHERE w2 IS NOT NULL),
+    counts AS (SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY w1, w2),
+    uni AS (SELECT w1, SUM(n) AS n1 FROM counts GROUP BY w1),
+    lp AS (SELECT c.w1, c.w2,
+                  CAST(round(ln(CAST(c.n AS DOUBLE) / u.n1) * 1000000)
+                       AS BIGINT) AS lp6
+           FROM counts c JOIN uni u USING (w1))
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(lp.lp6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS avg_logprob
+    FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+    GROUP BY b.doc_id
+    """,
+    doc="LM-based quality scoring (CCNet shape): each document's average "
+    "bigram conditional log-probability under the corpus's own bigram "
+    "model — the perplexity-proxy filter that catches word salad an "
+    "n-gram-free heuristic misses. Per-bigram log-probs are 6-dp-scaled "
+    "LONGS so the per-doc sum is exact integer math (double summation "
+    "order never leaks into the result); model training (two count "
+    "aggs) and scoring (one join back to the bigram stream) share the "
+    "same (w1,w2) shuffle key family — three shuffles total, no "
+    "windows, no driver state. At 100 TB the probability table joins "
+    "as a bucketed/sorted table; hot bigrams are AQE skew-split.",
+)
+def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("ord", "w"),
+    ).filter(F.col("w") != "")
+    wdoc = Window.partitionBy("doc_id").orderBy("ord")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wdoc).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    counts = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    uni = counts.groupBy("w1").agg(F.sum("n").alias("n1"))
+    lp = counts.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("n") / F.col("n1")) * 1_000_000)
+        .cast("long")
+        .alias("lp6"),
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("lp6").cast("double") / F.count("*") / 1_000_000.0, 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 @register(
     "decile_stats_approx",
     f"""

@@ -143,6 +143,52 @@ def bpe_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH per_doc AS (
+      SELECT lang,
+             {O.token_count("text")} AS ws,
+             {o_bpe_token_count("text")} AS bpe,
+             len(coalesce(text, '')) AS chars
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           round(SUM(bpe) * 1.0 / SUM(ws), 6) AS fertility,
+           round(SUM(chars) * 1.0 / SUM(bpe), 6) AS chars_per_token
+    FROM per_doc WHERE ws > 0
+    GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: BPE-visible tokens per "
+    "whitespace word and characters per BPE token — THE cross-lingual "
+    "tokenizer-equity metric (a language with outlier fertility pays "
+    "more compute per content word and needs vocab rebalancing). "
+    "Exact integer sums, one ratio per group; single "
+    "map-side-combinable aggregate over a codegen'd projection.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        token_count("text").alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("chars"),
+    ).filter(F.col("ws") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.round(F.sum("bpe") * 1.0 / F.sum("ws"), 6).alias("fertility"),
+        F.round(F.sum("chars") * 1.0 / F.sum("bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 FUZZY_PREFIX = 8     # block key: first chars of the normalized title
 FUZZY_MAX_LEV = 2    # verified edit-distance threshold
 FUZZY_MAX_BLOCK = 50  # skip degenerate blocks (the max_df analogue)
