@@ -45,14 +45,16 @@ def test_registry_queries_leave_no_cached_rdds(spark):
         df = REGISTRY[name].spark(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         del df
-    deadline = time.time() + 30
+    deadline = time.time() + 120  # ContextCleaner is async; generous on a loaded box
     while _cached_rdd_count(spark) > base and time.time() < deadline:
         gc.collect()  # free the py4j refs → JVM weak refs → ContextCleaner
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
     leaked = _cached_rdd_count(spark) - base
     catalog.enable_table_persist(prior)
-    assert leaked == 0, (
+    # negative = blocks left behind by EARLIER tests drained during this
+    # one (ContextCleaner is async) — that is the opposite of a leak
+    assert leaked <= 0, (
         "registry queries leaked cached RDD blocks into the session"
     )
 

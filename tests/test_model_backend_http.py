@@ -140,3 +140,64 @@ def test_env_seam_carries_http_backend(monkeypatch, embed_server, spark):
     backend = resolve_embed_backend()
     vecs = backend(["seam check"])
     assert len(vecs) == 1 and len(vecs[0]) == 16
+
+
+_GEN_SERVER = r"""
+import json, sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+class H(BaseHTTPRequestHandler):
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        outs = ["summary(%d words): %s" % (len(p.split()), p.split()[0] if p.split() else "")
+                for p in body["prompts"]]
+        out = json.dumps({"completions": outs}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+    def log_message(self, *a):
+        pass
+
+HTTPServer(("127.0.0.1", int(sys.argv[1])), H).serve_forever()
+"""
+
+
+def test_http_generate_backend_end_to_end(spark):
+    """M5 serving shape: prompts → Arrow udf → HTTP completion endpoint
+    (an out-of-process 'LLM runtime', reference
+    PLATFORM-GenerationLLM.py:183-211) → completions, via the seam."""
+    from qa_data_pipeline_rag_llm_spark.functions.llm import (
+        make_generate_udf,
+        make_http_generate_backend,
+    )
+
+    try:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+    except OSError:
+        pytest.skip("sandbox cannot bind local sockets")
+    proc = subprocess.Popen([sys.executable, "-c", _GEN_SERVER, str(port)])
+    try:
+        backend = make_http_generate_backend(
+            f"http://127.0.0.1:{port}/generate", timeout=10.0
+        )
+        for _ in range(50):
+            try:
+                backend(["ping"])
+                break
+            except Exception:
+                time.sleep(0.1)
+        else:
+            pytest.skip("generate server did not come up")
+        udf = make_generate_udf(backend=backend)
+        df = spark.createDataFrame(
+            [("alpha beta gamma",), ("delta",)], "prompt string"
+        )
+        got = {r.g for r in df.select(udf("prompt").alias("g")).collect()}
+        assert got == {"summary(3 words): alpha", "summary(1 words): delta"}
+    finally:
+        proc.kill()
+        proc.wait()
