@@ -62,5 +62,110 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            return labels
+    # a silently-truncated labeling merges nothing visibly wrong into
+    # downstream keep/drop decisions — fail loud instead. Near-dup blob
+    # graphs converge in a handful of rounds; a high-diameter graph
+    # (long chains) needs connected_components_twostar, which converges
+    # in O(log n) rounds on any topology.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); use "
+        "connected_components_twostar for high-diameter graphs"
+    )
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e_sym: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: connect every strictly-LARGER neighbor
+    of u to m = min({u} ∪ Γ(u)). One groupBy + one join; output directed
+    (node, parent) edges."""
+    mins = e_sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        e_sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e_sym: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: connect u and every strictly-SMALLER
+    neighbor to m = min of that set."""
+    lt = e_sym.filter(F.col("v") < F.col("u"))
+    mins = lt.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    nbrs = lt.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    selfs = mins.select("u", F.col("m").alias("v"))
+    return (
+        nbrs.union(selfs).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def connected_components_twostar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(src, dst) undirected edges → (id, label): the large-star /
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", 2014) — the planet-scale twin of
+    :func:`connected_components`.
+
+    Min-label propagation converges in O(diameter) rounds, which is fine
+    for near-dup blobs but not for long-chained graphs; two-star
+    converges in O(log n) rounds on ANY topology and, crucially, its
+    edge multiset SHRINKS monotonically toward one star per component —
+    per-round cost decreases instead of rescanning the full frame.
+    Same contract as connected_components: only vertices present in the
+    input appear; label = component minimum.
+
+    Convergence detection: a (count, xor-of-pair-hashes) signature of
+    the canonical directed edge set — two scalar aggregates, no
+    driver-side edge materialization.
+    """
+    verts = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+
+    def signature(d: DataFrame):
+        # order-independent, partial-aggregatable, overflow-free: exact
+        # decimal sum of per-edge hashes + count (both must match; a
+        # colliding same-count different-edge-set sum is vanishingly
+        # unlikely, and a false match only costs one extra round since
+        # star operations are idempotent at fixpoint)
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = None
+    for _ in range(max_iter):
+        e = _large_star(_sym(e)).localCheckpoint(eager=True)
+        e = _small_star(_sym(e)).localCheckpoint(eager=True)
+        sig = signature(e)
+        if sig == prev:
             break
-    return labels
+        prev = sig
+    # converged: e is (node → component-min). Roots and isolated vertices
+    # label themselves.
+    return verts.join(e, verts.id == e.u, "left").select(
+        "id", F.coalesce(F.col("v"), F.col("id")).alias("label")
+    )

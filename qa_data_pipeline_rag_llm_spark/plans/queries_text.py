@@ -644,6 +644,48 @@ REGISTRY["near_dup_prune_documents"].oracle = f"""
 
 
 @register(
+    "dedup_clusters_twostar",
+    None,  # oracle injected below: identical to dedup_clusters_minhash
+    doc="The planet-scale twin of dedup_clusters_minhash: connected "
+    "components via the large-star/small-star alternation (Kiveris et "
+    "al. 2014, operators/graph.py) instead of min-label propagation — "
+    "O(log n) rounds on ANY topology (propagation needs O(diameter)) "
+    "and a monotonically SHRINKING edge set, so per-round cost falls as "
+    "the graph collapses toward one star per component. Hash-matches "
+    "the same recursive-CTE oracle, so both algorithms are pinned to "
+    "identical cluster assignments.",
+)
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=JACCARD_T,
+    ).select("doc_a", "doc_b")
+    labels = connected_components_twostar(pairs, "doc_a", "doc_b")
+    full = docs.select("doc_id").join(
+        labels, docs.doc_id == labels.id, "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return full.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+REGISTRY["dedup_clusters_twostar"].oracle = REGISTRY[
+    "dedup_clusters_minhash"
+].oracle
+
+
+@register(
     "containment_pairs_documents",
     f"""
     WITH {_sh_cte(SHINGLE_N)},
