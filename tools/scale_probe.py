@@ -34,6 +34,14 @@ PROBE = [
     "cosine_topk_embeddings",
     "sessionize_events",
     "corpus_prep_pipeline",
+    # r03 additions: the de-single-partitioned shapes — these are the
+    # queries whose scaling the round-2 verdict flagged; the probe now
+    # evidences the fix one decade up
+    "hybrid_rrf_retrieval",
+    "pareto_users_events",
+    "vocab_coverage_documents",
+    "decile_stats_approx",
+    "pack_documents_sharded",
 ]
 
 # table -> columns to offset per replica
