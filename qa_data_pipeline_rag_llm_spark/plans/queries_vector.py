@@ -378,3 +378,62 @@ def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=N_CELLS,
         nprobe=N_PROBE_CELLS,
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "ann_recall_ivf",
+    None,  # composed oracle injected below
+    doc="ANN quality eval as a first-class query: per-probe recall@k of "
+    "the IVF index against the exact brute-force top-k — the metric "
+    "that decides nprobe/n_cells before anyone trusts the fast path in "
+    "production retrieval. Pure composition of two oracle-checked "
+    "plans; the hit join is per-probe and bounded by k.",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    exact = (
+        REGISTRY["cosine_topk_embeddings"]
+        .spark(spark, sf_dir)
+        .select("probe_id", "vec_id")
+    )
+    ivf = (
+        REGISTRY["ann_ivf_topk_embeddings"]
+        .spark(spark, sf_dir)
+        .select("probe_id", "vec_id")
+    )
+    hits = exact.join(ivf, ["probe_id", "vec_id"], "left_semi")
+    per_probe = exact.groupBy("probe_id").agg(
+        F.count("*").alias("n_exact")
+    )
+    got = hits.groupBy("probe_id").agg(F.count("*").alias("n_hits"))
+    return (
+        per_probe.join(got, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("n_exact"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY as _R3  # noqa: E402
+
+_R3["ann_recall_ivf"].oracle = f"""
+    WITH exact AS (
+      SELECT probe_id, vec_id FROM ({_R3["cosine_topk_embeddings"].oracle})),
+    ivf AS (
+      SELECT probe_id, vec_id FROM ({_R3["ann_ivf_topk_embeddings"].oracle})),
+    hits AS (
+      SELECT e.probe_id, COUNT(*) AS n_hits
+      FROM exact e JOIN ivf i
+        ON i.probe_id = e.probe_id AND i.vec_id = e.vec_id
+      GROUP BY e.probe_id)
+    SELECT e.probe_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) AS recall_at_k
+    FROM exact e LEFT JOIN hits h ON h.probe_id = e.probe_id
+    GROUP BY e.probe_id, h.n_hits
+"""
