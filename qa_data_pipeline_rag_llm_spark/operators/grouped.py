@@ -100,7 +100,7 @@ def _reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         else None
     )
     fp = (
-        int(right["ts"].astype("datetime64[us]").astype("int64").min())
+        int(right["ts_p"].astype("datetime64[us]").astype("int64").min())
         if len(right)
         else None
     )
@@ -145,10 +145,24 @@ def user_value_micro_totals(events: DataFrame) -> DataFrame:
 def reconcile_clicks_purchases(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     """Two-sided per-user reconciliation via cogroup().applyInPandas —
     both inputs arrive pre-grouped per key in one Python call, without a
-    join materializing the pairwise product first."""
+    join materializing the pairwise product first.
+
+    The right side's value column is RENAMED (``ts`` → ``ts_p``) before
+    the cogroup: when both children expose identically-named non-key
+    columns, a downstream projection that reorders/prunes the udf OUTPUT
+    makes Catalyst's column pruning drop the right child's copy of the
+    shared name — the Python worker then receives the right group
+    without its ``ts`` at all (reproduced on 4.1.2: plain ``collect()``
+    fine, ``select(sorted(cols)).collect()``/``count()`` → KeyError;
+    caught by the full sf0.01 sweep). Distinct names per side sidestep
+    the mis-pruning; tests/test_llmdata.py pins both action shapes."""
     return (
         clicks.select("user_id", "ts")
         .groupBy("user_id")
-        .cogroup(purchases.select("user_id", "ts").groupBy("user_id"))
+        .cogroup(
+            purchases.select(
+                "user_id", F.col("ts").alias("ts_p")
+            ).groupBy("user_id")
+        )
         .applyInPandas(_reconcile, schema=_RECON_DDL)
     )

@@ -94,3 +94,23 @@ def test_rank_cumsum_consistent_over_cached_input(spark):
         )
     finally:
         df.unpersist()
+
+
+def test_cogroup_survives_output_projection(spark, tables):
+    """Regression (caught by the full sf0.01 sweep): with identical
+    non-key column names on both cogroup sides, a downstream projection
+    that reorders/prunes the udf output made Catalyst drop the right
+    child's shared-name column — the Python worker got the purchase
+    group with NO ts. The operator now renames the right value column;
+    this pins the exact consumer shapes that failed (sorted-column
+    select + count) against the plain collect that always worked."""
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["cogroup_reconcile_events"].spark(spark, SF_DIR)
+    plain = df.collect()
+    sorted_sel = df.select(*sorted(df.columns)).collect()
+    assert df.count() == len(plain) == len(sorted_sel) > 0
+    a = sorted(tuple(sorted(r.asDict().items())) for r in plain)
+    b = sorted(tuple(sorted(r.asDict().items())) for r in sorted_sel)
+    assert a == b
