@@ -114,3 +114,31 @@ def test_cogroup_survives_output_projection(spark, tables):
     a = sorted(tuple(sorted(r.asDict().items())) for r in plain)
     b = sorted(tuple(sorted(r.asDict().items())) for r in sorted_sel)
     assert a == b
+
+
+def test_rank_cumsum_property_random_frames(spark):
+    """Hypothesis-style sweep: many random shapes (ties, skew, negatives,
+    singleton) must all match the single-window reference."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.choice([1, 2, 17, 251, 1024])
+        heavy = rng.random() < 0.5  # half the trials: massive tie skew
+        rows = [
+            (
+                i,
+                rng.choice([1, 1, 1, 7]) if heavy else rng.randint(-500, 500),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = rank_cumsum(
+            df, [F.desc("v"), F.col("id")], "v",
+            bucket_col="v", descending=True,
+            num_buckets=rng.choice([1, 2, 8, 64]),
+        ).select("id", "rank", "cumsum")
+        want = _naive(df)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"trial {trial} n={n} heavy={heavy}"
