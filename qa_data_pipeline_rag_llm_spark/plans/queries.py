@@ -550,6 +550,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_diff_mining  # noqa: E4
 from qa_data_pipeline_rag_llm_spark.plans import queries_curation  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_audit  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_sft  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_contrib  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,330 @@
+"""Registry entries: corpus CONTRIBUTION analysis and span-level CLEANING.
+
+The curation family (queries_curation.py) measures duplication burden and
+decides keep/drop at document granularity. This module closes the two gaps
+a production training-data pipeline still has after that:
+
+  * ``remove_dup_spans_documents`` — the TRANSFORM the span-dup measurement
+    implies: excise every cross-document duplicated word 8-gram span and
+    emit the cleaned text (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — their ExactSubstr dedup, re-expressed
+    relationally at word granularity instead of a suffix array, which does
+    not distribute). The reference's only cleaning is whole-row drops +
+    regex (``/root/reference/REDDIT-Nettoyage-Posts.py:37-53``); span
+    excision is the corpus-scale extension.
+  * ``ngram_novelty_by_source`` — marginal-contribution ranking: which
+    sources still add unseen n-grams (treating ``doc_id`` as ingestion
+    order)? The classic "is this crawl worth ingesting" curation signal.
+  * ``token_entropy_by_source`` — unigram Shannon entropy per source:
+    lexical-diversity quality signal (low entropy ⇒ boilerplate/templated
+    text), computed with the scaled-integer-term trick so the double sum
+    is order-independent and hash-stable cross-engine.
+  * ``hard_negatives_embeddings`` — contrastive-training data mining: for
+    each probe vector, the top-k most cosine-similar vectors with a
+    DIFFERENT label (the "hard negative" shape retrieval encoders train
+    on). Probe side bounded and broadcast, like ``cosine_topk``.
+
+Scale notes (100 TB): span removal is 4 narrow shuffles — gram-hash df,
+dup-gram join-back, covered-position distinct, final per-doc regroup — all
+keyed on 32-bit hashes or (doc_id, pos); no pair materialization, no
+single-partition window. Novelty is two hash-keyed aggregations. Entropy
+aggregates to the (source, token) frame first — map-side combine absorbs
+the corpus. Hard negatives broadcast the bounded probe set against a full
+scan; only the per-probe top-k ranks shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
+from qa_data_pipeline_rag_llm_spark.functions.text import tokens, word_shingles
+from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+from qa_data_pipeline_rag_llm_spark.plans.queries_vector import _O_COS
+
+SPAN_N = 8        # word n-gram width — same frame as span_dup_fraction
+HN_PROBES = 25    # hard-negative probe set: vec_id < 25 (deterministic)
+HN_K = 5
+
+
+@register(
+    "remove_dup_spans_documents",
+    f"""
+    WITH w AS (SELECT doc_id, {O.toks("text")} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) AS p
+            FROM w),
+    g0 AS (SELECT doc_id, ws,
+                  unnest(CASE WHEN len(ws) >= {SPAN_N}
+                              THEN range(1, len(ws) - {SPAN_N} + 2)
+                              ELSE [] END) AS i
+           FROM w),
+    gh AS (SELECT doc_id, i,
+                  {O.stable_int32(f"array_to_string(ws[i:i+{SPAN_N - 1}], ' ')")} AS gh
+           FROM g0),
+    dup AS (SELECT gh FROM gh GROUP BY gh
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + {SPAN_N})) AS p
+            FROM gh JOIN dup USING (gh)),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_words,
+             SUM(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+             coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.word END,
+                                 ' ' ORDER BY t.p), '') AS clean_text
+      FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+      GROUP BY t.doc_id)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           round(n_removed * 1.0 / n_words, 6) AS removed_frac,
+           clean_text
+    FROM per_doc
+    """,
+    doc="Exact duplicated-span REMOVAL (Lee et al. 2022 ExactSubstr, word-"
+    "granular): every word position covered by any cross-document "
+    "duplicated 8-gram is excised; emits the stitched clean text plus "
+    "removal accounting. The transform twin of span_dup_fraction_documents "
+    "(which only measures). Distributed: dup grams by exact document "
+    "frequency over 32-bit hashes, coverage by exploding start→[s, s+7] "
+    "position ranges (interval union as a distinct, not a per-doc loop), "
+    "then one order-preserving per-doc stitch via sorted collect_list. "
+    "No suffix array, no pairs, no single-partition window.",
+)
+def remove_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", tokens("text").alias("ws"))
+    tok = w.select(
+        "doc_id", F.posexplode("ws").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    starts = (
+        w.filter(F.size("ws") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {SPAN_N - 1}), "
+                    f"i -> struct(i, concat_ws(' ', slice(ws, i, {SPAN_N})) AS gram))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.i").alias("i"),
+            stable_int32(F.col("s.gram")).alias("gh"),
+        )
+    )
+    dup = (
+        starts.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    cov = (
+        starts.join(dup, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {SPAN_N - 1})")).alias("p"),
+        )
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    kept_words = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_c").isNull(), F.struct("p", "word"))
+                )
+            ),
+            lambda s: s["word"],
+        ),
+        " ",
+    )
+    per_doc = (
+        tok.join(cov, ["doc_id", "p"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.when(F.col("_c").isNotNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+            kept_words.alias("clean_text"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_removed",
+        F.round(F.col("n_removed") * 1.0 / F.col("n_words"), 6).alias(
+            "removed_frac"
+        ),
+        "clean_text",
+    )
+
+
+@register(
+    "ngram_novelty_by_source",
+    f"""
+    WITH occ AS (
+      SELECT DISTINCT doc_id, source, {O.stable_int32("g")} AS gh
+      FROM (SELECT doc_id, source,
+                   unnest({O.shingles("text", SPAN_N)}) AS g
+            FROM documents)),
+    first AS (SELECT gh, MIN(doc_id) AS first_doc FROM occ GROUP BY gh)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_gram_occ,
+           CAST(SUM(CASE WHEN o.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(SUM(CASE WHEN o.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty_rate
+    FROM occ o JOIN first f USING (gh)
+    GROUP BY source
+    """,
+    doc="Marginal-contribution ranking: per source, the fraction of its "
+    "distinct (doc, 8-gram) occurrences whose gram first appears in that "
+    "very document (doc_id as ingestion order) — i.e. how much genuinely "
+    "new text each source still contributes vs re-crawl of what the "
+    "corpus already holds. The is-this-source-worth-ingesting curation "
+    "signal (complements near_dup_rate_by_source, which measures whole-"
+    "doc redundancy). Two hash-keyed aggregations, narrow rows — linear "
+    "at corpus scale.",
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    occ = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles("text", SPAN_N)).alias("gram"),
+        )
+        .select("doc_id", "source", stable_int32("gram").alias("gh"))
+        .distinct()
+    )
+    first = occ.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    return (
+        occ.join(first, "gh")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_gram_occ"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count("*"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "token_entropy_by_source",
+    f"""
+    WITH tok AS (SELECT source, unnest({O.toks("text")}) AS w
+                 FROM documents),
+    tc AS (SELECT source, w, COUNT(*) AS c FROM tok
+           WHERE w != '' GROUP BY source, w),
+    tot AS (SELECT source, SUM(c) AS n FROM tc GROUP BY source)
+    SELECT t.source,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(SUM(CAST(CAST(round(-(c * 1.0 / tot.n)
+                     * log2(c * 1.0 / tot.n) * 1000000000) AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0, 6)
+             AS entropy_bits
+    FROM tc t JOIN tot USING (source)
+    GROUP BY t.source, tot.n
+    """,
+    doc="Unigram Shannon entropy per source — the lexical-diversity "
+    "quality signal (low entropy ⇒ templated/boilerplate text; Gopher "
+    "uses the same family of repetition signals document-level). Each "
+    "-p·log2(p) term is rounded to a scaled integer (1e-9 resolution) "
+    "before summing, so the floating sum is order-independent and the "
+    "cross-engine hash comparison is exact — the o_exact_sum discipline "
+    "applied to an irrational-valued aggregate. Aggregates to the "
+    "(source, token) frame first: map-side combine absorbs the corpus.",
+)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    tc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term9 = F.round(-p * F.log2(p) * 1_000_000_000).cast("long")
+    return (
+        tc.join(tot, "source")
+        .select("source", "n", term9.alias("t9"))
+        .groupBy("source", "n")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(
+                F.sum("t9").cast("double") / 1_000_000_000.0, 6
+            ).alias("entropy_bits"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            "entropy_bits",
+        )
+    )
+
+
+@register(
+    "hard_negatives_embeddings",
+    f"""
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             e.vec_id, e.label AS neg_label, {_O_COS} AS sim
+      FROM embeddings e
+      JOIN embeddings p ON p.vec_id < {HN_PROBES} AND e.label != p.label)
+    SELECT probe_id, probe_label, vec_id, neg_label, sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY sim DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= {HN_K}
+    """,
+    doc="Hard-negative mining for contrastive training: per probe vector, "
+    "the top-5 most cosine-similar vectors whose label DIFFERS — the "
+    "near-miss negatives a retrieval encoder trains against (the data-"
+    "prep step upstream of the reference's embedding model, "
+    "PLATFORM-contextual-Chunking.py:52-77). Bounded probe set broadcast "
+    "against a full scan (label-mismatch is the join predicate — "
+    "BroadcastNestedLoopJoin with a tiny build side); only the per-probe "
+    "top-k rank shuffles, partitioned by probe.",
+)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.withColumn("_vn", norm(F.col("embedding")))
+    p = (
+        e.filter(F.col("vec_id") < HN_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("probe_label"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        .withColumn("_pn", norm(F.col("probe_vec")))
+    )
+    scored = v.join(
+        F.broadcast(p), F.col("label") != F.col("probe_label")
+    ).select(
+        "probe_id",
+        "probe_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(
+            dot(F.col("embedding"), F.col("probe_vec"))
+            / (F.col("_vn") * F.col("_pn")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select("probe_id", "probe_label", "vec_id", "neg_label", "sim", "rank")
+    )
