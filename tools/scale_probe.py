@@ -42,6 +42,9 @@ PROBE = [
     "vocab_coverage_documents",
     "decile_stats_approx",
     "pack_documents_sharded",
+    # r03: the heaviest new contribution/cleaning op — coverage explode +
+    # per-doc stitch must stay linear one decade up
+    "remove_dup_spans_documents",
 ]
 
 # table -> columns to offset per replica
