@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
-from qa_data_pipeline_rag_llm_spark.functions.text import tokens, word_shingles
+from qa_data_pipeline_rag_llm_spark.functions.text import (
+    token_count,
+    tokens,
+    word_shingles,
+)
 from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
 from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
@@ -48,6 +52,8 @@ from qa_data_pipeline_rag_llm_spark.plans.queries_vector import _O_COS
 SPAN_N = 8        # word n-gram width — same frame as span_dup_fraction
 HN_PROBES = 25    # hard-negative probe set: vec_id < 25 (deterministic)
 HN_K = 5
+BPE_TOP = 30      # merge candidates surfaced per BPE training round
+MIX_ALPHA = 0.3   # temperature exponent (mT5/XLM-R-style p ∝ n^alpha)
 
 
 @register(
@@ -327,4 +333,100 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HN_K)
         .select("probe_id", "probe_label", "vec_id", "neg_label", "sim", "rank")
+    )
+
+
+@register(
+    "bpe_merge_pairs_documents",
+    f"""
+    WITH tok AS (SELECT unnest({{toks}}) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS c FROM tok WHERE w != '' GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, c
+      FROM (SELECT w, c, unnest(range(1, len(w))) AS i
+            FROM vocab WHERE len(w) >= 2)),
+    agg AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS freq
+            FROM pairs GROUP BY pair)
+    SELECT pair, freq, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS rank
+      FROM agg)
+    WHERE rank <= {{BPE_TOP}}
+    """.format(toks=O.toks("text"), BPE_TOP=BPE_TOP),
+    doc="BPE trainer inner step (Sennrich et al. 2016): adjacent character-"
+    "pair frequencies weighted by word count — the exact statistic a "
+    "merge round maximizes. Completes the tokenizer-planning family "
+    "(budget/coverage/OOV/fertility report on an EXISTING vocab; this is "
+    "the statistic that BUILDS one). Corpus-scale trick: aggregate to "
+    "the distinct-word vocab frame FIRST, so the pair explode runs over "
+    "the vocabulary (bounded, Heaps-law-sublinear) instead of the corpus "
+    "token stream; the pair-agg frame is alphabet-squared-bounded and "
+    "top-30 goes through orderBy+limit (TakeOrderedAndProject) before "
+    "the display rank.",
+)
+def bpe_merge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").alias("freq"))
+    top = agg.orderBy(F.desc("freq"), "pair").limit(BPE_TOP)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "pair")),
+    )
+
+
+@register(
+    "source_temperature_weights",
+    f"""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM({{tc}}) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    p AS (SELECT *, CAST(round(pow(n_tokens, {{A}}) * 1000000000) AS BIGINT)
+                      AS pw9
+          FROM s),
+    tot AS (SELECT SUM(pw9) AS z FROM p)
+    SELECT source, n_docs, n_tokens,
+           round(pw9 * 1.0 / z, 6) AS sample_weight
+    FROM p, tot
+    """.format(tc=O.token_count("text"), A=MIX_ALPHA),
+    doc="Temperature-scaled source sampling weights: p(source) ∝ "
+    "n_tokens^0.3 (the mT5/XLM-R multilingual recipe — upweights small "
+    "sources without letting the head dominate). Each power term is "
+    "rounded to a scaled integer before the normalizing sum, so the "
+    "denominator is order-independent and the weights hash-stable "
+    "cross-engine. One groupBy to the per-source frame, then a "
+    "broadcast of the one-row total — nothing here grows with the "
+    "corpus beyond the first aggregation.",
+)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    p = s.withColumn(
+        "pw9",
+        F.round(F.pow("n_tokens", F.lit(MIX_ALPHA)) * 1_000_000_000).cast(
+            "long"
+        ),
+    )
+    tot = p.agg(F.sum("pw9").alias("z"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("pw9") * 1.0 / F.col("z"), 6).alias(
+                "sample_weight"
+            ),
+        )
     )
