@@ -38,13 +38,14 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 EMBED_DIMS = 8
 EMBED_BACKEND_ENV = "SPARK_GRAFT_EMBED_BACKEND"
 
-_NORM_RE = re.compile(r"[^a-z0-9]+")
+_NORM_RE = re.compile(r"[^a-zA-Z0-9]+")
 
 
 def _normalize(text: str) -> str:
-    """Python twin of functions.text.normalize_text (java regex and
-    python re agree on this pattern over any unicode input)."""
-    return _NORM_RE.sub(" ", (text or "").lower()).strip()
+    """Python twin of functions.text.normalize_text: strip-before-lower
+    so Unicode special-casing (İ → 'i'+combining dot under str.lower,
+    like the JVM) can never reach the casing step — only ASCII does."""
+    return _NORM_RE.sub(" ", text or "").lower().strip()
 
 
 def _embed_one(text: str, dims: int) -> list[float]:

@@ -120,10 +120,19 @@ def strip_id_prefix(col: Column | str, prefix: str = "t3_") -> Column:
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical text for fingerprinting/dedup: lowercase, collapse
-    non-alphanumerics to single spaces, trim."""
+    """Canonical text for fingerprinting/dedup: collapse runs of
+    non-ASCII-alphanumerics to single spaces, THEN lowercase, trim.
+
+    Strip-before-lower is the cross-engine contract: JVM lower() expands
+    some special-casing letters into base + combining mark (U+0130 İ →
+    'i' + U+0307) while DuckDB's lower() folds them to the bare base
+    letter — lowering first therefore tokenizes 'aİb' differently per
+    engine (probed 2026-08-14, tests/test_fragment_parity.py). Stripping
+    first makes every non-ASCII codepoint a delimiter before any
+    locale/Unicode casing can run, so both engines see identical ASCII
+    input to lower()."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+    return F.trim(F.lower(F.regexp_replace(c, "[^a-zA-Z0-9]+", " ")))
 
 
 def tokens(col: Column | str) -> Column:

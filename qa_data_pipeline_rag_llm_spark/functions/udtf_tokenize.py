@@ -17,18 +17,19 @@ import sys
 import cloudpickle
 from pyspark.sql.functions import udtf
 
-_SPLIT = re.compile(r"[^a-z0-9]+")
+_SPLIT = re.compile(r"[^a-zA-Z0-9]+")
 
 
 @udtf(returnType="pos int, token string")
 class Tokenize:
-    """Lowercase alnum tokens with their 0-based position."""
+    """Lowercase alnum tokens with their 0-based position (split raw,
+    lower after — tokens are pure ASCII so casing is engine-neutral)."""
 
     def eval(self, text: str):  # noqa: D102
         pos = 0
-        for tok in _SPLIT.split((text or "").lower()):
+        for tok in _SPLIT.split(text or ""):
             if tok:
-                yield pos, tok
+                yield pos, tok.lower()
                 pos += 1
 
 

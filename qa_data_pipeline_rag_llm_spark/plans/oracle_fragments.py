@@ -19,8 +19,11 @@ from qa_data_pipeline_rag_llm_spark.functions.text import LANG_STOPWORDS
 
 
 def norm(c: str) -> str:
-    """functions.text.normalize_text"""
-    return f"trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+    """functions.text.normalize_text — strip non-ASCII-alnum BEFORE
+    lower(): JVM and DuckDB lower() disagree on special-casing letters
+    (U+0130 İ → 'i'+U+0307 vs 'i'), so casing must only ever see ASCII
+    (probed 2026-08-14, tests/test_fragment_parity.py)."""
+    return f"trim(lower(regexp_replace({c}, '[^a-zA-Z0-9]+', ' ', 'g')))"
 
 
 def toks(c: str) -> str:

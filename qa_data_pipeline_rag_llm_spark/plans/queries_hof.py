@@ -34,7 +34,13 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
     doc="Higher-order lambdas on arrays, all codegen-side: transform "
     "(square of token length), aggregate/reduce (their sum), filter + "
     "size, exists (stopword), and a sort+transform chain. Zero Python, "
-    "zero shuffle.",
+    "zero shuffle. Tokens here are deliberately RAW lowered space-splits "
+    "(punctuation kept — the point is the lambda surface, not text "
+    "canon); caveat: raw lower() before split means Unicode special-"
+    "casing letters (U+0130 İ) could yield engine-divergent token "
+    "strings — unlike the normalize_text family, which strips first "
+    "(tests/test_fragment_parity.py). Acceptable because the metrics "
+    "here are length-based and the corpus contract is ASCII text.",
 )
 def hof_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")

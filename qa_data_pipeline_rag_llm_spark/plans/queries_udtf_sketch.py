@@ -31,8 +31,9 @@ from qa_data_pipeline_rag_llm_spark.streaming.events import (
            COUNT(*) AS n,
            COUNT(DISTINCT doc_id) AS n_docs
     FROM (SELECT doc_id,
-                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                    x -> x <> '')) AS token
+                 unnest(list_transform(
+                   list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                               x -> x <> ''), x -> lower(x))) AS token
           FROM documents)
     GROUP BY token
     """,

@@ -97,6 +97,21 @@ def test_remove_dup_spans_overlapping_spans_union(spark, patched_loader):
     assert out[1]["clean_text"] == "lead trailer cherry"
 
 
+def test_remove_dup_spans_intra_doc_repeats_survive(spark, patched_loader):
+    """Duplication is CROSS-document (count distinct doc_id >= 2): a doc
+    repeating its own 8-gram keeps all of it — that signal belongs to
+    repetition_stats, not span removal."""
+    rep = f"{SHARED} then once more {SHARED}"
+    d = _docs(spark, [(rep, "s0"), ("entirely different words here now ok", "s1")])
+    patched_loader(d)
+    out = {r["doc_id"]: r for r in remove_dup_spans_documents(spark, "x").collect()}
+    assert out[0]["n_removed"] == 0
+    assert out[0]["clean_text"] == (
+        "alpha bravo charlie delta echo foxtrot golf hotel then once "
+        "more alpha bravo charlie delta echo foxtrot golf hotel"
+    )
+
+
 def test_ngram_novelty_copied_source_scores_zero(spark, patched_loader):
     base = "the quick brown fox jumps over the lazy dog again and again"
     d = _docs(spark, [(base, "orig"), (base, "copy"), (base, "copy")])

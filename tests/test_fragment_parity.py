@@ -1,0 +1,147 @@
+"""Cross-engine parity of the text/hash fragment contract on ADVERSARIAL
+strings — the foundation ~50 oracles stand on.
+
+The golden oracle tests only exercise the (pure-ASCII) testdata; this sweep
+feeds the Spark helpers and their DuckDB fragment twins the inputs that
+actually break Unicode-casing assumptions: Turkish İ/ı (JVM lower('İ') is
+'i'+U+0307 while DuckDB folds to 'i' — the divergence that forced the
+strip-before-lower contract, probed 2026-08-14), German ß/ẞ, combining
+marks, CJK, emoji (non-BMP), control characters, NULL/empty/blank, and
+random mixtures. Any new fragment must join this sweep.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
+from qa_data_pipeline_rag_llm_spark.functions.text import (
+    bpe_token_count,
+    fingerprint,
+    o_bpe_token_count,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+
+ALPHABETS = [
+    "abc ",
+    "ab12  -_.",
+    "é漢字Ωİß ",
+    "'\"\\%$#@!",
+    "a\t\nb ",
+    " ",
+    "İıIiẞß",
+    "😀🎉",
+]
+
+PINNED = [
+    None,
+    "",
+    "     ",
+    "x" * 500,
+    "İstanbul Çile ĞÜ",   # Turkish special-casing
+    "aİba İΩa",           # the original diverging shape
+    "ẞharp ßeta STRASSE", # German sharp s
+    "😀 emoji 🎉 test",    # non-BMP codepoints
+    "étude café",  # combining acute
+    "tab\tand\nnewline\r",
+    "ALLCAPS MiXeD lower 0123",
+]
+
+
+def _corpus() -> list[tuple[int, str | None]]:
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice(rng.choice(ALPHABETS))
+                for _ in range(rng.randint(0, 40))
+            ),
+        )
+        for i in range(300)
+    ]
+    rows += [(300 + i, t) for i, t in enumerate(PINNED)]
+    return rows
+
+
+def _eq(a, b) -> bool:
+    def _null(x):
+        return x is None or (isinstance(x, float) and math.isnan(x))
+
+    if _null(a) or _null(b):  # pandas renders SQL NULL as None OR NaN
+        return _null(a) and _null(b)
+    if isinstance(a, str) or isinstance(b, str):
+        return a == b
+    if hasattr(a, "__len__") or hasattr(b, "__len__"):
+        a_null = a is None or (isinstance(a, float) and math.isnan(a))
+        b_null = b is None or (isinstance(b, float) and math.isnan(b))
+        if a_null or b_null:
+            return a_null and b_null
+        return list(a) == list(b)
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+
+def test_fragment_parity_adversarial_strings(spark, duck):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = (
+        df.select(
+            "id",
+            tokens("text").alias("toks"),
+            token_count("text").alias("tc"),
+            word_shingles("text", 3).alias("sh3"),
+            word_shingles("text", 8).alias("sh8"),
+            stable_int32(F.coalesce(F.col("text"), F.lit("<N>"))).alias("h"),
+            fingerprint("text").alias("fp"),
+            bpe_token_count("text").alias("bpe"),
+        )
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    duck.register("_frag_t", pd.DataFrame(rows, columns=["id", "text"]))
+    want = (
+        duck.execute(
+            f"""
+            SELECT id,
+                   {O.toks("text")} AS toks,
+                   {O.token_count("text")} AS tc,
+                   {O.shingles("text", 3)} AS sh3,
+                   {O.shingles("text", 8)} AS sh8,
+                   {O.stable_int32("coalesce(text, '<N>')")} AS h,
+                   {O.fingerprint("text")} AS fp,
+                   {o_bpe_token_count("text")} AS bpe
+            FROM _frag_t
+            """
+        )
+        .df()
+        .set_index("id")
+        .sort_index()
+    )
+    diverged = []
+    for i in got.index:
+        for c in ["toks", "tc", "sh3", "sh8", "h", "fp", "bpe"]:
+            if not _eq(got.loc[i, c], want.loc[i, c]):
+                diverged.append((int(i), c, rows[i][1], got.loc[i, c], want.loc[i, c]))
+    assert not diverged, f"{len(diverged)} divergences, first: {diverged[:3]}"
+
+
+def test_normalize_strips_before_lower(spark):
+    """The İ contract itself: a special-casing letter is a DELIMITER, it
+    never contributes a latin letter to a token."""
+    df = spark.createDataFrame([(0, "aİba"), (1, "İİ"), (2, "AbC-Def")], "id long, text string")
+    out = {r["id"]: r["t"] for r in df.select("id", tokens("text").alias("t")).collect()}
+    assert out[0] == ["a", "ba"]
+    assert out[1] == [""]  # nothing but delimiters → normalized empty
+    assert out[2] == ["abc", "def"]

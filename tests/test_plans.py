@@ -266,13 +266,40 @@ def test_no_registry_query_plans_row_udf(spark, tables):
 
 @pytest.mark.parametrize(
     "name",
-    ["bm25_search_documents", "skew_profile_events", "bigram_stats_documents"],
+    [
+        "bm25_search_documents",
+        "skew_profile_events",
+        "bigram_stats_documents",
+        "bpe_merge_pairs_documents",
+    ],
 )
 def test_topk_rank_windows_sit_above_takeordered(spark, name):
     """The rank window's input must be an orderBy+limit (compiled to
     TakeOrderedAndProject), never the full score/key/pair frame."""
     plan = _plan(spark, name)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_broadcasts_the_probe_side(spark):
+    """The label-mismatch pair join must be a broadcast nested-loop with
+    the bounded probe set as the build side — never a shuffled product."""
+    plan = _plan(spark, "hard_negatives_embeddings")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_remove_dup_spans_has_no_global_sort_or_product(spark):
+    """Span removal's stitch is a per-doc sorted collect_list: the plan
+    must contain no unpartitioned window/global sort and no join without
+    keys — every exchange is hash-keyed (gram hash or doc/position)."""
+    plan = _plan(spark, "remove_dup_spans_documents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # stitch is an agg, not a window
+    import re
+
+    for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
+        assert m.group(1) == "hashpartitioning", m.group(0)
 
 
 def test_oov_vocab_topk_is_takeordered(spark):
