@@ -430,3 +430,94 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BATCH = 32  # sequences per inference/training micro-batch
+
+
+@register(
+    "padding_waste_by_batching",
+    f"""
+    WITH lens AS (SELECT doc_id, coalesce({{tc}}, 0) AS len FROM documents),
+    a AS (SELECT len, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM lens),
+    ab AS (SELECT (rn - 1) // {{B}} AS b, COUNT(*) AS c,
+                  MAX(len) AS m, SUM(len) AS s
+           FROM a GROUP BY 1),
+    s0 AS (SELECT len, doc_id,
+                  ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rn FROM lens),
+    sb AS (SELECT (rn - 1) // {{B}} AS b, COUNT(*) AS c,
+                  MAX(len) AS m, SUM(len) AS s
+           FROM s0 GROUP BY 1),
+    u AS (
+      SELECT 'arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(s) AS BIGINT) AS total_tokens,
+             CAST(SUM(c * m - s) AS BIGINT) AS padding_tokens
+      FROM ab
+      UNION ALL
+      SELECT 'length_sorted', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(s) AS BIGINT), CAST(SUM(c * m - s) AS BIGINT)
+      FROM sb)
+    SELECT strategy, n_batches, total_tokens, padding_tokens,
+           round(padding_tokens * 1.0
+                 / (padding_tokens + total_tokens), 6) AS waste_frac
+    FROM u
+    """.format(tc=O.token_count("text"), B=BATCH),
+    doc="Inference/training batch planning: padding waste (Σ per-batch "
+    "count·max_len − Σ len) of arrival-order batches vs length-sorted "
+    "batches of 32 — the measurement behind bucketed batching / "
+    "sorted-sequence packing in serving systems. Both global ranks run "
+    "through the two-pass partition-offset pattern "
+    "(operators/cumulative.rank_cumsum: data-derived range buckets, no "
+    "single-task window); per-batch aggregation is an ordinary "
+    "hash-keyed groupBy on the batch id.",
+)
+def padding_waste_by_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.coalesce(token_count("text"), F.lit(0)).alias("len")
+    )
+
+    def batched(df: DataFrame, order, bucket: str) -> DataFrame:
+        ranked = rank_cumsum(df, order, "len", bucket_col=bucket)
+        return (
+            ranked.withColumn(
+                "b", F.floor((F.col("rank") - 1) / BATCH)
+            )
+            .groupBy("b")
+            .agg(
+                F.count("*").alias("c"),
+                F.max("len").alias("m"),
+                F.sum("len").alias("s"),
+            )
+            .agg(
+                F.count("*").alias("n_batches"),
+                F.sum("s").alias("total_tokens"),
+                F.sum(F.col("c") * F.col("m") - F.col("s")).alias(
+                    "padding_tokens"
+                ),
+            )
+        )
+
+    arrival = batched(lens, [F.col("doc_id")], "doc_id").select(
+        F.lit("arrival").alias("strategy"), "*"
+    )
+    by_len = batched(lens, [F.col("len"), F.col("doc_id")], "len").select(
+        F.lit("length_sorted").alias("strategy"), "*"
+    )
+    u = arrival.unionByName(by_len)
+    return u.select(
+        "strategy",
+        "n_batches",
+        "total_tokens",
+        "padding_tokens",
+        F.round(
+            F.col("padding_tokens")
+            * 1.0
+            / (F.col("padding_tokens") + F.col("total_tokens")),
+            6,
+        ).alias("waste_frac"),
+    )
