@@ -87,6 +87,7 @@ def make_http_embed_backend(
     ``STACK-Recup-Questions.py``)."""
     import json
     import time
+    import urllib.error
     import urllib.request
 
     def backend(texts: list[str]) -> list[list[float]]:
@@ -100,8 +101,19 @@ def make_http_embed_backend(
                 with urllib.request.urlopen(req, timeout=timeout) as resp:
                     out = json.loads(resp.read())
                 return [[float(x) for x in v] for v in out["embeddings"]]
-            except Exception as exc:  # noqa: BLE001 — retry then re-raise
+            except urllib.error.HTTPError as exc:
+                # 4xx is deterministic — retrying can never succeed, and
+                # each retried Arrow batch would burn the full backoff
+                # schedule on every executor (review r03)
+                if 400 <= exc.code < 500:
+                    raise
                 last = exc
+            except (KeyError, ValueError, TypeError):
+                # malformed response body — deterministic, fail fast
+                raise
+            except Exception as exc:  # noqa: BLE001 — transient: retry
+                last = exc
+            if attempt < retries:  # no dead sleep after the final failure
                 time.sleep(0.2 * (2**attempt))
         raise last  # type: ignore[misc]
 

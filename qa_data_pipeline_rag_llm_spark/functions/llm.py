@@ -69,6 +69,7 @@ def make_http_generate_backend(
     stdlib-only so the closure cloudpickles to executors."""
     import json
     import time
+    import urllib.error
     import urllib.request
 
     def backend(prompts: list[str]) -> list[str]:
@@ -81,8 +82,15 @@ def make_http_generate_backend(
             try:
                 with urllib.request.urlopen(req, timeout=timeout) as resp:
                     return [str(c) for c in json.loads(resp.read())["completions"]]
-            except Exception as exc:  # noqa: BLE001 — retry then re-raise
+            except urllib.error.HTTPError as exc:
+                if 400 <= exc.code < 500:  # deterministic — fail fast
+                    raise
                 last = exc
+            except (KeyError, ValueError, TypeError):
+                raise  # malformed response body — deterministic
+            except Exception as exc:  # noqa: BLE001 — transient: retry
+                last = exc
+            if attempt < retries:  # no dead sleep after the final failure
                 time.sleep(0.2 * (2**attempt))
         raise last  # type: ignore[misc]
 

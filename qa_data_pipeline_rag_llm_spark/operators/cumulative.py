@@ -80,25 +80,34 @@ def rank_cumsum(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     qs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = df.agg(
-        F.percentile_approx(
-            F.col(bucket_col).cast("double"),
-            F.array(*[F.lit(q) for q in qs]),
-            F.lit(10_000),
-        ).alias(_BOUNDS)
+    # Bounds are collected ONCE driver-side (bounded: ≤ num_buckets-1
+    # doubles — same class as the ivf centroid fetch) and inlined as
+    # literals. Keeping them as a lazy broadcast branch would let the
+    # local-window and bucket-summary consumers observe DIFFERENT bounds
+    # if the exchange is ever recomputed instead of reused:
+    # ApproximatePercentile's partial-sketch merge is fetch-order
+    # dependent, and a boundary-adjacent key landing in bucket k on one
+    # branch and k+1 on the other silently corrupts the offsets — the
+    # same bug class as the rejected spark_partition_id design
+    # (review r03). Cost: one extra evaluation of the input plan at
+    # build time; the main job's two branches still share their scan
+    # through exchange reuse.
+    bvals = (
+        df.agg(
+            F.percentile_approx(
+                F.col(bucket_col).cast("double"),
+                F.array(*[F.lit(q) for q in qs]),
+                F.lit(10_000),
+            ).alias(_BOUNDS)
+        ).collect()[0][0]
+        or []
     )
     key = F.col(bucket_col).cast("double")
     before = (lambda b: b > key) if descending else (lambda b: b < key)
-    bid = F.aggregate(
-        F.coalesce(F.col(_BOUNDS), F.array()),
-        F.lit(0),
-        lambda acc, b: acc + F.when(before(b), 1).otherwise(0),
-    )
-    parts = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn(_BID, bid)
-        .drop(_BOUNDS)
-    )
+    bid = F.lit(0)
+    for b in bvals:
+        bid = bid + F.when(before(F.lit(float(b))), 1).otherwise(0)
+    parts = df.withColumn(_BID, bid)
     w_local = Window.partitionBy(_BID).orderBy(*order_by)
     w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = parts.select(

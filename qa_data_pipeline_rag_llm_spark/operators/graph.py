@@ -157,13 +157,26 @@ def connected_components_twostar(
         return row["n"], row["h"]
 
     prev = None
+    converged = False
     for _ in range(max_iter):
         e = _large_star(_sym(e)).localCheckpoint(eager=True)
         e = _small_star(_sym(e)).localCheckpoint(eager=True)
         sig = signature(e)
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # exhausting the budget without a fixpoint means e is NOT yet a
+        # star forest: a vertex can still hold several non-minimal parent
+        # edges, and the join below would emit multiple wrong rows per
+        # vertex. Same fail-loud contract as connected_components — a
+        # silently corrupt labeling poisons every downstream dedup
+        # decision (review r03).
+        raise RuntimeError(
+            f"two-star did not converge in max_iter={max_iter} rounds; "
+            "raise max_iter (O(log n) rounds suffice for any topology)"
+        )
     # converged: e is (node → component-min). Roots and isolated vertices
     # label themselves.
     return verts.join(e, verts.id == e.u, "left").select(

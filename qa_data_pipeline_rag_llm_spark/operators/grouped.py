@@ -155,7 +155,7 @@ def reconcile_clicks_purchases(clicks: DataFrame, purchases: DataFrame) -> DataF
     without its ``ts`` at all (reproduced on 4.1.2: plain ``collect()``
     fine, ``select(sorted(cols)).collect()``/``count()`` → KeyError;
     caught by the full sf0.01 sweep). Distinct names per side sidestep
-    the mis-pruning; tests/test_llmdata.py pins both action shapes."""
+    the mis-pruning; tests/test_cumulative.py::test_cogroup_survives_output_projection pins both action shapes."""
     return (
         clicks.select("user_id", "ts")
         .groupBy("user_id")

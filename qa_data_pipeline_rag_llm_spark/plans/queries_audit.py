@@ -313,11 +313,14 @@ REGISTRY["curation_decisions_documents"].oracle = f"""
 @register(
     "curation_funnel_documents",
     None,  # composed oracle injected below
-    doc="Curation YIELD report, one row: how many documents survive each "
-    "gate (Gopher rules → span-dup → near-dup) and the final keep rate "
-    "— the number a data lead actually reads before a training run, and "
-    "the regression canary for any gate-threshold change. One aggregate "
-    "over the composed verdict table; boolean sums are exact.",
+    doc="Curation YIELD report, one row: SEQUENTIAL survivors at each "
+    "gate (pass_rules ⊇ pass_span ⊇ pass_dedup = n_keep — each count is "
+    "docs surviving that gate AND every gate before it, so the funnel "
+    "is monotone and a stage's drop is exactly the difference to its "
+    "left) plus the final keep rate — the number a data lead actually "
+    "reads before a training run, and the regression canary for any "
+    "gate-threshold change. One aggregate over the composed verdict "
+    "table; boolean sums are exact.",
 )
 def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = REGISTRY["curation_decisions_documents"].spark(spark, sf_dir)
@@ -325,8 +328,16 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(
         n.cast("long").alias("n_docs"),
         F.sum(F.col("rule_keep").cast("long")).alias("pass_rules"),
-        F.sum((~F.col("span_flagged")).cast("long")).alias("pass_span"),
-        F.sum(F.col("dedup_kept").cast("long")).alias("pass_dedup"),
+        F.sum(
+            (F.col("rule_keep") & ~F.col("span_flagged")).cast("long")
+        ).alias("pass_span"),
+        F.sum(
+            (
+                F.col("rule_keep")
+                & ~F.col("span_flagged")
+                & F.col("dedup_kept")
+            ).cast("long")
+        ).alias("pass_dedup"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
         F.round(F.sum(F.col("keep").cast("long")) * 1.0 / n, 6).alias(
             "keep_rate"
@@ -338,9 +349,11 @@ REGISTRY["curation_funnel_documents"].oracle = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT)
              AS pass_rules,
-           CAST(SUM(CASE WHEN NOT span_flagged THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN rule_keep AND NOT span_flagged
+                     THEN 1 ELSE 0 END) AS BIGINT)
              AS pass_span,
-           CAST(SUM(CASE WHEN dedup_kept THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN rule_keep AND NOT span_flagged AND dedup_kept
+                     THEN 1 ELSE 0 END) AS BIGINT)
              AS pass_dedup,
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
            round(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)

@@ -145,7 +145,7 @@ PACK_SHARDS = 8
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) - n_tokens AS start_off
       FROM toks)
-    SELECT shard * 1000000 + CAST(start_off AS BIGINT) // {BLOCK_TOKENS}
+    SELECT shard * 17592186044416 + CAST(start_off AS BIGINT) // {BLOCK_TOKENS}
              AS block_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS block_tokens,
@@ -182,7 +182,10 @@ def pack_documents_sharded(
     return (
         packed.groupBy(
             (
-                F.col("shard") * 1000000
+                # shard stride 2^44 blocks ≈ 3.6e16 tokens/shard before any
+                # cross-shard id collision — comfortably past the 100 TB
+                # target (1e6 collided at ~2e9 tokens/shard, review r03)
+                F.col("shard") * F.lit(1 << 44)
                 + F.expr(f"start_off div {BLOCK_TOKENS}")
             ).alias("block_id")
         )

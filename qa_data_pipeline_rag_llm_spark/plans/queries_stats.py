@@ -639,10 +639,7 @@ def bigram_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts the 30-row side against the unigram frame instead of
     # shuffling the full pair-counts frame (VERDICT r02 #1).
     top = counts.orderBy(F.col("n").desc(), "w1", "w2").limit(30)
-    ranked = uni.join(F.broadcast(top), "w1").withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.col("n").desc(), "w1", "w2")),
-    )
+    ranked = uni.join(F.broadcast(top), "w1")
     return ranked.select(
         "w1",
         "w2",
