@@ -88,3 +88,15 @@ def test_twostar_edge_set_shrinks_to_star(spark):
     n_components = labels.select("label").distinct().count()
     n_non_roots = labels.filter(F.col("id") != F.col("label")).count()
     assert n_non_roots == n_vertices - n_components
+
+
+def test_twostar_fails_loud_when_budget_exhausted(spark):
+    """Exhausting max_iter without a fixpoint must raise, not emit a
+    corrupt multi-row-per-vertex labeling (review r03)."""
+    import pytest as _pytest
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_twostar(e, max_iter=1).collect()
