@@ -166,7 +166,14 @@ G_MIN_STOP_HITS = 2
     "identical boundaries.",
 )
 def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    return gopher_verdict(_t(spark, sf_dir, "documents"))
+
+
+def gopher_verdict(d: DataFrame) -> DataFrame:
+    """The Gopher rule projection on any (doc_id, text) frame — a pure
+    per-row expression (no shuffle, no state), so it is equally legal on
+    a batch table and MID-STREAM (streaming_quality_gate reuses it
+    verbatim as admission control)."""
     t = tokens("text")
     n = token_count("text")
     raw_len = F.length(F.coalesce(F.col("text"), F.lit("")))

@@ -195,3 +195,37 @@ def streaming_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_near_dup_gate(spark, sf_dir)
+
+
+def _quality_gate_sql() -> str:
+    # imported for its registration side effect: queries_curation sits
+    # AFTER this module in queries.py's import order, so pull it in now
+    # (idempotent — Python caches the module) to compose its oracle
+    from qa_data_pipeline_rag_llm_spark.plans import queries_curation  # noqa: F401
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    return (
+        "SELECT * FROM ("
+        + REGISTRY["gopher_quality_documents"].oracle
+        + ") WHERE doc_id % 2 = 1"
+    )
+
+
+@register(
+    "streaming_quality_gate",
+    _quality_gate_sql(),
+    doc="Streaming Gopher-rule admission control: the hard-rule verdict "
+    "is a pure per-row projection (no shuffle, no state), applied "
+    "mid-stream in append mode — one verdict row per incoming doc. "
+    "Together with streaming_near_dup_gate this is the full streaming "
+    "curation pipeline in the batch gate order: rules first "
+    "(stateless), then the near-dup band lookup (stream-static join). "
+    "Oracle: the batch gopher verdict restricted to the stream subset "
+    "(streaming/events.py:stream_quality_gate).",
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        stream_quality_gate,
+    )
+
+    return stream_quality_gate(spark, sf_dir)

@@ -691,3 +691,24 @@ def stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(gated, "complete")
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher-rule quality GATE: each incoming doc (odd doc_id
+    — the simulated ingest stream) gets the full hard-rule verdict as a
+    pure per-row projection, no state at all.
+
+    With stream_near_dup_gate this completes the streaming admission
+    pipeline: rules first (stateless, this op), THEN the near-dup band
+    lookup (stream-static join) — the same gate order the batch
+    curation_decisions_documents applies. Append mode: a projection
+    emits exactly one row per input doc.
+    """
+    from qa_data_pipeline_rag_llm_spark.plans.queries_curation import (
+        gopher_verdict,
+    )
+
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    return run_to_completion(gopher_verdict(stream), "append")
