@@ -213,13 +213,16 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
 def lang_id(col: Column | str, default: str = "und") -> Column:
     """Predicted language = argmax of stopword hits; ``default`` when all 0.
 
-    Ties break by language code order (deterministic, oracle-replayable).
+    Ties break toward the alphabetically EARLIEST code (deterministic,
+    oracle-replayable): forward iteration with strict '>' means the first
+    code to reach the max keeps it — reverse iteration (the pre-r03 shape)
+    silently inverted this to last-wins against the documented contract.
     """
     scores = {lang: stopword_hits(col, lang) for lang in sorted(LANG_STOPWORDS)}
     best_lang = F.lit(default)
     best_score = F.lit(0)
-    # iterate in reverse so earlier codes win ties with strict '>'
-    for lang in sorted(LANG_STOPWORDS, reverse=True):
+    # forward iteration: earlier codes win ties under strict '>'
+    for lang in sorted(LANG_STOPWORDS):
         s = scores[lang]
         take = s > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)

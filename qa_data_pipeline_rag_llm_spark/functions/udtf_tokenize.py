@@ -14,7 +14,10 @@ from __future__ import annotations
 import re
 import sys
 
-import cloudpickle
+# the VENDORED pickler Spark actually uses — registering by-value on the
+# standalone cloudpickle package is a no-op for Spark serialization
+# (review r03)
+from pyspark import cloudpickle
 from pyspark.sql.functions import udtf
 
 _SPLIT = re.compile(r"[^a-zA-Z0-9]+")

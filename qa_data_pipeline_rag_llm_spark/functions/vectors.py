@@ -32,5 +32,14 @@ def norm(a: Column) -> Column:
     )
 
 
+def safe_denom(d: Column) -> Column:
+    """NULL instead of 0: an undefined cosine (zero-norm vector) must
+    come back NULL — which BOTH engines sort LAST under DESC — never
+    NaN/Infinity, which Spark and DuckDB sort ABOVE every real number
+    and which would park a zero vector at rank 1 of every probe
+    (review r03)."""
+    return F.when(d > 0, d)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b) / safe_denom(norm(a) * norm(b))

@@ -357,10 +357,18 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 2,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``,
-    candidate-blocked by collision on any of four 8-bit bands."""
+    candidate-blocked by collision on any of four 8-bit bands.
+
+    Pigeonhole recall contract: 4 bands guarantee a collision only for
+    pairs within hamming 3 (d differing bits can straddle at most d
+    bands, so d+1 bands are needed for guaranteed recall at distance d).
+    The pre-r03 default of 6 advertised a recall the blocking cannot
+    deliver — pairs differing by 4-6 bits spread one-per-band were
+    silently absent. Callers wanting a larger radius must raise the band
+    count, not just this threshold."""
     fp = simhash_fingerprints(df, text_col, id_col, shingle_n)
     banded = fp.select(
         "doc",

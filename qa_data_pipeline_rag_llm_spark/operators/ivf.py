@@ -32,7 +32,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm, safe_denom
 
 
 def _dot_lit(vec_col: Column, weights: Sequence[float]) -> Column:
@@ -56,7 +56,11 @@ def seed_centroids(
     as similarity.hyperplane_weights); swap in offline-trained KMeans
     centroids at production scale — the plan shape is unchanged."""
     rows = (
-        vectors.filter(F.col(id_col) < n_cells)
+        # orderBy+limit, not a value filter: `id < n_cells` returns zero
+        # centroids (AttributeError downstream) for any id space that is
+        # not dense-from-zero (review r03)
+        vectors.orderBy(id_col)
+        .limit(n_cells)
         .select(id_col, vec_col)
         .collect()
     )
@@ -151,7 +155,7 @@ def ann_ivf_topk(
         probe_id,
         id_col,
         F.round(
-            dot(F.col(vec_col), F.col(probe_vec)) / (F.col("_vn") * F.col("_pn")), 6
+            dot(F.col(vec_col), F.col(probe_vec)) / safe_denom(F.col("_vn") * F.col("_pn")), 6
         ).alias("sim"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))

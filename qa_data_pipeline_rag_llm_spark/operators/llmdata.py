@@ -33,7 +33,7 @@ from qa_data_pipeline_rag_llm_spark.functions.text import (
 
 # Dialect-portable patterns (identical semantics in Java regex and RE2):
 # no lookaround, no \p classes, explicit character sets.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"  # (?i): mixed-case emails must not escape redaction (review r03)
 PHONE_RE = r"\b\d{3}-\d{4}\b"
 
 
@@ -165,7 +165,14 @@ def tfidf_topk(
     score: Column = F.lit(0.0)
     for i, t in enumerate(terms):
         tf = F.size(F.filter("_t", lambda x: x == F.lit(t))).cast("double")
-        score = score + tf * F.log(F.col("_n") / F.col(f"_df{i}"))
+        # df=0 (term absent from the corpus) would make log(n/0)=inf and
+        # 0*inf=NaN poison EVERY document's score (NaN sorts above all
+        # reals under DESC) — an absent term contributes nothing instead
+        # (review r03)
+        score = score + F.when(
+            F.col(f"_df{i}") > 0,
+            tf * F.log(F.col("_n") / F.col(f"_df{i}")),
+        ).otherwise(0.0)
     scored = d.crossJoin(F.broadcast(stats)).select(
         F.col(id_col), F.round(score, 6).alias("score")
     )

@@ -353,7 +353,11 @@ def patch_grid(
     nx = F.least(F.lit(max_nx), F.ceil(w / patch_w)).cast("int")
     ny = F.least(F.lit(max_ny), F.ceil(h / patch_h)).cast("int")
     g = (
-        blobs.select(
+        # degenerate media (width/height 0 or NULL) must emit ZERO
+        # patches: sequence(0, -1) defaults to step -1 and yields [0, -1]
+        # — two phantom patches per axis with negative offsets on an
+        # empty image (review r03)
+        blobs.filter((w > 0) & (h > 0)).select(
             "doc_id",
             w.alias("width"),
             h.alias("height"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
-from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm, safe_denom
 
 
 def cosine_topk(
@@ -52,7 +52,8 @@ def cosine_topk(
         F.col(probe_id),
         F.col(id_col),
         F.round(
-            dot(F.col(vec_col), F.col(probe_vec)) / (F.col("_vn") * F.col("_pn")),
+            dot(F.col(vec_col), F.col(probe_vec))
+            / safe_denom(F.col("_vn") * F.col("_pn")),
             6,
         ).alias("sim"),
     )
@@ -123,10 +124,16 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: SRP-signature collision (exact match on
-    all ``planes`` bits) → verify cosine ≥ threshold. (doc pairs + sim)."""
-    sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
+    all ``planes`` bits) → verify cosine ≥ threshold. (doc pairs + sim).
+
+    ``sig`` lets a caller that already computed srp_signatures share it
+    instead of paying the 2^planes projection fold over the corpus twice
+    (semantic_dedup did exactly that pre-r03 — review)."""
+    if sig is None:
+        sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
     v = vectors.join(sig, id_col).withColumn("_n", norm(F.col(vec_col)))
     pairs = (
         v.alias("a")
@@ -137,7 +144,7 @@ def embedding_near_dup(
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
                 dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (F.col("a._n") * F.col("b._n")),
+                / safe_denom(F.col("a._n") * F.col("b._n")),
                 6,
             ).alias("sim"),
         )
@@ -179,14 +186,15 @@ def semantic_dedup(
     # one copy of the candidate-pair pipeline: a DROPPED id is exactly an
     # id_b of some qualifying near-dup pair (ADVICE r02 — was a line-for-
     # line duplicate of embedding_near_dup's sig-join/cosine-filter)
+    sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
     dup_ids = (
         embedding_near_dup(
-            vectors, planes, cosine_threshold, id_col, vec_col, dims=dims
+            vectors, planes, cosine_threshold, id_col, vec_col,
+            dims=dims, sig=sig,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
     dup_marked = dup_ids.withColumn("_dup_id", F.col(id_col))
     return (
         vectors.join(sig, id_col)
@@ -251,7 +259,7 @@ def ann_lsh_topk(
         probe_id,
         id_col,
         F.round(
-            dot(F.col(vec_col), F.col(probe_vec)) / (F.col("_vn") * F.col("_pn")), 6
+            dot(F.col(vec_col), F.col(probe_vec)) / safe_denom(F.col("_vn") * F.col("_pn")), 6
         ).alias("sim"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))

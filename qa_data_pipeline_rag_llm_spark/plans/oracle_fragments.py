@@ -68,13 +68,13 @@ def stopword_hits(c: str, lang: str) -> str:
 
 
 def lang_id(score_col: dict[str, str], default: str = "und") -> str:
-    """functions.text.lang_id — replays the fold literally: iterate langs in
-    reverse code order; strict '>' so the last-wrapped (earliest-iterated,
-    reverse-greatest) code wins ties. ``score_col`` maps lang → SQL column
-    holding that language's stopword hits."""
+    """functions.text.lang_id — replays the fold literally: iterate langs
+    FORWARD in code order; strict '>' so the alphabetically earliest code
+    wins ties (the documented contract). ``score_col`` maps lang → SQL
+    column holding that language's stopword hits."""
     best_lang = f"'{default}'"
     best_score = "0"
-    for lang in sorted(score_col, reverse=True):
+    for lang in sorted(score_col):
         s = score_col[lang]
         best_lang = f"CASE WHEN {s} > ({best_score}) THEN '{lang}' ELSE {best_lang} END"
         best_score = f"greatest({s}, {best_score})"

@@ -44,7 +44,7 @@ from qa_data_pipeline_rag_llm_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm, safe_denom
 from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 from qa_data_pipeline_rag_llm_spark.plans.queries_vector import _O_COS
@@ -324,7 +324,7 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("neg_label"),
         F.round(
             dot(F.col("embedding"), F.col("probe_vec"))
-            / (F.col("_vn") * F.col("_pn")),
+            / safe_denom(F.col("_vn") * F.col("_pn")),
             6,
         ).alias("sim"),
     )

@@ -110,7 +110,7 @@ _O_AUG = """
       FROM documents)
 """
 
-_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 _PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
 
 
@@ -200,7 +200,7 @@ def _o_tfidf() -> str:
         for i, t in enumerate(TFIDF_TERMS)
     )
     score = " + ".join(
-        f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS DOUBLE) * ln(s.n / s.df{i})"
+        f"CASE WHEN s.df{i} > 0 THEN CAST(len(list_filter({toks}, x -> x = '{t}')) AS DOUBLE) * ln(s.n / s.df{i}) ELSE 0.0 END"
         for i, t in enumerate(TFIDF_TERMS)
     )
     return f"""

@@ -279,7 +279,7 @@ def _sq8_refine_sql() -> str:
 def ann_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm, safe_denom
     from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
 
     qv = REGISTRY["quantize_embeddings_int8"].spark(spark, sf_dir)
@@ -312,7 +312,7 @@ def ann_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(
                 dot(F.col("embedding"), F.col("pvec"))
-                / (norm(F.col("embedding")) * norm(F.col("pvec"))),
+                / safe_denom(norm(F.col("embedding")) * norm(F.col("pvec"))),
                 6,
             ).alias("sim"),
         )

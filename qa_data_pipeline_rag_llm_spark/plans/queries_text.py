@@ -41,7 +41,7 @@ BANDS = 4
 SHINGLE_N = 3
 JACCARD_T = 0.2
 SIMHASH_N = 2
-MAX_HAMMING = 6
+MAX_HAMMING = 3  # = bands-1: the 4-band blocking's guaranteed-recall radius (pigeonhole, review r03)
 NGRAM_MAX_DF = 20
 CONTAINMENT_T = 0.5
 

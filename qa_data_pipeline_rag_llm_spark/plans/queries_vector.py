@@ -49,8 +49,8 @@ def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _O_COS = (
     "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))), 6)"
+    " / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))), 0), 6)"
 )
 
 
@@ -107,8 +107,8 @@ def srp_signatures_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _O_PAIR_COS = (
     "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+    " / nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6)"
 )
 
 
@@ -328,8 +328,8 @@ N_PROBE_CELLS = 4
 
 _O_IVF_COS = (
     "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(pc.pvec AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(CAST(pc.pvec AS DOUBLE[]), CAST(pc.pvec AS DOUBLE[])))), 6)"
+    " / nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(pc.pvec AS DOUBLE[]), CAST(pc.pvec AS DOUBLE[]))), 0), 6)"
 )
 
 

@@ -173,6 +173,11 @@ def run_api_stream(spark, path: str, page_size: int = DEFAULT_PAGE_SIZE):
     deadline = time.time() + 120
     try:
         while spark.table(name).count() < expected:
+            if q.exception() is not None:
+                # surface the real root cause immediately instead of
+                # burning the deadline and masking it as a TimeoutError
+                # (review r03)
+                raise q.exception()
             if time.time() >= deadline:
                 # a silent partial return would look like an engine bug
                 # downstream (hash mismatch / truncated data); fail loud.

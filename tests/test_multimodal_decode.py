@@ -66,3 +66,23 @@ def test_unknown_magic_raises_with_seam_hint():
 def test_injected_decoder_wins():
     marker = object()
     assert decode_image(b"P6 anything", decoder=lambda b: marker) is marker
+
+
+def test_patch_grid_degenerate_dims_emit_zero_patches(spark):
+    """width/height of 0 (corrupt media) must produce NO patches —
+    sequence(0, -1) yields a DESCENDING [0, -1] and the pre-r03 shape
+    emitted phantom patches with negative offsets (review r03)."""
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import patch_grid
+
+    blobs = spark.createDataFrame(
+        [(1, 0, 240), (2, 320, 0), (3, 320, 240)],
+        "doc_id long, w int, h int",
+    ).select(
+        "doc_id", F.struct(F.col("w").alias("width"), F.col("h").alias("height")).alias("meta")
+    )
+    got = patch_grid(blobs).collect()
+    assert {r["doc_id"] for r in got} == {3}
+    assert all(r["x_off"] >= 0 and r["y_off"] >= 0 for r in got)
+    assert all(r["pw"] > 0 and r["ph"] > 0 for r in got)

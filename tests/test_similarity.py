@@ -101,3 +101,27 @@ def test_sq8_index_materializes_and_serves_identically(spark, tmp_path):
     a = {r.vec_id: list(r.qvec) for r in direct.collect()}
     b = {r.vec_id: list(r.qvec) for r in served.collect()}
     assert a == b
+
+
+def test_zero_norm_vector_never_ranks_first(spark):
+    """A zero embedding has no defined cosine: it must NOT appear above
+    genuine neighbors (NaN/Inf sort FIRST under DESC — the pre-r03 bug
+    parked a zero vector at rank 1 of every probe). The guard maps the
+    undefined sim to NULL, which sorts last."""
+    from qa_data_pipeline_rag_llm_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm: undefined cosine
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = (
+        vecs.filter("vec_id = 0")
+        .selectExpr("vec_id AS probe_id", "embedding AS probe_vec")
+    )
+    got = cosine_topk(vecs, probes, k=2).collect()
+    ranked_ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranked_ids == [1, 3]  # genuine neighbors, zero vector displaced
+    assert all(r["sim"] == r["sim"] for r in got)  # no NaN in output
