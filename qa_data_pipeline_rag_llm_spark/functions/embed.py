@@ -38,7 +38,7 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 EMBED_DIMS = 8
 EMBED_BACKEND_ENV = "SPARK_GRAFT_EMBED_BACKEND"
 
-_NORM_RE = re.compile(r"[^a-zA-Z0-9]+")
+_NORM_RE = re.compile(r"[\W_]+", re.ASCII)  # re.ASCII: Python \W is Unicode by default, Java/RE2 are ASCII
 
 
 def _normalize(text: str) -> str:

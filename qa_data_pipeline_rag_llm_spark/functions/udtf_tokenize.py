@@ -20,7 +20,7 @@ import sys
 from pyspark import cloudpickle
 from pyspark.sql.functions import udtf
 
-_SPLIT = re.compile(r"[^a-zA-Z0-9]+")
+_SPLIT = re.compile(r"[\W_]+", re.ASCII)  # ASCII \W: match Java/RE2 word-class semantics
 
 
 @udtf(returnType="pos int, token string")

@@ -23,7 +23,7 @@ def norm(c: str) -> str:
     lower(): JVM and DuckDB lower() disagree on special-casing letters
     (U+0130 İ → 'i'+U+0307 vs 'i'), so casing must only ever see ASCII
     (probed 2026-08-14, tests/test_fragment_parity.py)."""
-    return f"trim(lower(regexp_replace({c}, '[^a-zA-Z0-9]+', ' ', 'g')))"
+    return f"trim(lower(regexp_replace({c}, '[\\W_]+', ' ', 'g')))"
 
 
 def toks(c: str) -> str:

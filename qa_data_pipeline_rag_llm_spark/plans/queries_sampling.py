@@ -276,7 +276,7 @@ def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "survivorship_documents",
     """
     SELECT md5(trim(lower(regexp_replace(text,
-                                         '[^a-zA-Z0-9]+', ' ', 'g')))) AS fingerprint,
+                                         '[\\W_]+', ' ', 'g')))) AS fingerprint,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            MIN(doc_id) AS survivor_doc_id,
            MAX(n_chars) AS best_n_chars,

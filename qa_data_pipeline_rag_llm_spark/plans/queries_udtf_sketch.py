@@ -32,7 +32,7 @@ from qa_data_pipeline_rag_llm_spark.streaming.events import (
            COUNT(DISTINCT doc_id) AS n_docs
     FROM (SELECT doc_id,
                  unnest(list_transform(
-                   list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                   list_filter(regexp_split_to_array(text, '[\\W_]+'),
                                x -> x <> ''), x -> lower(x))) AS token
           FROM documents)
     GROUP BY token
