@@ -47,9 +47,17 @@ def enable_table_persist(flag: bool = True) -> None:
     whole ~190-query session."""
     global _PERSIST
     _PERSIST = flag
-    if flag:
-        for df in _DF_CACHE.values():
-            df.persist()
+    for df in _DF_CACHE.values():
+        try:
+            # frames keyed to a previous, now-stopped SparkSession would
+            # raise through py4j; skip them instead of failing the sweep
+            # (review r03) — clear_table_cache is the real cleanup hook
+            if flag:
+                df.persist()
+            else:
+                df.unpersist()
+        except Exception:
+            pass
 
 
 def clear_table_cache() -> None:

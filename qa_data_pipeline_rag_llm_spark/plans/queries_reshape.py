@@ -157,11 +157,15 @@ def pivot_multi_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select(
+        # coalesce like the sibling pivot_user_events: a user with zero
+        # rows of a pivoted type gets NULL from pivot but 0/0.0 from the
+        # oracle's SUM(CASE ...) — latent only while every fixture user
+        # has both types (review r03)
         "user_id",
-        F.col("click_n").cast("bigint").alias("click_n"),
-        "click_total",
-        F.col("purchase_n").cast("bigint").alias("purchase_n"),
-        "purchase_total",
+        F.coalesce(F.col("click_n").cast("bigint"), F.lit(0)).alias("click_n"),
+        F.coalesce("click_total", F.lit(0.0)).alias("click_total"),
+        F.coalesce(F.col("purchase_n").cast("bigint"), F.lit(0)).alias("purchase_n"),
+        F.coalesce("purchase_total", F.lit(0.0)).alias("purchase_total"),
     )
 
 

@@ -169,10 +169,12 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w))
 
 
+# same nullif zero-norm guard as queries_vector._O_COS (review r03) —
+# only the probe alias differs (q vs p)
 _O_COS_Q = (
     "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6)"
+    " / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))), 0), 6)"
 )
 
 

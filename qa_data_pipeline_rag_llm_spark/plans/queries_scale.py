@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -144,7 +145,14 @@ def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat(F.lit('He said "hi"\n'), F.col("text")).alias("text2"),
     )
-    path = "/tmp/spark_graft_csv_rt_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # per-process suffix: two concurrent sessions on the same sf_dir (the
+    # driver sweep + pytest) must not race one overwrite-vs-read directory
+    # (review r03)
+    path = (
+        "/tmp/spark_graft_csv_rt_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        + f"_{os.getpid()}"
+    )
     (
         d.write.mode("overwrite")
         .option("header", True)

@@ -45,11 +45,6 @@ def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,) for n in names], "table_name string")
 
 
-_PROMPT_SQL = (
-    "'Answer from context.' || chr(10) || 'Context:' || chr(10) || ctx"
-)
-
-
 @register(
     "rag_generate",
     f"""
@@ -57,7 +52,8 @@ _PROMPT_SQL = (
     assembled AS (
       SELECT COUNT(*) AS n_docs,
              'Answer from context.' || chr(10) || 'Context:' || chr(10) ||
-               string_agg(d.text, chr(10) || chr(10) ORDER BY r.rank) AS prompt
+               coalesce(string_agg(d.text, chr(10) || chr(10)
+                                   ORDER BY r.rank), '') AS prompt
       FROM retrieved r JOIN documents d ON d.doc_id = r.doc_id)
     SELECT n_docs, CAST(length(prompt) AS BIGINT) AS prompt_chars,
            {oracle_generate("prompt")} AS answer

@@ -403,16 +403,31 @@ def _jaccard_tail(threshold: float) -> str:
 
 
 _BAND_ROWS = NUM_PERM // BANDS
-_BAND_KEYS = ", ".join(
-    "md5(concat_ws('|', "
-    + ", ".join(f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
-    + f")) AS band{b}"
-    for b in range(BANDS)
-)
-_BANDED_UNION = " UNION ALL ".join(
-    f"SELECT doc, {b} AS band_id, band{b} AS band_key FROM bands"
-    for b in range(BANDS)
-)
+
+
+def _band_key_exprs() -> str:
+    """ONE builder for the LSH band-key layout (md5 over '|'-joined row
+    hashes): the batch minhash oracles and minhash_side_sql (streaming
+    gate, incremental dedup) must compose from the same source or a
+    layout change silently splits the oracle families (review r03)."""
+    return ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+        + f")) AS band{b}"
+        for b in range(BANDS)
+    )
+
+
+def _band_union(src: str) -> str:
+    """Unpivot band0..bandN-1 of ``src`` to (doc, band_id, band_key)."""
+    return " UNION ALL ".join(
+        f"SELECT doc, {b} AS band_id, band{b} AS band_key FROM {src}"
+        for b in range(BANDS)
+    )
+
+
+_BAND_KEYS = _band_key_exprs()
+_BANDED_UNION = _band_union("bands")
 
 
 @register(
@@ -735,21 +750,12 @@ def minhash_side_sql(al: str, pred: str) -> str:
         minhash_coeffs,
     )
 
-    rows = NUM_PERM // BANDS
     mins = ", ".join(
         f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(minhash_coeffs(NUM_PERM))
     )
-    band_keys = ", ".join(
-        "md5(concat_ws('|', "
-        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
-        + f")) AS band{b}"
-        for b in range(BANDS)
-    )
-    union = " UNION ALL ".join(
-        f"SELECT doc, {b} AS band_id, band{b} AS band_key FROM keys_{al}"
-        for b in range(BANDS)
-    )
+    band_keys = _band_key_exprs()
+    union = _band_union(f"keys_{al}")
     return f"""
     sh_{al} AS (SELECT doc_id AS doc, unnest({O.shingles("text", SHINGLE_N)}) AS shingle
                 FROM documents WHERE {pred}),

@@ -294,7 +294,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH probe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
     scored AS (
-      SELECT e.vec_id, {_O_COS.replace("p.embedding", "p.embedding")} AS sim
+      SELECT e.vec_id, {_O_COS} AS sim
       FROM embeddings e, probe p WHERE e.vec_id != p.vec_id),
     top AS (
       SELECT vec_id, sim, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank

@@ -30,10 +30,15 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
-    ``shuffle_partitions`` defaults to the core count in local mode; on a real
-    cluster leave it None and let AQE coalesce from a high initial number.
+    ``shuffle_partitions`` defaults to the core count in LOCAL mode only;
+    on a real cluster leave it None — the conf is then NOT pinned, so the
+    deployment's own setting (a high initial number for AQE to coalesce)
+    wins. Pre-r03 this pinned 32 even for cluster masters, capping every
+    100 TB shuffle at 32 reducers (review r03).
     """
     master = master or f"local[{DEFAULT_CPUS}]"
+    if shuffle_partitions is None and master.startswith("local"):
+        shuffle_partitions = DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -54,8 +59,11 @@ def get_spark(
         # --- local-mode ergonomics ---
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_CPUS))
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -75,6 +75,10 @@ def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     spark = df.sparkSession
     out = spark.table(name).localCheckpoint(eager=True)  # detach from sink
     q.stop()
+    # release the memory sink's rows — ~20 streaming registry queries per
+    # sweep would otherwise pin every result set in the driver for the
+    # session's lifetime (review r03)
+    spark.catalog.dropTempView(name)
     return out
 
 
@@ -106,7 +110,17 @@ def stream_hourly_counts(
 _VAL_SCALE = 1_000_000  # exact micro-units for double `value`
 
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total_scaled", LongType())]
+    [
+        StructField("n", LongType()),
+        StructField("total_scaled", LongType()),
+        # the "last event" watermark must live IN the state: computing it
+        # from the current micro-batch alone returns a stale type whenever
+        # the globally-latest event arrived in an earlier batch
+        # (multi-file trigger / checkpoint restart — review r03)
+        StructField("last_ts", LongType()),
+        StructField("last_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
 )
 _OUT_SCHEMA = StructType(
     [
@@ -125,21 +139,25 @@ def _update_user_totals(
 ) -> Iterator[pd.DataFrame]:
     """Per-user running totals with exact integer accumulation. Emits the
     updated state once per micro-batch the key appears in."""
-    n, total = state.get if state.exists else (0, 0)
-    last_type = ""
-    last_key = (-1, -1)
+    if state.exists:
+        n, total, last_ts, last_id, last_type = state.get
+    else:
+        n, total, last_ts, last_id, last_type = 0, 0, -1, -1, ""
+    last_key = (last_ts, last_id)
     for pdf in pdfs:
         n += len(pdf)
         # exact: value scaled to integer micro-units before summing
         total += int((pdf["value"] * _VAL_SCALE).round().astype("int64").sum())
-        # deterministic "last": max (ts, event_id) tie-broken by event_id
+        # deterministic "last": max (ts, event_id) tie-broken by event_id,
+        # compared against the STATE's watermark so later batches with
+        # older events cannot regress it
         idx = pdf[["ts", "event_id"]].astype("int64")
         pos = idx.sort_values(["ts", "event_id"]).index[-1]
         cand = (int(idx.loc[pos, "ts"]), int(idx.loc[pos, "event_id"]))
         if cand > last_key:
             last_key = cand
             last_type = str(pdf.loc[pos, "event_type"])
-    state.update((n, total))
+    state.update((n, total, last_key[0], last_key[1], last_type))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

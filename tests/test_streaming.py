@@ -92,3 +92,35 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     per_batch = sorted((r["n_events"], r["total_scaled"]) for r in res)
     # batch 1: 2 events, 3.5 total; batch 2 carries state: 3 events, 3.75
     assert per_batch == [(2, 3_500_000), (3, 3_750_000)]
+
+
+def test_stateful_last_event_survives_older_later_batch(spark, tmp_path):
+    """The globally-latest event arrives in batch 1; batch 2 carries only
+    OLDER events. last_event must come from STATE, not be recomputed from
+    the current micro-batch (review r03: the pre-fix state carried only
+    (n, total) and batch 2's emission — the one with max n_events —
+    reported the stale type)."""
+    import qa_data_pipeline_rag_llm_spark.streaming.events as ev
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batches = [
+        [_evt(1, hour=5, typ="purchase"), _evt(2, hour=9, typ="view")],
+        [_evt(3, hour=1, typ="click"), _evt(4, hour=2, typ="click")],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    raw = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = raw.groupBy("user_id").applyInPandasWithState(
+        ev._update_user_totals,
+        outputStructType=ev._OUT_SCHEMA,
+        stateStructType=ev._STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_to_completion(out, "update").collect()
+    final = max(res, key=lambda r: r["n_events"])
+    assert final["n_events"] == 4
+    assert final["last_event"] == "view"  # hour-9 event from batch 1
