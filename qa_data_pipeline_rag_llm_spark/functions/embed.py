@@ -85,37 +85,11 @@ def make_http_embed_backend(
     worker holds its own connection; transient failures retry with
     backoff (the seam twin of the reference's StackAPI backoff loop,
     ``STACK-Recup-Questions.py``)."""
-    import json
-    import time
-    import urllib.error
-    import urllib.request
+    from qa_data_pipeline_rag_llm_spark.functions.httpjson import post_json
 
     def backend(texts: list[str]) -> list[list[float]]:
-        body = json.dumps({"texts": texts}).encode()
-        req = urllib.request.Request(
-            url, data=body, headers={"Content-Type": "application/json"}
-        )
-        last: Exception | None = None
-        for attempt in range(retries + 1):
-            try:
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
-                    out = json.loads(resp.read())
-                return [[float(x) for x in v] for v in out["embeddings"]]
-            except urllib.error.HTTPError as exc:
-                # 4xx is deterministic — retrying can never succeed, and
-                # each retried Arrow batch would burn the full backoff
-                # schedule on every executor (review r03)
-                if 400 <= exc.code < 500:
-                    raise
-                last = exc
-            except (KeyError, ValueError, TypeError):
-                # malformed response body — deterministic, fail fast
-                raise
-            except Exception as exc:  # noqa: BLE001 — transient: retry
-                last = exc
-            if attempt < retries:  # no dead sleep after the final failure
-                time.sleep(0.2 * (2**attempt))
-        raise last  # type: ignore[misc]
+        out = post_json(url, {"texts": texts}, timeout, retries)
+        return [[float(x) for x in v] for v in out["embeddings"]]
 
     return backend
 

@@ -67,32 +67,11 @@ def make_http_generate_backend(
     runtime in-process instead, ``PLATFORM-GenerationLLM.py:183-211``).
     Wire format: ``{"prompts": [...]}`` → ``{"completions": [...]}``;
     stdlib-only so the closure cloudpickles to executors."""
-    import json
-    import time
-    import urllib.error
-    import urllib.request
+    from qa_data_pipeline_rag_llm_spark.functions.httpjson import post_json
 
     def backend(prompts: list[str]) -> list[str]:
-        body = json.dumps({"prompts": prompts}).encode()
-        req = urllib.request.Request(
-            url, data=body, headers={"Content-Type": "application/json"}
-        )
-        last: Exception | None = None
-        for attempt in range(retries + 1):
-            try:
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
-                    return [str(c) for c in json.loads(resp.read())["completions"]]
-            except urllib.error.HTTPError as exc:
-                if 400 <= exc.code < 500:  # deterministic — fail fast
-                    raise
-                last = exc
-            except (KeyError, ValueError, TypeError):
-                raise  # malformed response body — deterministic
-            except Exception as exc:  # noqa: BLE001 — transient: retry
-                last = exc
-            if attempt < retries:  # no dead sleep after the final failure
-                time.sleep(0.2 * (2**attempt))
-        raise last  # type: ignore[misc]
+        out = post_json(url, {"prompts": prompts}, timeout, retries)
+        return [str(c) for c in out["completions"]]
 
     return backend
 

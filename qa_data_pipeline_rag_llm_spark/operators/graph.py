@@ -134,7 +134,10 @@ def connected_components_twostar(
 
     Convergence detection: a (count, xor-of-pair-hashes) signature of
     the canonical directed edge set — two scalar aggregates, no
-    driver-side edge materialization.
+    driver-side edge materialization. Signature-based detection needs
+    one extra NO-CHANGE round to observe the fixpoint, so ``max_iter``
+    must be at least (rounds-to-converge + 1); the default 30 leaves
+    ample headroom over the O(log n) bound.
     """
     verts = (
         edges.select(F.col(src).alias("id"))
@@ -174,8 +177,9 @@ def connected_components_twostar(
         # silently corrupt labeling poisons every downstream dedup
         # decision (review r03).
         raise RuntimeError(
-            f"two-star did not converge in max_iter={max_iter} rounds; "
-            "raise max_iter (O(log n) rounds suffice for any topology)"
+            f"two-star did not detect a fixpoint in max_iter={max_iter} "
+            "rounds; raise max_iter (O(log n)+1 rounds suffice for any "
+            "topology — detection costs one extra no-change round)"
         )
     # converged: e is (node → component-min). Roots and isolated vertices
     # label themselves.

@@ -33,7 +33,10 @@ from qa_data_pipeline_rag_llm_spark.functions.text import (
 
 # Dialect-portable patterns (identical semantics in Java regex and RE2):
 # no lookaround, no \p classes, explicit character sets.
-EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"  # (?i): mixed-case emails must not escape redaction (review r03)
+# explicit A-Za-z ranges, NOT (?i): Java case-folds ASCII-only under (?i)
+# while RE2 Unicode-folds (ſ/K would diverge) — explicit ranges are
+# identical in both engines AND catch mixed-case emails (review r03)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b\d{3}-\d{4}\b"
 
 

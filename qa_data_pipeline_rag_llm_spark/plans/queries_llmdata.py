@@ -110,7 +110,7 @@ _O_AUG = """
       FROM documents)
 """
 
-_EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
 
 

@@ -126,12 +126,14 @@ def explode_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                 AS BIGINT) AS click_n,
            round(CAST(SUM(CASE WHEN event_type = 'click'
-                     THEN CAST(round(value * 1000000) AS BIGINT) END)
+                     THEN CAST(round(value * 1000000) AS BIGINT)
+                     ELSE 0 END)
                  AS DOUBLE) / 1000000.0, 4) AS click_total,
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                 AS BIGINT) AS purchase_n,
            round(CAST(SUM(CASE WHEN event_type = 'purchase'
-                     THEN CAST(round(value * 1000000) AS BIGINT) END)
+                     THEN CAST(round(value * 1000000) AS BIGINT)
+                     ELSE 0 END)
                  AS DOUBLE) / 1000000.0, 4) AS purchase_total
     FROM events GROUP BY user_id
     """,
@@ -158,9 +160,10 @@ def pivot_multi_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         # coalesce like the sibling pivot_user_events: a user with zero
-        # rows of a pivoted type gets NULL from pivot but 0/0.0 from the
-        # oracle's SUM(CASE ...) — latent only while every fixture user
-        # has both types (review r03)
+        # rows of a pivoted type gets NULL from pivot, while the oracle's
+        # SUM(CASE ... ELSE 0) gives 0/0.0 (the ELSE 0 on the totals is
+        # deliberate, added in lockstep — latent only while every fixture
+        # user has both types; review r03)
         "user_id",
         F.coalesce(F.col("click_n").cast("bigint"), F.lit(0)).alias("click_n"),
         F.coalesce("click_total", F.lit(0.0)).alias("click_total"),

@@ -30,6 +30,8 @@ from qa_data_pipeline_rag_llm_spark.operators.skew import (
     salted_aggregate,
 )
 from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+
+_CSV_RT_CLEANUP: set[str] = set()
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 
 
@@ -146,13 +148,20 @@ def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit('He said "hi"\n'), F.col("text")).alias("text2"),
     )
     # per-process suffix: two concurrent sessions on the same sf_dir (the
-    # driver sweep + pytest) must not race one overwrite-vs-read directory
-    # (review r03)
+    # driver sweep + pytest) must not race one overwrite-vs-read directory;
+    # the process removes its own directory at exit so repeated CI runs
+    # don't accumulate one parquet copy per pid (review r03)
     path = (
         "/tmp/spark_graft_csv_rt_"
         + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
         + f"_{os.getpid()}"
     )
+    if path not in _CSV_RT_CLEANUP:
+        import atexit
+        import shutil
+
+        _CSV_RT_CLEANUP.add(path)
+        atexit.register(shutil.rmtree, path, True)
     (
         d.write.mode("overwrite")
         .option("header", True)

@@ -337,7 +337,8 @@ _O_IVF_COS = (
     "ann_ivf_topk_embeddings",
     f"""
     WITH cent AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CELLS}),
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      ORDER BY vec_id LIMIT {N_CELLS}),
     scores AS (
       SELECT e.vec_id, e.embedding, c.cid,
              list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS dp

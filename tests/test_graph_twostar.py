@@ -98,5 +98,5 @@ def test_twostar_fails_loud_when_budget_exhausted(spark):
     e = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "src long, dst long"
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
+    with _pytest.raises(RuntimeError, match="did not detect a fixpoint"):
         connected_components_twostar(e, max_iter=1).collect()
