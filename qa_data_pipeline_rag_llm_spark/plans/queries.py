@@ -576,6 +576,22 @@ _PINNED_FIRST = [
     "rag_generate",
 ]
 
+# This round's new operator families register LAST (module import order)
+# and would otherwise sit at the tail of the never-verified bucket, past
+# the driver's 50-query sample prefix. Pin them into the second tier so
+# each round's additions get an independent cross-engine row while fresh;
+# pins auto-demote once an artifact records them (see bucket()).
+_PINNED_NEW = [
+    "remove_dup_spans_documents",
+    "ngram_novelty_by_source",
+    "token_entropy_by_source",
+    "hard_negatives_embeddings",
+    "bpe_merge_pairs_documents",
+    "source_temperature_weights",
+    "padding_waste_by_batching",
+    "streaming_quality_gate",
+]
+
 
 def _verified_names() -> set[str]:
     import json
@@ -596,13 +612,18 @@ def _reorder_registry() -> None:
     names = list(REGISTRY)
 
     def bucket(n: str) -> int:
-        if n in _PINNED_FIRST:
+        # pins hold their tier only while unverified — once an artifact
+        # records them they rotate like everything else, freeing sample
+        # slots for the next round's debt
+        if n in _PINNED_FIRST and n not in seen:
             return 0
-        if n not in seen and REGISTRY[n].oracle:
+        if n in _PINNED_NEW and n not in seen:
             return 1
-        if n not in seen:
+        if n not in seen and REGISTRY[n].oracle:
             return 2
-        return 3
+        if n not in seen:
+            return 3
+        return 4
 
     ordered = sorted(names, key=lambda n: (bucket(n), names.index(n)))
     snapshot = dict(REGISTRY)
