@@ -551,6 +551,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_curation  # noqa: E402,
 from qa_data_pipeline_rag_llm_spark.plans import queries_audit  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_sft  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_contrib  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_evals  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -590,6 +591,10 @@ _PINNED_NEW = [
     "source_temperature_weights",
     "padding_waste_by_batching",
     "streaming_quality_gate",
+    "retrieval_eval_bm25",
+    "eval_recall_curve_bm25",
+    "retrieval_overlap_lex_vec",
+    "k_anonymity_customers",
 ]
 
 

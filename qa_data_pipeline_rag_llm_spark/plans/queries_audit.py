@@ -360,3 +360,70 @@ REGISTRY["curation_funnel_documents"].oracle = f"""
              AS keep_rate
     FROM ({REGISTRY["curation_decisions_documents"].oracle})
 """
+
+
+# ---------------------------------------------------------------------------
+# Privacy / re-identification audit (extension surface: a training-data
+# release must check quasi-identifier uniqueness before shipping; the
+# reference publishes scraped user content with no such check —
+# REDDIT-Ingestion.py ships author-adjacent fields as-is).
+
+K_ANON_K = 5  # the classic "k≥5" release bar
+
+
+@register(
+    "k_anonymity_customers",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_band,
+             COUNT(*) AS cnt
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS INTEGER))
+    SELECT CAST({K_ANON_K} AS INTEGER) AS k,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_groups,
+           CAST(MIN(cnt) AS BIGINT) AS k_min,
+           CAST(SUM(CASE WHEN cnt < {K_ANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_lt_k,
+           CAST(SUM(CASE WHEN cnt < {K_ANON_K} THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           round(SUM(CASE WHEN cnt < {K_ANON_K} THEN cnt ELSE 0 END)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS risk_share
+    FROM g
+    """,
+    doc=f"k-anonymity audit (k={K_ANON_K}) over the quasi-identifier "
+    "tuple (nation, market segment, account-balance band): group sizes "
+    "→ one-row report with the achieved k_min, the number of violating "
+    "groups, and the share of rows re-identifiable at k<5 — the release "
+    "gate a curated dataset needs before publication. Two partial-agg "
+    "friendly aggregations, no window, no join: at 100 TB this is one "
+    "QI-key shuffle plus a one-row reduce.",
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+    ).agg(F.count("*").alias("cnt"))
+    risk = F.sum(F.when(F.col("cnt") < K_ANON_K, F.col("cnt")).otherwise(0))
+    return g.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min("cnt").alias("k_min"),
+        F.sum(
+            F.when(F.col("cnt") < K_ANON_K, 1).otherwise(0)
+        ).alias("groups_lt_k"),
+        risk.alias("rows_at_risk"),
+        F.round(risk / F.sum("cnt").cast("double"), 6).alias("risk_share"),
+    ).select(
+        F.lit(K_ANON_K).cast("int").alias("k"),
+        "n_rows",
+        "n_groups",
+        "k_min",
+        "groups_lt_k",
+        "rows_at_risk",
+        "risk_share",
+    )

