@@ -595,6 +595,8 @@ _PINNED_NEW = [
     "eval_recall_curve_bm25",
     "retrieval_overlap_lex_vec",
     "k_anonymity_customers",
+    "scd2_user_state_events",
+    "peak_concurrency_daily",
 ]
 
 

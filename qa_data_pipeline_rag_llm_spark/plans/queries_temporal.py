@@ -281,3 +281,163 @@ def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history + interval concurrency (extension surface: the
+# reference keeps no history at all — each run of its pipeline overwrites
+# the prior CSV snapshot, PLATFORM-Cleaning-Structuration.py — so slowly-
+# changing-dimension tracking is the warehouse capability it lacks).
+
+_SID_FACTOR = 1_000_000_000  # sess_id < 1e9 per user ⇒ collision-free sid
+
+
+@register(
+    "scd2_user_state_events",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM LAG(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), v AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM o
+    ), grp AS (
+      SELECT user_id, CAST(version AS INTEGER) AS version,
+             MIN(event_type) AS state, MIN(ts) AS vfrom
+      FROM v GROUP BY user_id, version
+    )
+    SELECT user_id, version, state,
+           epoch_us(vfrom) AS valid_from_us,
+           LEAD(epoch_us(vfrom))
+             OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           (LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY version)
+            IS NULL) AS is_current
+    FROM grp
+    """,
+    doc="Type-2 slowly-changing-dimension build from an event log: "
+    "consecutive same-state events collapse into one version row with "
+    "[valid_from, valid_to) in epoch micros, open-ended (NULL) for the "
+    "current version — the standard warehouse history table the "
+    "reference's overwrite-everything pipeline cannot produce. Every "
+    "window is partitioned by the dimension key: one user_id shuffle, "
+    "per-key frames stay executor-sized at any corpus scale.",
+)
+def scd2_user_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
+    ).otherwise(1)
+    v = ev.withColumn("chg", chg).withColumn(
+        "version",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    grp = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vfrom"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("vfrom").over(wv)
+    return grp.select(
+        "user_id",
+        "version",
+        "state",
+        F.unix_micros("vfrom").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "peak_concurrency_daily",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    ), iv AS (
+      SELECT user_id, sess_id,
+             MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+      FROM s GROUP BY user_id, sess_id
+    ), b AS (
+      SELECT user_id * {_SID_FACTOR} + sess_id AS sid, s_us AS us,
+             1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id * {_SID_FACTOR} + sess_id, e_us, -1 FROM iv
+    ), c AS (
+      SELECT us, delta,
+             SUM(delta) OVER (ORDER BY us, delta, sid
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM b
+    )
+    SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS sessions_started
+    FROM c GROUP BY 1
+    """,
+    doc="Peak concurrent sessions per day (capacity planning): sessions "
+    "(30-min gap rule) become ±1 boundary events — ends sort before "
+    "starts at the same instant, so half-open [start, end) intervals "
+    "never double-count — and the global ordered running sum runs as "
+    "the two-pass partition-offset pattern (operators/cumulative.py), "
+    "never a single-task window, even though the boundary frame is "
+    "2×sessions and grows with the data. Peak is sampled at boundary "
+    "instants; single-event sessions are zero-length and contribute "
+    "nothing (documented).",
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_sess", F.when(gap > 1800 * 1_000_000, 1).otherwise(0)
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "sess_id").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    sid = (F.col("user_id") * _SID_FACTOR + F.col("sess_id")).alias("sid")
+    b = iv.select(sid, F.col("s_us").alias("us"), F.lit(1).alias("delta")).unionByName(
+        iv.select(sid, F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    c = rank_cumsum(
+        b,
+        [F.col("us"), F.col("delta"), F.col("sid")],
+        "delta",
+        cumsum_col="conc",
+        bucket_col="us",
+    )
+    return c.groupBy(
+        F.date_format(F.timestamp_micros(F.col("us")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("sessions_started"),
+    )

@@ -315,7 +315,12 @@ def test_oov_vocab_topk_is_takeordered(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["pareto_users_events", "vocab_coverage_documents"]
+    "name",
+    [
+        "pareto_users_events",
+        "vocab_coverage_documents",
+        "peak_concurrency_daily",
+    ],
 )
 def test_cumulative_queries_use_partition_offset_pattern(spark, name):
     """Global rank+cumsum must run as the two-pass bucket-offset
@@ -328,7 +333,16 @@ def test_cumulative_queries_use_partition_offset_pattern(spark, name):
     assert "hashpartitioning(__cum_bid" in plan
     import re
 
+    # `Window [exprs], [second]` prints the partition spec as the second
+    # bracket when one exists, else the ORDER spec (recognizable by its
+    # ASC/DESC sort directions). A window is an offense only when it is
+    # genuinely unpartitioned AND not the bounded __cum_bid offset frame
+    # — key-partitioned windows (e.g. per-user sessionization feeding the
+    # cumulative) are scale-safe and allowed.
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
-        spec = m.group(0)
-        if "__cum_bid" not in spec:
+        spec, second = m.group(0), m.group(1 + 1)
+        unpartitioned = not second.strip() or re.search(
+            r"\b(ASC|DESC) NULLS", second
+        )
+        if unpartitioned and "__cum_bid" not in spec:
             raise AssertionError(f"unpartitioned non-offset window: {spec}")
