@@ -597,6 +597,7 @@ _PINNED_NEW = [
     "k_anonymity_customers",
     "scd2_user_state_events",
     "peak_concurrency_daily",
+    "pit_state_at_purchase",
 ]
 
 

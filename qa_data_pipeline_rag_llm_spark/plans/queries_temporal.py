@@ -441,3 +441,95 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sessions_started"),
     )
+
+
+_O_SCD2_NONPURCHASE = """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM LAG(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type != 'purchase'
+    ), v AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM o
+    ), grp AS (
+      SELECT user_id, CAST(version AS INTEGER) AS version,
+             MIN(event_type) AS state, MIN(epoch_us(ts)) AS vfrom_us
+      FROM v GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, vfrom_us,
+           LEAD(vfrom_us)
+             OVER (PARTITION BY user_id ORDER BY version) AS vto_us
+    FROM grp
+"""
+
+
+@register(
+    "pit_state_at_purchase",
+    f"""
+    WITH iv AS ({_O_SCD2_NONPURCHASE}),
+    p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, iv.state,
+           iv.version AS state_version
+    FROM p LEFT JOIN iv
+      ON iv.user_id = p.user_id
+     AND p.p_us >= iv.vfrom_us
+     AND (iv.vto_us IS NULL OR p.p_us < iv.vto_us)
+    """,
+    doc="Point-in-time join: each purchase is enriched with the SCD2 "
+    "state version (built from the user's non-purchase events) whose "
+    "[valid_from, valid_to) interval covers the purchase instant — the "
+    "canonical feature-store lookup ('what did we know about the user "
+    "when the event happened'), which the reference's latest-snapshot "
+    "joins cannot answer. Intervals tile time per user, so exactly one "
+    "version matches (NULL when the purchase predates any state). The "
+    "join is hash-equi on user_id with a residual range predicate: one "
+    "key shuffle, per-user interval lists stay executor-sized at any "
+    "corpus scale — never an interval cross-product.",
+)
+def pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
+    ).otherwise(1)
+    v = base.withColumn("chg", chg).withColumn(
+        "version",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    grp = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min(F.unix_micros("ts")).alias("vfrom_us"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    iv = grp.select(
+        F.col("user_id").alias("iv_user"),
+        "version",
+        "state",
+        "vfrom_us",
+        F.lead("vfrom_us").over(wv).alias("vto_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("p_us")
+    )
+    joined = p.join(
+        iv,
+        (F.col("iv_user") == F.col("user_id"))
+        & (F.col("p_us") >= F.col("vfrom_us"))
+        & (F.col("vto_us").isNull() | (F.col("p_us") < F.col("vto_us"))),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "state",
+        F.col("version").alias("state_version"),
+    )
