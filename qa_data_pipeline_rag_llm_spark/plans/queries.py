@@ -598,6 +598,7 @@ _PINNED_NEW = [
     "scd2_user_state_events",
     "peak_concurrency_daily",
     "pit_state_at_purchase",
+    "incremental_scd2_merge_events",
 ]
 
 

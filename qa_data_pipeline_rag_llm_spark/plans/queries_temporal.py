@@ -292,9 +292,33 @@ def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SID_FACTOR = 1_000_000_000  # sess_id < 1e9 per user ⇒ collision-free sid
 
 
-@register(
-    "scd2_user_state_events",
-    """
+def _scd2_versions(ev: DataFrame) -> DataFrame:
+    """Shared SCD2 kernel: run-compress an event log (user_id,
+    event_type, ts, event_id) into versioned state rows (user_id,
+    version, state, vfrom, vto) — vto NULL for the open version.
+    Every window partitions by user_id; one key shuffle total."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
+    ).otherwise(1)
+    v = ev.withColumn("chg", chg).withColumn(
+        "version",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    grp = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vfrom"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return grp.withColumn("vto", F.lead("vfrom").over(wv))
+
+
+# full-log SCD2 recompute — the oracle for both the batch build and the
+# incremental merge (merge ≡ recompute, same proof shape as
+# incremental_agg_merge_events)
+_O_SCD2_FULL = """
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
              CASE WHEN event_type IS DISTINCT FROM LAG(event_type)
@@ -318,7 +342,12 @@ _SID_FACTOR = 1_000_000_000  # sess_id < 1e9 per user ⇒ collision-free sid
            (LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY version)
             IS NULL) AS is_current
     FROM grp
-    """,
+"""
+
+
+@register(
+    "scd2_user_state_events",
+    _O_SCD2_FULL,
     doc="Type-2 slowly-changing-dimension build from an event log: "
     "consecutive same-state events collapse into one version row with "
     "[valid_from, valid_to) in epoch micros, open-ended (NULL) for the "
@@ -329,29 +358,19 @@ _SID_FACTOR = 1_000_000_000  # sess_id < 1e9 per user ⇒ collision-free sid
 )
 def scd2_user_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
-    ).otherwise(1)
-    v = ev.withColumn("chg", chg).withColumn(
-        "version",
-        F.sum("chg")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("int"),
-    )
-    grp = v.groupBy("user_id", "version").agg(
-        F.min("event_type").alias("state"),
-        F.min("ts").alias("vfrom"),
-    )
-    wv = Window.partitionBy("user_id").orderBy("version")
-    nxt = F.lead("vfrom").over(wv)
-    return grp.select(
+    return _scd2_us_shape(_scd2_versions(ev))
+
+
+def _scd2_us_shape(versions: DataFrame) -> DataFrame:
+    """Project the shared SCD2 kernel output to the registry schema
+    (epoch-micro validity bounds + is_current flag)."""
+    return versions.select(
         "user_id",
         "version",
         "state",
         F.unix_micros("vfrom").alias("valid_from_us"),
-        F.unix_micros(nxt).alias("valid_to_us"),
-        nxt.isNull().alias("is_current"),
+        F.unix_micros("vto").alias("valid_to_us"),
+        F.col("vto").isNull().alias("is_current"),
     )
 
 
@@ -494,28 +513,12 @@ _O_SCD2_NONPURCHASE = """
 )
 def pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    base = ev.filter(F.col("event_type") != "purchase")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
-    ).otherwise(1)
-    v = base.withColumn("chg", chg).withColumn(
-        "version",
-        F.sum("chg")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("int"),
-    )
-    grp = v.groupBy("user_id", "version").agg(
-        F.min("event_type").alias("state"),
-        F.min(F.unix_micros("ts")).alias("vfrom_us"),
-    )
-    wv = Window.partitionBy("user_id").orderBy("version")
-    iv = grp.select(
+    iv = _scd2_versions(ev.filter(F.col("event_type") != "purchase")).select(
         F.col("user_id").alias("iv_user"),
         "version",
         "state",
-        "vfrom_us",
-        F.lead("vfrom_us").over(wv).alias("vto_us"),
+        F.unix_micros("vfrom").alias("vfrom_us"),
+        F.unix_micros("vto").alias("vto_us"),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.unix_micros("ts").alias("p_us")
@@ -533,3 +536,67 @@ def pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state",
         F.col("version").alias("state_version"),
     )
+
+
+# Day-of-month boundary splitting "already-built history" from "tonight's
+# delta" (events span one month; ≤20 puts ~2/3 in history — same split as
+# queries_audit.IVM_CUTOFF_DAY).
+SCD2_CUTOFF_DAY = 20
+
+
+@register(
+    "incremental_scd2_merge_events",
+    _O_SCD2_FULL,
+    doc="Incremental SCD2 maintenance: the history partition (day ≤ "
+    f"{SCD2_CUTOFF_DAY}) is built once; the nightly delta is merged by "
+    "recomputing ONLY each touched user's tail — closed versions are "
+    "carried over untouched, the open version is re-derived from a "
+    "per-user seed row (its state + valid_from) unioned with the delta "
+    "events, and version numbers re-offset by the user's closed count. "
+    "The oracle recomputes SCD2 from the FULL log, proving merge ≡ "
+    "recompute (the same algebraic gate as incremental_agg_merge_events)"
+    " — at 100 TB the nightly job touches the delta plus one seed row "
+    "per active user, never the history partition's event rows. All "
+    "joins/windows key on user_id; seed/closed frames are one row per "
+    "(user, version), bounded by state-change count, not event count.",
+)
+def incremental_scd2_merge_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist_ev = ev.filter(F.dayofmonth("ts") <= SCD2_CUTOFF_DAY)
+    delta_ev = ev.filter(F.dayofmonth("ts") > SCD2_CUTOFF_DAY)
+
+    hist = _scd2_versions(hist_ev)
+    closed = hist.filter(F.col("vto").isNotNull())
+    cur = hist.filter(F.col("vto").isNull()).select(
+        "user_id",
+        F.col("version").alias("version0"),
+        "state",
+        "vfrom",
+    )
+    # one synthetic seed event per user carries the open version's state
+    # into the tail recompute; event_id −1 sorts before any real event
+    # at the same instant (real ids are ≥0)
+    seed = cur.select(
+        "user_id",
+        F.col("state").alias("event_type"),
+        F.col("vfrom").alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    tail = _scd2_versions(delta_ev.unionByName(seed))
+    offs = cur.select("user_id", (F.col("version0") - 1).alias("voff"))
+    tail_off = tail.join(offs, "user_id", "left").withColumn(
+        "version",
+        (F.col("version") + F.coalesce(F.col("voff"), F.lit(0))).cast(
+            "int"
+        ),
+    )
+    merged = closed.select(
+        "user_id", "version", "state", "vfrom", "vto"
+    ).unionByName(
+        tail_off.select("user_id", "version", "state", "vfrom", "vto")
+    )
+    return _scd2_us_shape(merged)
