@@ -599,6 +599,7 @@ _PINNED_NEW = [
     "peak_concurrency_daily",
     "pit_state_at_purchase",
     "incremental_scd2_merge_events",
+    "retrieval_eval_cosine",
 ]
 
 

@@ -67,10 +67,12 @@ _O_REL = f"""
 """
 
 
-@register(
-    "retrieval_eval_bm25",
-    f"""
-    WITH ranked AS ({_O_RANKED}),
+def _o_eval_metrics(ranked_sql: str) -> str:
+    """Metric block shared by every ranker eval: feed it any ranked-list
+    SQL producing (doc_id, rnk ≤ k) and it scores that list against the
+    term-grade relevance oracle."""
+    return f"""
+    WITH ranked AS ({ranked_sql}),
     rel AS ({_O_REL}),
     j AS (
       SELECT r.rnk, coalesce(rel.rel, 0) AS rel
@@ -97,7 +99,12 @@ _O_REL = f"""
            round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
            round(dcg / idcg, 4) AS ndcg
     FROM m CROSS JOIN nrel CROSS JOIN dcg CROSS JOIN idcg
-    """,
+    """
+
+
+@register(
+    "retrieval_eval_bm25",
+    _o_eval_metrics(_O_RANKED),
     doc=f"Offline eval of the BM25 ranker at k={EVAL_K}: precision/recall"
     "/MRR on binary relevance (doc contains ALL query terms) + graded "
     "nDCG (grade = distinct query terms present, gain 2^g−1, ordered-"
@@ -106,7 +113,12 @@ _O_REL = f"""
 )
 def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _bm25_scored(spark, sf_dir, EVAL_K).select("doc_id", "rnk")
-    rel = _rel_grades(spark, sf_dir)
+    return _eval_metrics(ranked, _rel_grades(spark, sf_dir))
+
+
+def _eval_metrics(ranked: DataFrame, rel: DataFrame) -> DataFrame:
+    """Spark twin of _o_eval_metrics: score a (doc_id, rnk ≤ k) ranked
+    list against the relevance-grade frame."""
     j = ranked.join(rel, "doc_id", "left").select(
         "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
     )
@@ -319,3 +331,26 @@ def _gain(rank_col: F.Column) -> F.Column:
     return (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / (
         F.log(rank_col + F.lit(1.0)) / F.log(F.lit(2.0))
     )
+
+
+@register(
+    "retrieval_eval_cosine",
+    _o_eval_metrics(f"SELECT doc_id, r AS rnk FROM ({_O_VEC_TOP})"),
+    doc=f"Offline eval of the VECTOR ranker (exact cosine, probe = "
+    f"embedding 0) at k={EVAL_K} against the same term-grade relevance "
+    "oracle as retrieval_eval_bm25 — the apples-to-apples readout that "
+    "tells you which retrieval arm carries the hybrid fusion and "
+    "whether the embedding space encodes the lexical signal at all. "
+    "Same bounded-window metric block; ranker cost is the broadcast "
+    "probe scan.",
+)
+def retrieval_eval_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    ranked = cosine_topk(emb, q, k=EVAL_K).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rnk")
+    )
+    return _eval_metrics(ranked, _rel_grades(spark, sf_dir))

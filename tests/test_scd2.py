@@ -1,0 +1,75 @@
+"""SCD2 family invariants, independent of the DuckDB oracle.
+
+The oracle proves cross-engine value equality; these pin the *semantic*
+contract of a type-2 history table — properties a consumer relies on
+that a hash match alone would not explain if they ever broke:
+
+  * versions are dense 1..n per key;
+  * validity intervals tile time: valid_to == next version's valid_from,
+    exactly one open (NULL) interval per key, and it is the last;
+  * run compression is maximal: consecutive versions never share state;
+  * the incremental merge (history + delta tail recompute) is row-equal
+    to the batch build over the full log.
+"""
+
+from __future__ import annotations
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _by_user(rows):
+    users: dict[int, list] = {}
+    for r in rows:
+        users.setdefault(r.user_id, []).append(r)
+    for vs in users.values():
+        vs.sort(key=lambda r: r.version)
+    return users
+
+
+def test_scd2_versions_dense_and_tiling(spark):
+    rows = REGISTRY["scd2_user_state_events"].spark(spark, SF_DIR).collect()
+    users = _by_user(rows)
+    assert users, "no SCD2 rows at all"
+    for uid, vs in users.items():
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1)), uid
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us, (uid, a.version)
+            assert a.state != b.state, (uid, a.version)  # maximal runs
+            assert not a.is_current
+        assert vs[-1].valid_to_us is None and vs[-1].is_current, uid
+        assert all(
+            r.valid_from_us < r.valid_to_us for r in vs[:-1]
+        ) or len(vs) == 1
+
+
+def test_incremental_scd2_merge_equals_batch_build(spark):
+    batch = sorted(
+        map(
+            tuple,
+            REGISTRY["scd2_user_state_events"]
+            .spark(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    merged = sorted(
+        map(
+            tuple,
+            REGISTRY["incremental_scd2_merge_events"]
+            .spark(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    assert batch == merged
+
+
+def test_pit_join_matches_at_most_one_version(spark):
+    df = REGISTRY["pit_state_at_purchase"].spark(spark, SF_DIR)
+    rows = df.collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "a purchase matched >1 interval"
+    # intervals tile time, so the only unmatched purchases predate the
+    # user's first non-purchase event — and every matched state is real
+    assert all(
+        r.state is None or isinstance(r.state, str) for r in rows
+    )
