@@ -95,7 +95,7 @@ def _o_eval_metrics(ranked_sql: str) -> str:
       FROM j)
     SELECT CAST({EVAL_K} AS INTEGER) AS k, n_rel, hits,
            round(hits / {EVAL_K}.0, 6) AS precision_at_k,
-           round(hits / CAST(n_rel AS DOUBLE), 6) AS recall_at_k,
+           round(hits / CAST(nullif(n_rel, 0) AS DOUBLE), 6) AS recall_at_k,
            round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
            round(dcg / idcg, 4) AS ndcg
     FROM m CROSS JOIN nrel CROSS JOIN dcg CROSS JOIN idcg
@@ -171,8 +171,15 @@ def _eval_metrics(ranked: DataFrame, rel: DataFrame) -> DataFrame:
             F.round(F.col("hits") / F.lit(float(EVAL_K)), 6).alias(
                 "precision_at_k"
             ),
+            # nullif-style guard: ANSI mode makes a bare /0 throw on the
+            # Spark side while DuckDB yields NULL (review r03) — match
+            # the oracle's nullif(n_rel, 0) exactly
             F.round(
-                F.col("hits") / F.col("n_rel").cast("double"), 6
+                F.col("hits")
+                / F.when(
+                    F.col("n_rel") > 0, F.col("n_rel").cast("double")
+                ),
+                6,
             ).alias("recall_at_k"),
             F.round(
                 F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
@@ -196,7 +203,8 @@ def _eval_metrics(ranked: DataFrame, rel: DataFrame) -> DataFrame:
            COUNT(CASE WHEN j.rel = {N_TERMS} AND j.rnk <= cuts.k
                  THEN 1 END) AS hits,
            round(COUNT(CASE WHEN j.rel = {N_TERMS} AND j.rnk <= cuts.k
-                 THEN 1 END) / CAST(MAX(n_rel) AS DOUBLE), 6) AS recall
+                 THEN 1 END)
+                 / CAST(nullif(MAX(n_rel), 0) AS DOUBLE), 6) AS recall
     FROM cuts CROSS JOIN j CROSS JOIN nrel
     GROUP BY cuts.k
     """,
@@ -229,29 +237,46 @@ def eval_recall_curve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("k").cast("int").alias("k"))
         .agg(
             F.count(hit).alias("hits"),
+            # same ANSI-safe nullif guard as the eval metric block
             F.round(
-                F.count(hit) / F.max("n_rel").cast("double"), 6
+                F.count(hit)
+                / F.when(
+                    F.max("n_rel") > 0, F.max("n_rel").cast("double")
+                ),
+                6,
             ).alias("recall"),
         )
     )
 
 
-# same zero-norm-guarded pair-cosine fragment family as
-# queries_retrieval._O_COS_Q (probe pinned to vec_id 0)
+# the one pair-cosine fragment (zero-norm-guarded) shared with the
+# hybrid fusion oracle — one copy, so precision/guard changes cannot
+# de-synchronize the vector rankers (review r03)
+from qa_data_pipeline_rag_llm_spark.plans.queries_retrieval import (  # noqa: E402
+    _O_COS_Q,
+)
+
 _O_VEC_TOP = f"""
   SELECT e.vec_id AS doc_id,
-         ROW_NUMBER() OVER (ORDER BY
-           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                  CAST(q.embedding AS DOUBLE[]))
-             / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                            CAST(e.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                     CAST(q.embedding AS DOUBLE[]))), 0)
-           , 6) DESC, e.vec_id) AS r
+         ROW_NUMBER() OVER (ORDER BY {_O_COS_Q} DESC, e.vec_id) AS r
   FROM embeddings e JOIN embeddings q ON q.vec_id = 0
   WHERE e.vec_id != 0
   QUALIFY r <= {EVAL_K}
 """
+
+
+def _vec_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine ranked list (doc_id, rnk ≤ k) for probe vec_id 0 —
+    the Spark twin of _O_VEC_TOP, shared by every query that consumes
+    the vector ranker."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    return cosine_topk(emb, q, k=EVAL_K).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rnk")
+    )
 
 
 @register(
@@ -260,46 +285,52 @@ _O_VEC_TOP = f"""
     WITH lex AS (
       SELECT doc_id, rnk AS lex_r FROM ({_O_RANKED})),
     vec AS ({_O_VEC_TOP}),
-    inter AS (
-      SELECT lex.doc_id, lex.lex_r, vec.r AS vec_r
-      FROM lex JOIN vec ON vec.doc_id = lex.doc_id)
+    u AS (
+      SELECT lex.lex_r, vec.r AS vec_r
+      FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id)
     SELECT CAST({EVAL_K} AS INTEGER) AS k,
-           COUNT(*) AS n_common,
-           round(COUNT(*) / CAST(2 * {EVAL_K} - COUNT(*) AS DOUBLE), 6)
-             AS jaccard,
-           CAST(coalesce(SUM(abs(lex_r - vec_r)), 0) AS BIGINT) AS footrule
-    FROM inter
+           CAST(COUNT(CASE WHEN lex_r IS NOT NULL AND vec_r IS NOT NULL
+                      THEN 1 END) AS BIGINT) AS n_common,
+           round(COUNT(CASE WHEN lex_r IS NOT NULL AND vec_r IS NOT NULL
+                       THEN 1 END)
+                 / CAST(nullif(COUNT(*), 0) AS DOUBLE), 6) AS jaccard,
+           CAST(coalesce(SUM(CASE WHEN lex_r IS NOT NULL
+                                   AND vec_r IS NOT NULL
+                             THEN abs(lex_r - vec_r) END), 0) AS BIGINT)
+             AS footrule
+    FROM u
     """,
     doc=f"Ranker-agreement report at k={EVAL_K}: how much of the lexical "
     "(BM25) top-k the vector ranker (exact cosine, probe = embedding 0) "
-    "also surfaces — intersection size, Jaccard over the union, and "
-    "Spearman footrule (Σ|rank difference|, an exact integer) over the "
-    "shared documents. The production check before fusing two rankers "
-    "with RRF: near-zero overlap means fusion is a union, high overlap "
-    "means the second ranker adds nothing.",
+    "also surfaces — intersection size, Jaccard over the ACTUAL union "
+    "(full-outer of the two lists — either may rank fewer than k when "
+    "few docs score; review r03), and Spearman footrule (Σ|rank "
+    "difference|, an exact integer) over the shared documents. The "
+    "production check before fusing two rankers with RRF: near-zero "
+    "overlap means fusion is a union, high overlap means the second "
+    "ranker adds nothing.",
 )
 def retrieval_overlap_lex_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = _bm25_scored(spark, sf_dir, EVAL_K).select(
         "doc_id", F.col("rnk").alias("lex_r")
     )
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
-    )
-    vec = cosine_topk(emb, q, k=EVAL_K).select(
-        F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_r")
-    )
-    inter = lex.join(vec, "doc_id")
-    return inter.agg(
-        F.count("*").alias("n_common"),
-        F.sum(F.abs(F.col("lex_r") - F.col("vec_r"))).alias("_fr"),
+    vec = _vec_ranked(spark, sf_dir).withColumnRenamed("rnk", "vec_r")
+    u = lex.join(vec, "doc_id", "full_outer")
+    common = F.col("lex_r").isNotNull() & F.col("vec_r").isNotNull()
+    return u.agg(
+        F.count(F.when(common, 1)).alias("n_common"),
+        F.count("*").alias("_n_union"),
+        F.sum(
+            F.when(common, F.abs(F.col("lex_r") - F.col("vec_r")))
+        ).alias("_fr"),
     ).select(
         F.lit(EVAL_K).cast("int").alias("k"),
         "n_common",
         F.round(
             F.col("n_common")
-            / (F.lit(2 * EVAL_K) - F.col("n_common")).cast("double"),
+            / F.when(
+                F.col("_n_union") > 0, F.col("_n_union").cast("double")
+            ),
             6,
         ).alias("jaccard"),
         F.coalesce(F.col("_fr"), F.lit(0)).alias("footrule"),
@@ -345,12 +376,6 @@ def _gain(rank_col: F.Column) -> F.Column:
     "probe scan.",
 )
 def retrieval_eval_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
+    return _eval_metrics(
+        _vec_ranked(spark, sf_dir), _rel_grades(spark, sf_dir)
     )
-    ranked = cosine_topk(emb, q, k=EVAL_K).select(
-        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rnk")
-    )
-    return _eval_metrics(ranked, _rel_grades(spark, sf_dir))

@@ -38,9 +38,10 @@ def test_scd2_versions_dense_and_tiling(spark):
             assert a.state != b.state, (uid, a.version)  # maximal runs
             assert not a.is_current
         assert vs[-1].valid_to_us is None and vs[-1].is_current, uid
-        assert all(
-            r.valid_from_us < r.valid_to_us for r in vs[:-1]
-        ) or len(vs) == 1
+        for r in vs[:-1]:
+            # closed intervals are well-formed (equal bounds only when a
+            # run starts and the next state change lands on the same µs)
+            assert r.valid_from_us <= r.valid_to_us, (uid, r.version)
 
 
 def test_incremental_scd2_merge_equals_batch_build(spark):
@@ -63,13 +64,35 @@ def test_incremental_scd2_merge_equals_batch_build(spark):
     assert batch == merged
 
 
-def test_pit_join_matches_at_most_one_version(spark):
-    df = REGISTRY["pit_state_at_purchase"].spark(spark, SF_DIR)
-    rows = df.collect()
+def test_pit_join_matches_exactly_the_covered_purchases(spark):
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+
+    rows = (
+        REGISTRY["pit_state_at_purchase"].spark(spark, SF_DIR).collect()
+    )
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)), "a purchase matched >1 interval"
-    # intervals tile time, so the only unmatched purchases predate the
-    # user's first non-purchase event — and every matched state is real
-    assert all(
-        r.state is None or isinstance(r.state, str) for r in rows
-    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = {
+        r.event_id: (r.user_id, r.us)
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    first_np = {
+        r.user_id: r.us
+        for r in ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("us"))
+        .collect()
+    }
+    assert set(ids) == set(purchases), "output must cover every purchase"
+    # intervals tile time from the user's first non-purchase event on:
+    # a purchase is matched (non-null state) iff it does not predate it
+    for r in rows:
+        uid, p_us = purchases[r.event_id]
+        covered = uid in first_np and p_us >= first_np[uid]
+        assert (r.state is not None) == covered, (r.event_id, uid)
