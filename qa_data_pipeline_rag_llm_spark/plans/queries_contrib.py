@@ -425,9 +425,12 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round(F.col("pw9") * 1.0 / F.col("z"), 6).alias(
-                "sample_weight"
-            ),
+            # ANSI-safe: z = 0 only on an all-empty corpus — match the
+            # oracle's divide-by-zero NULL instead of throwing
+            F.round(
+                F.col("pw9") * 1.0 / F.when(F.col("z") != 0, F.col("z")),
+                6,
+            ).alias("sample_weight"),
         )
     )
 

@@ -332,11 +332,20 @@ def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.sum("bpe_tokens").over(w)
     nsrc = F.count("*").over(w)
     target = tot * 1.0 / nsrc
+    # ANSI-safe: an all-empty source (or corpus) makes a divisor 0 —
+    # Spark would throw where the DuckDB oracle yields NULL (review r03
+    # class); the when-guards reproduce the oracle's NULL
     return per.select(
         "source",
         "n_docs",
         "bpe_tokens",
-        F.round(F.col("bpe_tokens") * 1.0 / tot, 6).alias("token_share"),
-        F.round(target / F.col("bpe_tokens"), 6).alias("sample_weight"),
+        F.round(
+            F.col("bpe_tokens") * 1.0 / F.when(tot != 0, tot), 6
+        ).alias("token_share"),
+        F.round(
+            target
+            / F.when(F.col("bpe_tokens") != 0, F.col("bpe_tokens")),
+            6,
+        ).alias("sample_weight"),
         F.round(target).cast("long").alias("target_tokens"),
     )

@@ -191,10 +191,14 @@ def length_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a_n").over(w).alias("ca"),
         F.sum("b_n").over(w).alias("cb"),
     )
+    # ANSI-safe: a hash split can leave one side empty on a tiny corpus —
+    # na/nb = 0 must yield the oracle's NULL, not a Spark exception
     gap = F.round(
         F.abs(
-            F.col("ca").cast("double") / F.col("na")
-            - F.col("cb").cast("double") / F.col("nb")
+            F.col("ca").cast("double")
+            / F.when(F.col("na") != 0, F.col("na"))
+            - F.col("cb").cast("double")
+            / F.when(F.col("nb") != 0, F.col("nb"))
         ),
         6,
     )

@@ -45,6 +45,15 @@ PROBE = [
     # r03: the heaviest new contribution/cleaning op — coverage explode +
     # per-doc stitch must stay linear one decade up
     "remove_dup_spans_documents",
+    # r03 session 2: history/eval layers — SCD2 build + tail-only merge
+    # (key-partitioned windows), boundary-sweep concurrency (partition-
+    # offset cumsum), and both ranker evals (salted cosine two-phase
+    # top-k + TakeOrdered BM25 arm)
+    "scd2_user_state_events",
+    "incremental_scd2_merge_events",
+    "peak_concurrency_daily",
+    "retrieval_eval_bm25",
+    "retrieval_eval_cosine",
 ]
 
 # table -> columns to offset per replica
