@@ -600,6 +600,7 @@ _PINNED_NEW = [
     "pit_state_at_purchase",
     "incremental_scd2_merge_events",
     "retrieval_eval_cosine",
+    "streaming_scd2_closed_versions",
 ]
 
 

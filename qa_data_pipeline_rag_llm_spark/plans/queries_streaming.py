@@ -229,3 +229,36 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_quality_gate(spark, sf_dir)
+
+
+def _scd2_closed_sql() -> str:
+    # compose the batch SCD2 oracle (defined in queries_temporal, which
+    # imports AFTER this module — pull it in now, idempotent)
+    from qa_data_pipeline_rag_llm_spark.plans import queries_temporal
+
+    return (
+        "SELECT user_id, version, state, valid_from_us, valid_to_us "
+        "FROM (" + queries_temporal._O_SCD2_FULL + ") WHERE NOT is_current"
+    )
+
+
+@register(
+    "streaming_scd2_closed_versions",
+    _scd2_closed_sql(),
+    doc="Streaming SCD2 maintenance (applyInPandasWithState): a user's "
+    "state version is emitted the moment its successor run begins, so "
+    "append-mode output is a stream of immutable closed-version facts — "
+    "correct under ANY micro-batching, because an open version is "
+    "simply not final until it closes (it lives in the group state). "
+    "Oracle: the batch SCD2 build restricted to NOT is_current — the "
+    "streaming path and the batch kernel must agree row for row "
+    "(streaming/events.py:stream_scd2_closed_versions).",
+)
+def streaming_scd2_closed_versions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        stream_scd2_closed_versions,
+    )
+
+    return stream_scd2_closed_versions(spark, sf_dir)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -730,3 +731,99 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 2 == 1
     )
     return run_to_completion(gopher_verdict(stream), "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: the stateful twin of plans/queries_temporal's batch
+# build. Emits a version row the moment a state RUN closes (the next
+# distinct event type arrives); the open version lives only in state, so
+# the output is correct under ANY micro-batching — an open version is
+# simply not final until its successor shows up. Closed-version rows are
+# append-mode immutable facts, the shape a downstream sink can upsert
+# blindly.
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_state", StringType()),
+        StructField("cur_version", IntegerType()),
+        StructField("cur_vfrom", LongType()),
+    ]
+)
+_SCD2_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("version", IntegerType()),
+        StructField("state", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+    ]
+)
+_SCD2_COLS = ["user_id", "version", "state", "valid_from_us", "valid_to_us"]
+
+
+def _update_scd2_versions(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Run-compress a user's event stream into closed SCD2 versions.
+
+    Batch rows are sorted by (ts, event_id) — the same total order as the
+    batch kernel — and only the run boundaries loop in Python (bounded by
+    state-change count, not rows; the comparison against the previous row
+    is a vectorized shift)."""
+    import numpy as np
+
+    if state.exists:
+        cur_state, cur_version, cur_vfrom = state.get
+    else:
+        cur_state, cur_version, cur_vfrom = None, 0, -1
+    uid, closed = key[0], []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        p = pdf.assign(_us=pdf["ts"].astype("int64") // 1000).sort_values(
+            ["_us", "event_id"]
+        )
+        types = p["event_type"].astype(str).to_numpy()
+        uss = p["_us"].to_numpy()
+        prev = np.concatenate(
+            ([cur_state if cur_state is not None else "\0"], types[:-1])
+        )
+        chg = types != prev
+        if cur_state is None:
+            chg[0] = True
+        for i in np.flatnonzero(chg):
+            if cur_state is not None:
+                closed.append(
+                    (uid, cur_version, cur_state, cur_vfrom, int(uss[i]))
+                )
+            cur_state = types[i]
+            cur_version += 1
+            cur_vfrom = int(uss[i])
+    state.update((cur_state, int(cur_version), int(cur_vfrom)))
+    out = pd.DataFrame(closed, columns=_SCD2_COLS)
+    yield out.astype(
+        {
+            "user_id": "int64",
+            "version": "int32",
+            "state": "object",
+            "valid_from_us": "int64",
+            "valid_to_us": "int64",
+        }
+    )
+
+
+def stream_scd2_closed_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance: per-user state versions emitted as
+    they close. Output equals the batch build minus the still-open
+    versions (oracle: _O_SCD2_FULL WHERE NOT is_current)."""
+    raw = read_events_stream(spark, sf_dir)
+    out = raw.groupBy("user_id").applyInPandasWithState(
+        _update_scd2_versions,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(out, "append")
