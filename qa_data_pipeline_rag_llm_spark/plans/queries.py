@@ -601,6 +601,7 @@ _PINNED_NEW = [
     "incremental_scd2_merge_events",
     "retrieval_eval_cosine",
     "streaming_scd2_closed_versions",
+    "vector_store_audit",
 ]
 
 

@@ -427,3 +427,97 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_at_risk",
         "risk_share",
     )
+
+
+@register(
+    "vector_store_audit",
+    """
+    WITH refd AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+    checks AS (
+      SELECT 'doc_missing_vector' AS check_name, 'documents' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_violations
+      FROM documents d WHERE NOT EXISTS
+        (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+      UNION ALL
+      SELECT 'orphan_vector', 'embeddings', CAST(COUNT(*) AS BIGINT)
+      FROM embeddings e WHERE NOT EXISTS
+        (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      UNION ALL
+      SELECT 'null_embedding', 'embeddings',
+             CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM embeddings
+      UNION ALL
+      SELECT 'dim_inconsistent', 'embeddings',
+             CAST(SUM(CASE WHEN len(embedding) != (SELECT d FROM refd)
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM embeddings
+      UNION ALL
+      SELECT 'zero_vector', 'embeddings',
+             CAST(SUM(CASE WHEN list_dot_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) = 0
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM embeddings)
+    SELECT check_name, table_name, n_violations,
+           n_violations = 0 AS pass
+    FROM checks
+    """,
+    doc="RAG-store health audit, one row per check: every document has "
+    "a vector (anti-join), no orphan vectors, no NULL embeddings, all "
+    "dimensions agree with the corpus-wide reference dim, no zero-norm "
+    "vectors (cosine-undefined — the rows safe_denom currently shields "
+    "at query time). The pre-serving gate the reference's rebuild-"
+    "everything upsert (app2.py) never runs. Each check is a linear "
+    "scan or one key-shuffled anti join; the dim reference is a one-row "
+    "broadcast.",
+)
+def vector_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import dot
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    missing = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    orphan = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    refd = emb.agg(F.max(F.size("embedding")).alias("_d"))
+    dimj = emb.crossJoin(F.broadcast(refd))
+    checks = [
+        _check(missing, "doc_missing_vector", "documents", F.count("*")),
+        _check(orphan, "orphan_vector", "embeddings", F.count("*")),
+        _check(
+            emb,
+            "null_embedding",
+            "embeddings",
+            F.sum(
+                F.when(F.col("embedding").isNull(), 1).otherwise(0)
+            ),
+        ),
+        _check(
+            dimj,
+            "dim_inconsistent",
+            "embeddings",
+            F.sum(
+                F.when(
+                    F.size("embedding") != F.col("_d"), 1
+                ).otherwise(0)
+            ),
+        ),
+        _check(
+            emb,
+            "zero_vector",
+            "embeddings",
+            F.sum(
+                F.when(
+                    dot(F.col("embedding"), F.col("embedding")) == 0, 1
+                ).otherwise(0)
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
