@@ -96,3 +96,73 @@ def test_pit_join_matches_exactly_the_covered_purchases(spark):
         uid, p_us = purchases[r.event_id]
         covered = uid in first_np and p_us >= first_np[uid]
         assert (r.state is not None) == covered, (r.event_id, uid)
+
+
+def test_scd2_kernel_property_random_logs(spark):
+    """Random-log sweep: the Spark kernel must match a pure-Python
+    run-compression reference on ties, singletons, single-state users,
+    and interleaved arrival order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries_temporal import (
+        _scd2_versions,
+    )
+
+    rng = random.Random(7)
+    states = ["a", "b", "c"]
+    for trial in range(5):
+        n_users = rng.choice([1, 3, 10])
+        rows = []
+        eid = 0
+        for u in range(n_users):
+            n_ev = rng.choice([1, 2, 9, 40])
+            ts = rng.randint(0, 5)
+            for _ in range(n_ev):
+                # duplicate timestamps with ~30% probability → event_id
+                # tie-break must decide the run order
+                if rng.random() > 0.3:
+                    ts += rng.randint(1, 100)
+                rows.append((u, rng.choice(states), ts * 1_000_000, eid))
+                eid += 1
+        rng.shuffle(rows)  # arrival order must not matter
+
+        # pure-python reference: sort, run-compress
+        want = []
+        by_user: dict[int, list] = {}
+        for u, s, us, e in rows:
+            by_user.setdefault(u, []).append((us, e, s))
+        for u, evs in by_user.items():
+            evs.sort()
+            runs = []
+            for us, _e, s in evs:
+                if not runs or runs[-1][0] != s:
+                    runs.append([s, us])
+            for i, (s, us) in enumerate(runs):
+                nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+                want.append((u, i + 1, s, us, nxt))
+
+        df = spark.createDataFrame(
+            [(u, s, us, e) for u, s, us, e in rows],
+            "user_id long, event_type string, us long, event_id long",
+        ).select(
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_id",
+        )
+        got = [
+            (r.user_id, r.version, r.state,
+             r.valid_from_us, r.valid_to_us)
+            for r in _scd2_versions(df)
+            .select(
+                "user_id",
+                "version",
+                "state",
+                F.unix_micros("vfrom").alias("valid_from_us"),
+                F.unix_micros("vto").alias("valid_to_us"),
+            )
+            .collect()
+        ]
+        assert sorted(got) == sorted(want), f"trial {trial}"
