@@ -35,3 +35,41 @@ def top_k_per_group(
         F.col(rank_col) <= k
     )
     return out if keep_rank else out.drop(rank_col)
+
+
+def salted_top_k(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    salt_col: str,
+    num_salts: int = 16,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Two-phase top-k per group for LOW-cardinality groups.
+
+    ``top_k_per_group`` is the right shape when groups are many (the
+    shuffle spreads them); with a handful of groups — one probe vector,
+    three batch queries — each group's window frame is the WHOLE input
+    through one task (the VERDICT r02 #1 scale killer). Phase 1 ranks
+    within (group, salt) where salt = xxhash64(salt_col) % num_salts —
+    a pure function of the data, never the physical partition (the AQE
+    repartition pitfall) — and keeps each salt's local top-k; phase 2
+    re-ranks the ≤ k·num_salts survivors per group. The true top-k
+    survives phase 1 (global rank ≥ within-salt rank), so the result is
+    value-identical to the one-window form. ``order_by`` must be a total
+    order for deterministic output.
+    """
+    salt = F.pmod(F.abs(F.xxhash64(F.col(salt_col))), F.lit(num_salts))
+    w_local = Window.partitionBy(*group_by, "__topk_salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("__topk_salt", salt)
+        .withColumn("__topk_lrank", F.row_number().over(w_local))
+        .filter(F.col("__topk_lrank") <= k)
+    )
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop("__topk_salt", "__topk_lrank")
+    )

@@ -45,16 +45,16 @@ def cosine_topk(
     the dominant cost); the double result is bit-identical because the
     fold itself is unchanged, only its multiplicity.
 
-    Two-phase top-k (review r03): a rank window partitioned by probe_id
-    alone serializes the WHOLE candidate frame through one task per
-    probe — with a single probe that is the corpus-sized single-partition
-    window of VERDICT r02 #1. Phase 1 ranks within (probe, salt) where
-    salt is a pure function of the id (data-derived, never the physical
-    partition — the AQE pitfall), keeps each salt's local top-k; phase 2
-    re-ranks the ≤ k·num_salts survivors per probe. The true per-probe
-    top-k always survives phase 1 (global rank ≥ within-salt rank), so
-    the result is value-identical to the one-window form.
+    The per-probe rank runs as ``operators/ranking.salted_top_k``
+    (review r03): a window partitioned by probe_id alone serializes the
+    WHOLE candidate frame through one task per probe — with a single
+    probe that is the corpus-sized single-partition window of VERDICT
+    r02 #1. The two-phase form is value-identical.
     """
+    from qa_data_pipeline_rag_llm_spark.operators.ranking import (
+        salted_top_k,
+    )
+
     v = vectors.withColumn("_vn", norm(F.col(vec_col)))
     p = probes.withColumn("_pn", norm(F.col(probe_vec)))
     scored = v.join(F.broadcast(p)).filter(
@@ -68,21 +68,14 @@ def cosine_topk(
             6,
         ).alias("sim"),
     )
-    salt = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(num_salts))
-    w_local = Window.partitionBy(probe_id, "__cos_salt").orderBy(
-        F.desc("sim"), F.col(id_col)
-    )
-    survivors = (
-        scored.withColumn("__cos_salt", salt)
-        .withColumn("__cos_lrank", F.row_number().over(w_local))
-        .filter(F.col("__cos_lrank") <= k)
-    )
-    w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(probe_id, id_col, "sim", "rank")
-    )
+    return salted_top_k(
+        scored,
+        [probe_id],
+        [F.desc("sim"), F.col(id_col)],
+        k,
+        salt_col=id_col,
+        num_salts=num_salts,
+    ).select(probe_id, id_col, "sim", "rank")
 
 
 def hyperplane_weights(dims: int, planes: int) -> list[list[float]]:

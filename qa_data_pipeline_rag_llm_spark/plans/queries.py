@@ -602,6 +602,7 @@ _PINNED_NEW = [
     "retrieval_eval_cosine",
     "streaming_scd2_closed_versions",
     "vector_store_audit",
+    "bm25_batch_search_documents",
 ]
 
 

@@ -234,3 +234,127 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch retrieval: N queries served from ONE corpus pass — the production
+# serving shape (per-query scans would rescan 100 TB per request; the
+# batch form amortizes the token explode and document stats across the
+# whole query set).
+
+BATCH_QUERIES: dict[int, list[str]] = {
+    1: ["spark", "join"],
+    2: ["stream", "window"],
+    3: ["data", "query", "table"],
+}
+BATCH_TOPK = 5
+_BATCH_TERMS = sorted({t for ts in BATCH_QUERIES.values() for t in ts})
+_BATCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _BATCH_TERMS)
+_BATCH_QMAP_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in sorted(BATCH_QUERIES.items()) for t in ts
+)
+
+
+@register(
+    "bm25_batch_search_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+      FROM tok WHERE w <> '' GROUP BY doc_id
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS N, SUM(dl) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tok WHERE w IN ({_BATCH_TERMS_SQL}) GROUP BY doc_id, w
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), q AS (
+      SELECT * FROM (VALUES {_BATCH_QMAP_SQL}) AS t(qid, term)
+    ), scored AS (
+      SELECT q.qid, tf.doc_id,
+             round(SUM({_IDF} * {_TFW}), 4) AS score
+      FROM tf
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+      JOIN q ON q.term = tf.term
+      GROUP BY q.qid, tf.doc_id)
+    SELECT CAST(qid AS INTEGER) AS qid, doc_id, score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {BATCH_TOPK}
+    """,
+    doc=f"Batch BM25 serving: {len(BATCH_QUERIES)} queries answered from "
+    "ONE corpus pass — one token explode filtered to the union "
+    "vocabulary, shared dl/N/avgdl/df stats, a broadcast (qid, term) "
+    "map fanning each doc×term weight into every query that uses the "
+    "term, then per-query top-k via the salted two-phase rank "
+    "(operators/ranking.salted_top_k — 3 groups would otherwise be 3 "
+    "corpus-sized window tasks). The amortized shape a 100 TB serving "
+    "tier actually runs; per-query rescans would be N full scans.",
+)
+def bm25_batch_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.ranking import salted_top_k
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("w"),
+    )
+    perdoc = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("w") != "", 1).otherwise(0))
+            .cast("double")
+            .alias("dl"),
+            *[
+                F.sum(F.when(F.col("w") == t, 1).otherwise(0))
+                .cast("double")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(_BATCH_TERMS)
+            ],
+        )
+        .filter(F.col("dl") > 0)
+    )
+    g = perdoc.agg(
+        F.count("*").cast("double").alias("N"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    stack_args = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(_BATCH_TERMS)
+    )
+    tflong = perdoc.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(_BATCH_TERMS)}, {stack_args}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
+    df = tflong.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BATCH_QUERIES.items()) for t in ts],
+        "qid int, term string",
+    )
+    scored = (
+        tflong.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(qmap), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(F.expr(f"{_IDF} * {_TFW}")), 4).alias("score"))
+    )
+    return salted_top_k(
+        scored,
+        ["qid"],
+        [F.desc("score"), F.col("doc_id")],
+        BATCH_TOPK,
+        salt_col="doc_id",
+        rank_col="rnk",
+    ).select(
+        F.col("qid").cast("int"),
+        "doc_id",
+        "score",
+        F.col("rnk").cast("int").alias("rnk"),
+    )

@@ -290,12 +290,12 @@ def test_topk_rank_windows_sit_above_takeordered(spark, name):
     ["cosine_topk_embeddings", "retrieval_eval_cosine", "rag_retrieve"],
 )
 def test_cosine_topk_rank_is_salt_partitioned(spark, name):
-    """cosine_topk's phase-1 rank must partition by (probe, __cos_salt)
-    so a single-probe call never serializes the whole candidate frame
-    through one task (review r03) — phase 2 re-ranks only the bounded
-    k·num_salts survivors."""
+    """cosine_topk's phase-1 rank must partition by (probe, salt)
+    (operators/ranking.salted_top_k) so a single-probe call never
+    serializes the whole candidate frame through one task (review r03)
+    — phase 2 re-ranks only the bounded k·num_salts survivors."""
     plan = _plan(spark, name)
-    assert "__cos_salt" in plan
+    assert "__topk_salt" in plan
 
 
 def test_hard_negatives_broadcasts_the_probe_side(spark):
