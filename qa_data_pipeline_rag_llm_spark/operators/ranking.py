@@ -66,10 +66,9 @@ def salted_top_k(
         df.withColumn("__topk_salt", salt)
         .withColumn("__topk_lrank", F.row_number().over(w_local))
         .filter(F.col("__topk_lrank") <= k)
-    )
-    w = Window.partitionBy(*group_by).orderBy(*order_by)
-    return (
-        survivors.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= k)
         .drop("__topk_salt", "__topk_lrank")
+    )
+    # phase 2 IS a plain per-group top-k — over ≤ k·num_salts rows
+    return top_k_per_group(
+        survivors, group_by, order_by, k, rank_col=rank_col, keep_rank=True
     )

@@ -84,3 +84,37 @@ def lang_id(score_col: dict[str, str], default: str = "und") -> str:
 def fingerprint(c: str) -> str:
     """functions.text.fingerprint"""
     return f"md5({norm(c)})"
+
+
+# Full-log SCD2 recompute over `events` — shared by the batch build, the
+# incremental merge, and the streaming closed-version emitter (their
+# oracles must be ONE text; lives here, a leaf module, so the streaming
+# plans module can compose it at register time without importing
+# queries_temporal mid-initialization — that import was a circular-
+# import crash when queries_temporal was the first plans module loaded
+# (review r03).
+O_SCD2_FULL = """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM LAG(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), v AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM o
+    ), grp AS (
+      SELECT user_id, CAST(version AS INTEGER) AS version,
+             MIN(event_type) AS state, MIN(ts) AS vfrom
+      FROM v GROUP BY user_id, version
+    )
+    SELECT user_id, version, state,
+           epoch_us(vfrom) AS valid_from_us,
+           LEAD(epoch_us(vfrom))
+             OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           (LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY version)
+            IS NULL) AS is_current
+    FROM grp
+"""

@@ -232,13 +232,17 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scd2_closed_sql() -> str:
-    # compose the batch SCD2 oracle (defined in queries_temporal, which
-    # imports AFTER this module — pull it in now, idempotent)
-    from qa_data_pipeline_rag_llm_spark.plans import queries_temporal
+    # the batch SCD2 oracle lives in the leaf fragments module — NOT in
+    # queries_temporal: importing that here ran at register time while
+    # queries_temporal could itself be mid-import (circular-import
+    # crash when it was the first plans module loaded — review r03)
+    from qa_data_pipeline_rag_llm_spark.plans.oracle_fragments import (
+        O_SCD2_FULL,
+    )
 
     return (
         "SELECT user_id, version, state, valid_from_us, valid_to_us "
-        "FROM (" + queries_temporal._O_SCD2_FULL + ") WHERE NOT is_current"
+        "FROM (" + O_SCD2_FULL + ") WHERE NOT is_current"
     )
 
 

@@ -315,34 +315,14 @@ def _scd2_versions(ev: DataFrame) -> DataFrame:
     return grp.withColumn("vto", F.lead("vfrom").over(wv))
 
 
-# full-log SCD2 recompute — the oracle for both the batch build and the
+# full-log SCD2 recompute — the oracle for the batch build, the
 # incremental merge (merge ≡ recompute, same proof shape as
-# incremental_agg_merge_events)
-_O_SCD2_FULL = """
-    WITH o AS (
-      SELECT user_id, event_type, ts, event_id,
-             CASE WHEN event_type IS DISTINCT FROM LAG(event_type)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  THEN 1 ELSE 0 END AS chg
-      FROM events
-    ), v AS (
-      SELECT user_id, event_type, ts,
-             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS version
-      FROM o
-    ), grp AS (
-      SELECT user_id, CAST(version AS INTEGER) AS version,
-             MIN(event_type) AS state, MIN(ts) AS vfrom
-      FROM v GROUP BY user_id, version
-    )
-    SELECT user_id, version, state,
-           epoch_us(vfrom) AS valid_from_us,
-           LEAD(epoch_us(vfrom))
-             OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
-           (LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY version)
-            IS NULL) AS is_current
-    FROM grp
-"""
+# incremental_agg_merge_events), and the streaming emitter; one text,
+# kept in the leaf fragments module so composing modules never import
+# each other mid-initialization
+from qa_data_pipeline_rag_llm_spark.plans.oracle_fragments import (
+    O_SCD2_FULL as _O_SCD2_FULL,
+)
 
 
 @register(

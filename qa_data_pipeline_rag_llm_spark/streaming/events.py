@@ -768,36 +768,54 @@ def _update_scd2_versions(
 ) -> Iterator[pd.DataFrame]:
     """Run-compress a user's event stream into closed SCD2 versions.
 
-    Batch rows are sorted by (ts, event_id) — the same total order as the
-    batch kernel — and only the run boundaries loop in Python (bounded by
-    state-change count, not rows; the comparison against the previous row
-    is a vectorized shift)."""
+    The group's chunks are BUFFERED and sorted as one frame: Arrow
+    slices a group at arbitrary record-batch boundaries and intra-group
+    order is shuffle-fetch order, so sorting per chunk would run-compress
+    out of (ts, event_id) order whenever a user straddles a boundary
+    (review r03). NULL event types stay None (object dtype, no str
+    coercion) — the batch kernel's eqNullSafe treats NULL as a real
+    state, and this twin must match it. A batch whose earliest event
+    predates the open version's valid_from fails LOUD: silently
+    compressing it would invert intervals and diverge from the batch
+    oracle forever (cross-batch ordering is the caller's replay
+    contract, see stream_scd2_closed_versions)."""
     import numpy as np
 
-    if state.exists:
+    started = state.exists
+    if started:
         cur_state, cur_version, cur_vfrom = state.get
     else:
         cur_state, cur_version, cur_vfrom = None, 0, -1
     uid, closed = key[0], []
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        p = pdf.assign(_us=pdf["ts"].astype("int64") // 1000).sort_values(
-            ["_us", "event_id"]
+    chunks = [p for p in pdfs if not p.empty]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        batch = batch.assign(
+            _us=batch["ts"].astype("int64") // 1000
+        ).sort_values(["_us", "event_id"])
+        types = batch["event_type"].to_numpy(dtype=object)
+        uss = batch["_us"].to_numpy()
+        if started and int(uss[0]) < cur_vfrom:
+            raise ValueError(
+                f"scd2 stream: late event for user {uid} at "
+                f"{int(uss[0])}µs predates open version start "
+                f"{cur_vfrom}µs — replay must be time-ordered per user"
+            )
+        sentinel = object()  # unequal to every state, including None
+        prev = np.empty(len(types), dtype=object)
+        prev[0] = cur_state if started else sentinel
+        prev[1:] = types[:-1]
+        chg = np.fromiter(
+            (a != b for a, b in zip(types, prev)),
+            dtype=bool,
+            count=len(types),
         )
-        types = p["event_type"].astype(str).to_numpy()
-        uss = p["_us"].to_numpy()
-        prev = np.concatenate(
-            ([cur_state if cur_state is not None else "\0"], types[:-1])
-        )
-        chg = types != prev
-        if cur_state is None:
-            chg[0] = True
         for i in np.flatnonzero(chg):
-            if cur_state is not None:
+            if started:
                 closed.append(
                     (uid, cur_version, cur_state, cur_vfrom, int(uss[i]))
                 )
+            started = True
             cur_state = types[i]
             cur_version += 1
             cur_vfrom = int(uss[i])
@@ -817,7 +835,15 @@ def _update_scd2_versions(
 def stream_scd2_closed_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD2 maintenance: per-user state versions emitted as
     they close. Output equals the batch build minus the still-open
-    versions (oracle: _O_SCD2_FULL WHERE NOT is_current)."""
+    versions (oracle: O_SCD2_FULL WHERE NOT is_current).
+
+    Replay contract: within a micro-batch, arrival order is irrelevant
+    (the kernel buffers and sorts the group); ACROSS micro-batches each
+    user's events must arrive time-ordered — true for time-partitioned
+    file replay (this harness) and for any log whose producer appends in
+    event order. A violating batch raises rather than silently
+    corrupting version history; a watermarked buffer-and-delay front end
+    is the standard fix when the transport can reorder."""
     raw = read_events_stream(spark, sf_dir)
     out = raw.groupBy("user_id").applyInPandasWithState(
         _update_scd2_versions,

@@ -166,3 +166,82 @@ def test_scd2_kernel_property_random_logs(spark):
             .collect()
         ]
         assert sorted(got) == sorted(want), f"trial {trial}"
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists = True
+        self._v = v
+
+
+def _run_kernel(state, chunks):
+    import pandas as pd
+
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        _update_scd2_versions,
+    )
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+                "event_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+            }
+        )
+
+    (out,) = list(
+        _update_scd2_versions((7,), iter([mk(c) for c in chunks]), state)
+    )
+    return [tuple(r) for r in out.itertuples(index=False)]
+
+
+def test_stream_kernel_sorts_across_chunk_boundaries():
+    """Arrow slices a group at arbitrary batch boundaries with arbitrary
+    intra-group order — run-compression must sort the WHOLE buffered
+    batch, not each chunk (review r03: per-chunk sort inverted
+    intervals when a later chunk held an earlier event)."""
+    state = _FakeState()
+    # chunk 1 holds the LATER event; chunk 2 the earlier two
+    out = _run_kernel(
+        state,
+        [
+            [(7, 50, 3, "b")],
+            [(7, 10, 1, "a"), (7, 30, 2, "a")],
+        ],
+    )
+    assert out == [(7, 1, "a", 10, 50)]
+    assert state.get == ("b", 2, 50)
+
+
+def test_stream_kernel_null_state_is_a_real_state():
+    """NULL event types must round-trip as NULL (the batch kernel's
+    eqNullSafe semantics), never the string 'None'."""
+    state = _FakeState()
+    out = _run_kernel(
+        state, [[(7, 10, 1, None), (7, 20, 2, None), (7, 30, 3, "a")]]
+    )
+    assert out == [(7, 1, None, 10, 30)]
+    assert state.get == ("a", 2, 30)
+    # and a NULL run after a named one closes the named one
+    out2 = _run_kernel(state, [[(7, 40, 4, None)]])
+    assert out2 == [(7, 2, "a", 30, 40)]
+    assert state.get == (None, 3, 40)
+
+
+def test_stream_kernel_rejects_late_cross_batch_events():
+    import pytest
+
+    state = _FakeState()
+    _run_kernel(state, [[(7, 100, 1, "a")]])
+    with pytest.raises(ValueError, match="late event"):
+        _run_kernel(state, [[(7, 50, 2, "b")]])
