@@ -94,6 +94,29 @@ def make_http_embed_backend(
     return backend
 
 
+_ST_MODEL = None
+
+
+def st_embed_backend(texts: list[str]) -> list[list[float]]:
+    """Real-weights SentenceTransformer backend for the env seam
+    (``SPARK_GRAFT_EMBED_BACKEND=…:st_embed_backend``) — the reference's
+    exact in-process model path (``PLATFORM-contextual-Chunking.py:
+    52-77``). Lazily loads ``$SPARK_GRAFT_ST_MODEL`` (default
+    all-MiniLM-L6-v2) ONCE per executor process and reuses it across
+    Arrow batches. Requires ``sentence-transformers``; importing this
+    module does not (the import lives inside the call), so the zero-dep
+    default path is unaffected. Exercised by
+    ``tests/test_real_encoder.py`` wherever the dependency exists."""
+    global _ST_MODEL
+    if _ST_MODEL is None:
+        from sentence_transformers import SentenceTransformer
+
+        _ST_MODEL = SentenceTransformer(
+            os.environ.get("SPARK_GRAFT_ST_MODEL", "all-MiniLM-L6-v2")
+        )
+    return [[float(x) for x in v] for v in _ST_MODEL.encode(list(texts))]
+
+
 def env_http_embed_backend(texts: list[str]) -> list[list[float]]:
     """Zero-arg-importable HTTP backend for the env seam: the endpoint
     URL travels via ``$SPARK_GRAFT_EMBED_URL`` so

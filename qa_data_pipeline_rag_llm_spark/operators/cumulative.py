@@ -72,6 +72,14 @@ def rank_cumsum(
     buckets — it must be the leading sort key — and ``descending`` its
     direction; ``num_buckets`` defaults to the session shuffle partition
     count.
+
+    ``bucket_col`` must be NON-NULL (enforced with a per-row assert):
+    every boundary comparison against a NULL key yields NULL → counted
+    0, silently ranking NULL rows inside the FIRST bucket while the
+    single-window reference sorts them by the session's null ordering —
+    a value divergence, not a crash (advice r03). Callers with nullable
+    keys must filter or coalesce first, choosing their null semantics
+    explicitly.
     """
     if bucket_col is None:
         raise ValueError("bucket_col (the leading numeric sort key) is required")
@@ -104,7 +112,15 @@ def rank_cumsum(
     )
     key = F.col(bucket_col).cast("double")
     before = (lambda b: b > key) if descending else (lambda b: b < key)
-    bid = F.lit(0)
+    # fail-loud NULL-key guard: assert_true passes (→ NULL → +0) on
+    # every non-null key, throws with a diagnosable message otherwise
+    bid = F.coalesce(
+        F.assert_true(
+            key.isNotNull(),
+            F.lit(f"rank_cumsum: bucket_col {bucket_col!r} must be non-null"),
+        ).cast("int"),
+        F.lit(0),
+    )
     for b in bvals:
         bid = bid + F.when(before(F.lit(float(b))), 1).otherwise(0)
     parts = df.withColumn(_BID, bid)

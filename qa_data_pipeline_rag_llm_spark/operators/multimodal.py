@@ -3,9 +3,10 @@
 Extension surface (task brief): image/audio/video as ``binary`` columns
 with a typed ``meta`` struct, processed by Arrow-batched ``mapInPandas``.
 The Spark-side plumbing — schema, batch shape, partitioning — is real and
-oracle-tested; the actual pixel/sample decode is STUBBED (no image/audio
-libraries in this environment) behind :func:`decode_image`, which raises
-``NotImplementedError`` unless a decoder is injected.
+oracle-tested. :func:`decode_image` decodes FOR REAL by default via the
+stdlib PPM/BMP parser (:func:`_decode_ppm_bmp` — executable, no external
+image libraries needed); richer codecs (JPEG/PNG/...) plug in through
+the injectable ``decoder`` seam.
 
 Scale notes: feature extraction is a per-row map over Arrow record batches
 — embarrassingly parallel, zero shuffles; payloads never transit the

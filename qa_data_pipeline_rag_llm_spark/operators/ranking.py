@@ -60,7 +60,10 @@ def salted_top_k(
     value-identical to the one-window form. ``order_by`` must be a total
     order for deterministic output.
     """
-    salt = F.pmod(F.abs(F.xxhash64(F.col(salt_col))), F.lit(num_salts))
+    # pmod alone is already non-negative for negative hashes; a leading
+    # abs() would throw ARITHMETIC_OVERFLOW under ANSI on the one hash
+    # value equal to Long.MIN_VALUE (advice r03)
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(num_salts))
     w_local = Window.partitionBy(*group_by, "__topk_salt").orderBy(*order_by)
     survivors = (
         df.withColumn("__topk_salt", salt)

@@ -96,7 +96,9 @@ def fingerprint(c: str) -> str:
 O_SCD2_FULL = """
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN event_type IS DISTINCT FROM LAG(event_type)
+             CASE WHEN ROW_NUMBER()
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                    OR event_type IS DISTINCT FROM LAG(event_type)
                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   THEN 1 ELSE 0 END AS chg
       FROM events

@@ -606,22 +606,53 @@ _PINNED_NEW = [
 ]
 
 
-def _verified_names() -> set[str]:
+# Spot-recheck rotation (VERDICT r03 #7): a query verified once could
+# silently regress and never be re-sampled. From the round after the
+# fourth artifact onward (i.e. once the r04 sweep has burned the bulk
+# of the verification debt), the sample prefix becomes 40 debt slots +
+# RECHECKS slots of the OLDEST-verified queries (first clean round,
+# then registration order) — so old verifications age back into the
+# driver's 50-query window at ~10/round while fresh debt still drains
+# at 40/round. Earlier rounds keep the full-debt prefix: burning
+# never-verified queries dominates while >50 remain.
+DEBT_SLOTS = 40
+RECHECKS = 10
+_RECHECK_FROM_ARTIFACTS = 4
+
+
+def _verified_rounds() -> dict[str, int]:
+    """name -> first round with a CLEAN artifact row. A FAILED row is
+    debt, not verification — demoting it out of the sample prefix would
+    hide a persistent wrong answer from every future sweep (advice
+    r03); only a clean row (no error, no recorded mismatch) rotates a
+    query to the back."""
     import json
     from pathlib import Path
 
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
-    for art in sorted(root.glob("CORRECTNESS_r*.json")):
+    arts = sorted(root.glob("CORRECTNESS_r*.json"))
+    for rnd, art in enumerate(arts):
         try:
-            seen.update(json.loads(art.read_text()))
+            for name, res in json.loads(art.read_text()).items():
+                if isinstance(res, dict) and (
+                    res.get("err") is not None
+                    or res.get("hash_match") is False
+                    or res.get("rows_match") is False
+                    or res.get("schema_match") is False
+                ):
+                    continue
+                seen.setdefault(name, rnd)
         except Exception:  # artifact malformed/absent — order still total
             pass
+    seen["__n_artifacts__"] = len(arts)
     return seen
 
 
 def _reorder_registry() -> None:
-    seen = _verified_names()
+    rounds = _verified_rounds()
+    n_artifacts = rounds.pop("__n_artifacts__")
+    seen = set(rounds)
     names = list(REGISTRY)
 
     def bucket(n: str) -> int:
@@ -639,6 +670,17 @@ def _reorder_registry() -> None:
         return 4
 
     ordered = sorted(names, key=lambda n: (bucket(n), names.index(n)))
+    if n_artifacts >= _RECHECK_FROM_ARTIFACTS:
+        debt = [n for n in ordered if n not in seen]
+        done = [n for n in ordered if n in seen]
+        # oldest verification first: most time to have rotted
+        done.sort(key=lambda n: (rounds[n], names.index(n)))
+        ordered = (
+            debt[:DEBT_SLOTS]
+            + done[:RECHECKS]
+            + debt[DEBT_SLOTS:]
+            + done[RECHECKS:]
+        )
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for n in ordered:

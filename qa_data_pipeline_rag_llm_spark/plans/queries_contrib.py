@@ -236,7 +236,8 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(tot.n AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_types,
            round(CAST(SUM(CAST(CAST(round(-(c * 1.0 / tot.n)
-                     * log2(c * 1.0 / tot.n) * 1000000000) AS BIGINT)
+                     * (ln(c * 1.0 / tot.n) / ln(2.0))
+                     * 1000000000) AS BIGINT)
                  AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0, 6)
              AS entropy_bits
     FROM tc t JOIN tot USING (source)
@@ -259,7 +260,12 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
     tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
     p = F.col("c") / F.col("n")
-    term9 = F.round(-p * F.log2(p) * 1_000_000_000).cast("long")
+    # ln(p)/ln(2), not log2(p): both engines' ln is validated bit-stable
+    # on this data; their log2 need not share libm rounding (the _gain
+    # discipline, queries_evals — advice r03)
+    term9 = F.round(
+        -p * (F.log(p) / F.log(F.lit(2.0))) * 1_000_000_000
+    ).cast("long")
     return (
         tc.join(tot, "source")
         .select("source", "n", term9.alias("t9"))
@@ -389,8 +395,9 @@ def bpe_merge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                       CAST(SUM({{tc}}) AS BIGINT) AS n_tokens
                FROM documents GROUP BY source),
-    p AS (SELECT *, CAST(round(pow(n_tokens, {{A}}) * 1000000000) AS BIGINT)
-                      AS pw9
+    p AS (SELECT *, CAST(round(CASE WHEN n_tokens > 0
+                      THEN exp({{A}} * ln(n_tokens)) ELSE 0.0 END
+                      * 1000000000) AS BIGINT) AS pw9
           FROM s),
     tot AS (SELECT SUM(pw9) AS z FROM p)
     SELECT source, n_docs, n_tokens,
@@ -412,11 +419,18 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(token_count("text")).alias("n_tokens"),
     )
+    # exp(A·ln n), not pow(n, A): fractional-exponent pow is a libm
+    # call whose rounding the two engines need not share; exp and ln
+    # are the validated-bit-stable primitives (advice r03)
     p = s.withColumn(
         "pw9",
-        F.round(F.pow("n_tokens", F.lit(MIX_ALPHA)) * 1_000_000_000).cast(
-            "long"
-        ),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.exp(F.lit(MIX_ALPHA) * F.log("n_tokens")),
+            ).otherwise(F.lit(0.0))
+            * 1_000_000_000
+        ).cast("long"),
     )
     tot = p.agg(F.sum("pw9").alias("z"))
     return (

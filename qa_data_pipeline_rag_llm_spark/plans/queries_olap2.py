@@ -215,14 +215,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q11 shape (partsupp -> lineitem value): parts whose revenue "
     "from NATION_3 suppliers exceeds 0.1% of that nation's total. The "
-    "global threshold is a single-partition window over the ALREADY "
-    "AGGREGATED per-part frame (bounded by part cardinality) — one fact "
-    "scan, verified by tests/test_plans.py. Threshold compare is exact "
-    "integer arithmetic (value·1000 > total), immune to FP sum order.",
+    "global threshold is a broadcast 1-row re-aggregate of the per-part "
+    "frame: the identical pre-shuffle subtree (scan + joins + partial "
+    "agg + Exchange) dedupes into ONE shuffle stage under Spark's "
+    "exchange reuse, so lineitem is still scanned once (gate: "
+    "tests/test_plans.py asserts ReusedExchange + single scan in the "
+    "FINAL adaptive plan) while the total is a distributed partial-sum "
+    "reduce — no single-task window even at billions of parts "
+    "(advice/verdict r03). Threshold compare is exact integer "
+    "arithmetic (value·1000 > total), immune to FP sum order.",
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -234,12 +237,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(_rev().cast("decimal(38,0)")).alias("value_s"))
     )
-    # single-partition window over the aggregated (per-part) frame — NOT
-    # over the fact table; a cross-join with pv.agg() would re-scan
-    # lineitem (no static subtree reuse in Spark).
-    total = F.sum("value_s").over(Window.partitionBy())
+    total = pv.agg(F.sum("value_s").alias("total_s"))
     return (
-        pv.withColumn("total_s", total)
+        pv.crossJoin(F.broadcast(total))
         .filter(F.col("value_s") * 1000 > F.col("total_s"))
         .select(
             "p_partkey",
@@ -294,26 +294,33 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
     doc="TPC-H Q15 shape: top supplier(s) by quarterly revenue. The MAX "
-    "threshold is a single-partition window over the per-supplier "
-    "aggregate (bounded by supplier cardinality) so lineitem is scanned "
-    "once — a cross-join with revenue.agg(max) would re-scan it "
-    "(verified by tests/test_plans.py). Date predicate pushed to "
-    "parquet.",
+    "threshold is a broadcast 1-row re-aggregate of the per-supplier "
+    "frame; exchange reuse dedupes the identical pre-shuffle subtree so "
+    "lineitem is scanned once (gate: tests/test_plans.py asserts "
+    "ReusedExchange + single scan in the FINAL adaptive plan), and the "
+    "max is a distributed partial reduce — no single-task window even "
+    "at extreme supplier cardinality (advice/verdict r03). Catalyst "
+    "folds the equality filter into a BroadcastHashJoin on "
+    "total_revenue = mx. Date predicate pushed to parquet.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        # explicit, though never null in TPC-H: the downstream supplier
+        # equi-join infers isnotnull(l_suppkey) into the MAIN branch
+        # only, which would make the two exchange subtrees non-identical
+        # and silently defeat the reuse this query's single-scan
+        # guarantee rests on
+        & F.col("l_suppkey").isNotNull()
     )
     s = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("total_revenue")
     )
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
-        revenue.withColumn("mx", mx)
+        revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

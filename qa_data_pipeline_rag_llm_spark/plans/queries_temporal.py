@@ -298,9 +298,18 @@ def _scd2_versions(ev: DataFrame) -> DataFrame:
     version, state, vfrom, vto) — vto NULL for the open version.
     Every window partitions by user_id; one key shuffle total."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
-    ).otherwise(1)
+    # the first row per key is ALWAYS a change (version 1) even when its
+    # state is NULL — eqNullSafe(NULL, lag=NULL) would otherwise call it
+    # "unchanged" (version 0), diverging from the streaming kernel's
+    # sentinel-prev 1-based numbering and breaking the dense-1..n
+    # invariant (advice r03)
+    chg = (
+        F.when(F.row_number().over(w) == 1, 1)
+        .when(
+            F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
+        )
+        .otherwise(1)
+    )
     v = ev.withColumn("chg", chg).withColumn(
         "version",
         F.sum("chg")
@@ -445,7 +454,9 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O_SCD2_NONPURCHASE = """
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN event_type IS DISTINCT FROM LAG(event_type)
+             CASE WHEN ROW_NUMBER()
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                    OR event_type IS DISTINCT FROM LAG(event_type)
                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   THEN 1 ELSE 0 END AS chg
       FROM events WHERE event_type != 'purchase'

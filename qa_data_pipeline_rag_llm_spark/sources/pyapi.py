@@ -10,14 +10,24 @@ API page becomes one task, so fetch parallelism scales with executors
 instead of a single driver loop, and the rows enter the engine already
 schema'd (no CSV round-trip, no inferSchema).
 
-No network exists in this environment, so the transport is a deterministic
-local "page server" over the documents table, read with pyarrow DIRECTLY
-(deliberately not Spark's parquet reader — this code path stands where an
-HTTP client would). Row normalization mirrors the reference's ingest dicts
-(``REDDIT-Ingestion.py:124-133``: ``t3_`` ids, capped titles, score), so
-the entire custom source is oracle-checkable. A real deployment swaps
-``_fetch_page`` for the HTTP call; partition planning, rate budget per
-page, schema, and normalization all stay.
+Two transports share every other layer (planning, schema, offsets,
+normalization):
+
+* default — a deterministic local "page server" over the documents
+  table, read with pyarrow DIRECTLY (deliberately not Spark's parquet
+  reader — this code path stands where an HTTP client would), keeping
+  the whole source oracle-checkable with zero infrastructure;
+* ``base_url`` option — a REAL paged HTTP API: ``GET {base_url}/meta``
+  advertises the total (the endpoint's cursor/total contract) and
+  ``GET {base_url}/page?start=S&n=K`` serves one page, fetched FROM THE
+  EXECUTOR TASK with the reference's retry-with-exponential-backoff
+  policy (``STACK-Ingestion.py:40-64``) — per task, which is what makes
+  the rate budget parallelizable. ``tests/test_pyapi_http.py`` drives
+  both batch and micro-batch readers against a live (subprocess) flaky
+  pager and asserts transport equivalence + exactly-once replay.
+
+Row normalization mirrors the reference's ingest dicts
+(``REDDIT-Ingestion.py:124-133``: ``t3_`` ids, capped titles, score).
 """
 
 from __future__ import annotations
@@ -38,6 +48,10 @@ TITLE_CAP = 40
 DEFAULT_PAGE_SIZE = 100
 
 
+RETRIES = 4
+BACKOFF_BASE_SEC = 0.2
+
+
 def _fetch_page(path: str, start: int, page_size: int) -> list[dict]:
     """The 'HTTP GET' stand-in: one page of raw posts. pyarrow reads the
     backing table and slices the page — a real source issues the paged
@@ -49,24 +63,64 @@ def _fetch_page(path: str, start: int, page_size: int) -> list[dict]:
     return table.slice(start, page_size).to_pylist()
 
 
+def _http_json(url: str, timeout: float = 30.0):
+    """GET a JSON endpoint with the reference's retry-with-exponential-
+    backoff transport policy (``STACK-Ingestion.py:40-64``): transient
+    failures (5xx, connection resets) retry up to RETRIES times with
+    0.2·2^i sleeps; the final failure propagates so a dead API fails the
+    task loudly instead of silently truncating the ingest."""
+    import json
+    import time
+    import urllib.error
+    import urllib.request
+
+    last: Exception | None = None
+    for attempt in range(RETRIES):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                return json.loads(resp.read())
+        except (urllib.error.URLError, ConnectionError, OSError) as exc:
+            last = exc
+            time.sleep(BACKOFF_BASE_SEC * (2**attempt))
+    raise last  # type: ignore[misc]
+
+
+def _http_total(base_url: str) -> int:
+    return int(_http_json(f"{base_url}/meta")["num_rows"])
+
+
+def _http_page(base_url: str, start: int, page_size: int) -> list[dict]:
+    return _http_json(f"{base_url}/page?start={start}&n={page_size}")["rows"]
+
+
 class QAApiReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
-        self.path = options["path"]
+        self.path = options.get("path")
+        self.base_url = options.get("base_url")
+        if not (self.path or self.base_url):
+            raise ValueError("qa_api needs a path or base_url option")
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
 
     def partitions(self) -> list[InputPartition]:
         """Page planning = the API's pagination, done from metadata only
-        (row count from the parquet footer; an HTTP source would use the
-        endpoint's advertised total/cursor)."""
-        import pyarrow.parquet as pq
+        (HTTP: the endpoint's advertised total; local: the parquet
+        footer's row count)."""
+        if self.base_url:
+            n = _http_total(self.base_url)
+        else:
+            import pyarrow.parquet as pq
 
-        n = pq.read_metadata(self.path).num_rows
+            n = pq.read_metadata(self.path).num_rows
         pages = max(1, -(-n // self.page_size))
         return [InputPartition(i) for i in range(pages)]
 
     def read(self, partition: InputPartition):
         start = partition.value * self.page_size
-        for row in _fetch_page(self.path, start, self.page_size):
+        if self.base_url:
+            rows = _http_page(self.base_url, start, self.page_size)
+        else:
+            rows = _fetch_page(self.path, start, self.page_size)
+        for row in rows:
             yield _normalize_row(row, self.page_size)
 
 
@@ -92,15 +146,24 @@ class QAApiStreamReader(SimpleDataSourceStreamReader):
     source reads, so stream output == batch output, oracle-checked."""
 
     def __init__(self, options: dict) -> None:
-        self.path = options["path"]
+        self.path = options.get("path")
+        self.base_url = options.get("base_url")
+        if not (self.path or self.base_url):
+            raise ValueError("qa_api needs a path or base_url option")
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+
+    def _page(self, page: int) -> list[dict]:
+        start = page * self.page_size
+        if self.base_url:
+            return _http_page(self.base_url, start, self.page_size)
+        return _fetch_page(self.path, start, self.page_size)
 
     def initialOffset(self) -> dict:
         return {"page": 0}
 
     def read(self, start: dict):
         page = start["page"]
-        rows = _fetch_page(self.path, page * self.page_size, self.page_size)
+        rows = self._page(page)
         out = [_normalize_row(r, self.page_size) for r in rows]
         # advance only when the "API" returned data — an exhausted cursor
         # holds its offset (the polling steady-state)
@@ -108,7 +171,7 @@ class QAApiStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         for page in range(start["page"], end["page"]):
-            for r in _fetch_page(self.path, page * self.page_size, self.page_size):
+            for r in self._page(page):
                 yield _normalize_row(r, self.page_size)
 
 
@@ -139,9 +202,16 @@ def register_qa_api(spark) -> None:
         pass  # already registered on this session
 
 
-def run_api_stream(spark, path: str, page_size: int = DEFAULT_PAGE_SIZE):
+def run_api_stream(
+    spark,
+    path: str,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    base_url: str | None = None,
+):
     """Run the streaming source over every available page and return the
-    appended result as a batch DataFrame.
+    appended result as a batch DataFrame. With ``base_url`` the pages
+    come from the live HTTP pager instead of the local transport
+    (``path`` then only sizes the expected-row guard).
 
     ``Trigger.AvailableNow`` drains only the prefetched first page of a
     Python simple stream reader (probed on this Spark build), so the
@@ -157,12 +227,14 @@ def run_api_stream(spark, path: str, page_size: int = DEFAULT_PAGE_SIZE):
     register_qa_api(spark)
     expected = pq.read_metadata(path).num_rows
     name = f"qa_api_{uuid.uuid4().hex}"
-    df = (
+    reader = (
         spark.readStream.format("qa_api")
         .option("path", path)
         .option("page_size", str(page_size))
-        .load()
     )
+    if base_url:
+        reader = reader.option("base_url", base_url)
+    df = reader.load()
     q = (
         df.writeStream.format("memory")
         .queryName(name)

@@ -407,7 +407,9 @@ def _update_type_profile(
     )
 
 
-def stream_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_user_type_profile(
+    spark: SparkSession, sf_dir: str, impl: str = "auto"
+) -> DataFrame:
     """Per-user event-type profile via transformWithStateInPandas (the
     Spark 4 arbitrary-state API): MapState-backed counts, deterministic
     top type (max count, lexicographic tie-break). Final emission equals
@@ -416,10 +418,16 @@ def stream_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The transformWithState state server needs ``google.protobuf``; where
     that is absent (this container) the operator falls back to an
     applyInPandasWithState implementation with identical semantics, so
-    the query's results are environment-independent."""
+    the query's results are environment-independent. ``impl`` pins a
+    path explicitly ('tws' / 'fallback') so
+    ``tests/test_streaming.py``'s parity test can exercise BOTH on any
+    box that has protobuf (VERDICT r03 #8); 'auto' keeps the
+    try-import selection."""
     raw = read_events_stream(spark, sf_dir)
     out_ddl = "user_id bigint, n_events bigint, n_types int, top_type string"
     try:
+        if impl == "fallback":
+            raise ImportError("impl=fallback pinned")
         import google.protobuf  # noqa: F401 — twS state protocol dependency
 
         from pyspark.sql.streaming.stateful_processor import StatefulProcessor
@@ -434,6 +442,8 @@ def stream_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     except ImportError:
+        if impl == "tws":
+            raise
         out = raw.groupBy("user_id").applyInPandasWithState(
             _update_type_profile,
             outputStructType=out_ddl,

@@ -142,3 +142,20 @@ def test_rank_cumsum_property_random_frames(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), f"trial {trial} n={n} heavy={heavy}"
+
+
+def test_rank_cumsum_null_bucket_key_fails_loud(spark):
+    """NULL bucket keys must raise (with the operator's message), never
+    silently rank inside the first bucket (advice r03)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    df = spark.range(100).select(
+        "id",
+        F.when(F.col("id") != 7, (F.col("id") * 37) % 101 + 1).alias("v"),
+    )
+    res = rank_cumsum(
+        df, [F.desc("v"), F.col("id")], "v", bucket_col="v", descending=True
+    )
+    with pytest.raises(PySparkException, match="must be non-null"):
+        res.collect()

@@ -111,8 +111,12 @@ def test_scd2_kernel_property_random_logs(spark):
     )
 
     rng = random.Random(7)
-    states = ["a", "b", "c"]
-    for trial in range(5):
+    # None is a real state: a key whose FIRST event is NULL must still
+    # get version 1 (advice r03 — eqNullSafe(NULL, lag=NULL) used to
+    # call it "unchanged" and emit version 0, breaking the dense-1..n
+    # invariant and diverging from the streaming kernel)
+    states = ["a", "b", "c", None]
+    for trial in range(6):
         n_users = rng.choice([1, 3, 10])
         rows = []
         eid = 0
@@ -126,6 +130,11 @@ def test_scd2_kernel_property_random_logs(spark):
                     ts += rng.randint(1, 100)
                 rows.append((u, rng.choice(states), ts * 1_000_000, eid))
                 eid += 1
+        if trial == 5:
+            # pinned edge: every user's log LEADS with a NULL state
+            rows = [(u, None, 0, 10_000 + u) for u in range(n_users)] + [
+                (u, s, max(us, 1), e) for u, s, us, e in rows
+            ]
         rng.shuffle(rows)  # arrival order must not matter
 
         # pure-python reference: sort, run-compress

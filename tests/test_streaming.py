@@ -124,3 +124,31 @@ def test_stateful_last_event_survives_older_later_batch(spark, tmp_path):
     final = max(res, key=lambda r: r["n_events"])
     assert final["n_events"] == 4
     assert final["last_event"] == "view"  # hour-9 event from batch 1
+
+
+def test_type_profile_tws_and_fallback_paths_agree(spark):
+    """Both implementations of the per-user type profile — the Spark 4
+    transformWithStateInPandas primary and the applyInPandasWithState
+    fallback — must emit identical final rows (VERDICT r03 #8). Runs
+    wherever google.protobuf (the twS state-server protocol dep)
+    exists; elsewhere the fallback IS the oracle-checked path and this
+    skips."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        stream_user_type_profile,
+    )
+    from tests.conftest import SF_DIR
+
+    tws = sorted(
+        map(tuple, stream_user_type_profile(spark, SF_DIR, impl="tws").collect())
+    )
+    fb = sorted(
+        map(
+            tuple,
+            stream_user_type_profile(spark, SF_DIR, impl="fallback").collect(),
+        )
+    )
+    assert tws == fb and len(tws) > 0
