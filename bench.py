@@ -69,10 +69,11 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 CAL_ANCHOR_SEC = 0.483
 
 # Recorded anchor for the scheduler probe (min of 20 trivial
-# spark.range(1).count() jobs, 32-task stage on local[32]) measured on
-# the idle round-4 build box. Per-job excess over this anchor ×
-# jobs_timed estimates scheduling inflation in the total.
-SCHED_ANCHOR_SEC = 0.030
+# spark.range(1).count() jobs, 32-task stage on local[32]): 0.097 on
+# the idle round-4 build box (the environment whose 11.85 s r03 total
+# BASELINE comparisons are adjudicated against). Per-job excess over
+# this anchor × jobs_timed estimates scheduling inflation in the total.
+SCHED_ANCHOR_SEC = 0.095
 
 
 def execute(df) -> None:

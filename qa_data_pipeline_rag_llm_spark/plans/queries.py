@@ -603,6 +603,8 @@ _PINNED_NEW = [
     "streaming_scd2_closed_versions",
     "vector_store_audit",
     "bm25_batch_search_documents",
+    # round 4 additions
+    "runtime_filter_join_revenue",
 ]
 
 

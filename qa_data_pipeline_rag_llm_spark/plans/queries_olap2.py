@@ -12,9 +12,11 @@ Scale notes (100 TB stance):
     dim:fact ratios) are broadcast explicitly; fact-fact joins are left
     to AQE (sort-merge at scale, BHJ when a side proves small).
   * Self-join shapes (q11's total, q15's max) derive the global
-    threshold from a single-partition window over the already-aggregated
-    frame — one fact scan (a cross-join with frame.agg() statically
-    re-plans the scan; plan-tested in tests/test_plans.py).
+    threshold from a broadcast 1-row re-aggregate whose pre-shuffle
+    subtree dedupes into the main side's exchange (AQE query-stage
+    reuse) — one fact scan AND no single-task window at any key
+    cardinality (r04; plan-tested in tests/test_plans.py on the final
+    adaptive plan).
   * q21's EXISTS/NOT EXISTS pair collapses into ONE groupBy over the
     order's supplier set instead of two extra lineitem shuffles.
 """

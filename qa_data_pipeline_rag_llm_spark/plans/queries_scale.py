@@ -270,3 +270,50 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("checksum"),
     )
+
+
+@register(
+    "runtime_filter_join_revenue",
+    """
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    doc="Big-big join with a selective dim-side filter — the shape where "
+    "neither side broadcasts at 100 TB and Spark's RUNTIME BLOOM FILTER "
+    "is the scale lever: the optimizer aggregates the filtered orders "
+    "keys into a bloom sketch and injects might_contain(xxhash64(l_"
+    "orderkey)) into the lineitem scan, pruning most of the fact "
+    "shuffle before it is written (the dynamic-filtering analog of "
+    "Trino/Photon). The query itself is a PLAIN declarative join — no "
+    "hints — so Catalyst picks broadcast at test scale and the bloom "
+    "regime exactly when the scan-size thresholds warrant it; "
+    "tests/test_plans.py::test_runtime_bloom_filter_fires_in_big_big_regime "
+    "pins that regime by emulating it (broadcast off, thresholds down) "
+    "and asserts BloomFilterMightContain + result equality. Oracle is "
+    "the same join unfiltered by any sketch — the bloom is provably "
+    "semantics-free (false positives only pass extra rows to the exact "
+    "hash join behind it).",
+)
+def runtime_filter_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_qty"),
+        )
+    )

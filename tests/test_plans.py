@@ -380,3 +380,40 @@ def test_cumulative_queries_use_partition_offset_pattern(spark, name):
         )
         if unpartitioned and "__cum_bid" not in spec:
             raise AssertionError(f"unpartitioned non-offset window: {spec}")
+
+
+def test_runtime_bloom_filter_fires_in_big_big_regime(spark):
+    """runtime_filter_join_revenue is a plain declarative join; at test
+    scale Catalyst broadcasts the filtered dim. This pins the 100 TB
+    regime instead: with broadcast off and the runtime-filter size
+    thresholds scaled to the sandbox (the production defaults — 10 MB
+    creation side, 10 GB application-side scan — are exactly what a
+    real big-big join clears), the SAME query must pick up an injected
+    bloom filter on the fact scan side and still return identical
+    rows."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    assert conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    want = sorted(
+        map(tuple, REGISTRY["runtime_filter_join_revenue"].spark(spark, SF_DIR).collect())
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        df = REGISTRY["runtime_filter_join_revenue"].spark(spark, SF_DIR)
+        got = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), "bloom filter not injected"
+        assert got == want
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -54,6 +54,11 @@ PROBE = [
     "peak_concurrency_daily",
     "retrieval_eval_bm25",
     "retrieval_eval_cosine",
+    # r04: scalar-threshold queries rebuilt from single-task windows to
+    # broadcast re-aggregates with exchange reuse — probe proves the
+    # reuse (not a second fact scan) holds one decade up
+    "q11_important_parts",
+    "q15_top_supplier",
 ]
 
 # table -> columns to offset per replica
