@@ -125,6 +125,7 @@ def write_bucketed(
     n_buckets: int,
     sort_by: Sequence[str] = (),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: pre-shuffles once at write time so every
     later equi-join/aggregation on the bucket keys is exchange-free.
@@ -134,9 +135,13 @@ def write_bucketed(
     shuffle once, then N downstream joins read co-located buckets. Both
     sides must be bucketed by the join key into the same bucket count.
     Spark's Hive-style bucketing needs ``saveAsTable`` (path-based
-    ``save`` silently drops bucket metadata).
+    ``save`` silently drops bucket metadata). Pass ``path`` to keep the
+    files in an explicit location (external table) instead of the
+    session warehouse directory.
     """
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)

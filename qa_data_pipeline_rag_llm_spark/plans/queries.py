@@ -605,6 +605,10 @@ _PINNED_NEW = [
     "bm25_batch_search_documents",
     # round 4 additions
     "runtime_filter_join_revenue",
+    "mmr_diversified_retrieval",
+    "dpp_pruned_daily_events",
+    "lsh_band_eval_documents",
+    "bucketed_join_order_lines",
 ]
 
 

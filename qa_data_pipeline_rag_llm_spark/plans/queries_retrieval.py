@@ -358,3 +358,150 @@ def bm25_batch_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification: the post-retrieval re-rank that keeps the RAG
+# context window from filling with near-duplicates of one passage. The
+# candidate pool is bounded (top-MMR_DEPTH per probe), so the greedy
+# k-step selection is per-query-tiny no matter the corpus size.
+
+MMR_PROBES = (0, 1, 2)
+MMR_DEPTH = 12
+MMR_K = 5
+MMR_LAM_NUM = 7    # lambda = 0.7, as integer numerators over a common
+MMR_DIS_NUM = 3    # denominator of 10 — the objective stays in Z
+
+_MMR_PROBES_SQL = ", ".join(str(p) for p in MMR_PROBES)
+
+# scaled-int cosine: round(cos * 1e6) — IDENTICAL float expression
+# structure on both sides, integer thereafter (module determinism note)
+_O_RELS = (
+    "CAST(round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))"
+    " / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))), 0)"
+    " * 1000000) AS BIGINT)"
+)
+_O_SIMS = (
+    "CAST(round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
+    " / nullif(sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))), 0)"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "mmr_diversified_retrieval",
+    f"""
+    WITH RECURSIVE
+    cand0 AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS doc_id, {_O_RELS} AS rel_s
+      FROM embeddings e JOIN embeddings p
+        ON p.vec_id IN ({_MMR_PROBES_SQL}) AND e.vec_id <> p.vec_id),
+    cand AS (
+      SELECT probe_id, doc_id, rel_s FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                  ORDER BY rel_s DESC, doc_id) AS r FROM cand0)
+      WHERE r <= {MMR_DEPTH}),
+    pairs AS (
+      SELECT a.probe_id, a.doc_id AS i, b.doc_id AS j, {_O_SIMS} AS sim_s
+      FROM cand a JOIN cand b
+        ON a.probe_id = b.probe_id AND a.doc_id <> b.doc_id
+      JOIN embeddings ea ON ea.vec_id = a.doc_id
+      JOIN embeddings eb ON eb.vec_id = b.doc_id),
+    sel AS (
+      SELECT probe_id, 1 AS rnk, doc_id, {MMR_LAM_NUM} * rel_s AS mmr_s,
+             [doc_id] AS picked
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY rel_s DESC, doc_id) AS r FROM cand) WHERE r = 1
+      UNION ALL
+      SELECT s.probe_id, s.rnk + 1, nxt.doc_id, nxt.mmr_s,
+             list_append(s.picked, nxt.doc_id)
+      FROM sel s, LATERAL (
+        SELECT c.doc_id,
+               {MMR_LAM_NUM} * c.rel_s - {MMR_DIS_NUM} * (
+                 SELECT MAX(p.sim_s) FROM pairs p
+                 WHERE p.probe_id = s.probe_id AND p.i = c.doc_id
+                   AND list_contains(s.picked, p.j)) AS mmr_s
+        FROM cand c
+        WHERE c.probe_id = s.probe_id
+          AND NOT list_contains(s.picked, c.doc_id)
+        ORDER BY mmr_s DESC, c.doc_id LIMIT 1) nxt
+      WHERE s.rnk < {MMR_K})
+    SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, doc_id, mmr_s FROM sel
+    """,
+    doc=f"MMR-diversified retrieval (Carbonell & Goldstein 1998): per "
+    f"probe, cosine top-{MMR_DEPTH} candidates greedily re-ranked to "
+    f"top-{MMR_K} maximizing 0.7*rel - 0.3*max-sim-to-selected — the "
+    "serving-side de-duplication of the RAG context window the "
+    "reference's raw top-1 (app2.py:32-45) can't do. Relevance and "
+    "pair sims are scaled ints (round(cos*1e6)), the greedy objective "
+    "pure integer arithmetic — selection is bit-identical in the "
+    "pandas kernel (operators/diversify.py) and the DuckDB recursive "
+    "CTE. Corpus-sized work stays in the salted-top-k candidate arm; "
+    "the sequential k-step greedy touches only depth^2 pair rows per "
+    "query, distributed across the query batch by applyInPandas.",
+)
+def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import (
+        dot,
+        norm,
+        safe_denom,
+    )
+    from qa_data_pipeline_rag_llm_spark.operators.diversify import mmr_rerank
+    from qa_data_pipeline_rag_llm_spark.operators.ranking import salted_top_k
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.withColumn("_vn", norm(F.col("embedding")))
+    p = (
+        e.filter(F.col("vec_id").isin(*MMR_PROBES))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        .withColumn("_pn", norm(F.col("probe_vec")))
+    )
+    scored = v.join(
+        F.broadcast(p), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("i"),
+        "embedding",
+        "_vn",
+        F.round(
+            dot(F.col("embedding"), F.col("probe_vec"))
+            / safe_denom(F.col("_vn") * F.col("_pn"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("rel_s"),
+    )
+    cand = salted_top_k(
+        scored,
+        ["probe_id"],
+        [F.desc("rel_s"), F.col("i")],
+        MMR_DEPTH,
+        salt_col="i",
+    ).drop("rank")
+    a = cand.select("probe_id", "i", "rel_s",
+                    F.col("embedding").alias("_ea"), F.col("_vn").alias("_an"))
+    b = cand.select(F.col("probe_id").alias("_pb"), F.col("i").alias("j"),
+                    F.col("embedding").alias("_eb"), F.col("_vn").alias("_bn"))
+    pairs = (
+        a.join(F.broadcast(b),
+               (F.col("probe_id") == F.col("_pb")) & (F.col("i") != F.col("j")))
+        .select(
+            "probe_id",
+            "i",
+            "rel_s",
+            "j",
+            F.round(
+                dot(F.col("_ea"), F.col("_eb"))
+                / safe_denom(F.col("_an") * F.col("_bn"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("sim_s"),
+        )
+    )
+    return mmr_rerank(pairs, MMR_K, MMR_LAM_NUM, MMR_DIS_NUM)

@@ -317,3 +317,164 @@ def runtime_filter_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: the lever that keeps a date-partitioned
+# 100 TB fact scan from reading every partition when the filter lives on
+# a joined dim. The fact is written partitionBy(d); the dim maps each
+# day to its day-of-month; the query filters the DIM (dom <= 10) — a
+# predicate Catalyst cannot statically push into the fact — and DPP
+# injects the runtime subquery `d IN (broadcasted dim keys)` into the
+# fact scan's PartitionFilters (gate:
+# tests/test_plans.py::test_dpp_prunes_partitioned_fact_scan).
+
+_DPP_CLEANUP: set[str] = set()
+DPP_DOM_MAX = 10
+
+
+def _dpp_paths(sf_dir: str) -> tuple[str, str]:
+    base = (
+        "/tmp/spark_graft_dpp_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        + f"_{os.getpid()}"
+    )
+    return base + "/fact", base + "/dim"
+
+
+@register(
+    "dpp_pruned_daily_events",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_value
+    FROM events
+    WHERE day(CAST(ts AS DATE)) <= {DPP_DOM_MAX}
+    GROUP BY event_type
+    """,
+    doc="Dynamic partition pruning end-to-end: events re-written "
+    "partitionBy(day), a (day -> day-of-month) dim written beside it, "
+    "then fact join filtered-dim — the filter exists only in dim data, "
+    "so static pushdown is impossible and Spark's DPP rule injects the "
+    "runtime `d IN <broadcast keys>` subquery into the fact scan's "
+    "PartitionFilters, reading ~1/3 of the partitions (the 100 TB "
+    "date-partition prune; plan-gated). Oracle computes the same "
+    "day-of-month filter straight from the original parquet — the "
+    "round-trip plus pruning is provably semantics-free.",
+)
+def dpp_pruned_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import _t as _load
+
+    fact_path, dim_path = _dpp_paths(sf_dir)
+    if fact_path not in _DPP_CLEANUP:
+        import atexit
+        import shutil
+
+        ev = _load(spark, sf_dir, "events").withColumn(
+            "d", F.to_date("ts").cast("string")
+        )
+        ev.write.mode("overwrite").partitionBy("d").parquet(fact_path)
+        (
+            ev.select("d")
+            .distinct()
+            .withColumn("dom", F.dayofmonth(F.to_date("d")))
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+        _DPP_CLEANUP.add(fact_path)
+        atexit.register(shutil.rmtree, fact_path.rsplit("/", 1)[0], True)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("dom") <= DPP_DOM_MAX)
+    return (
+        fact.join(F.broadcast(dim), "d")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the pay-the-shuffle-once layout for fact-fact
+# joins that repeat across a pipeline. Both sides are bucketed by the
+# join key into the same bucket count at write time; every later join on
+# that key reads co-located buckets with NO exchange on either side
+# (gate: tests/test_io.py::test_bucketed_join_is_exchange_free pins the
+# plan on the operator; this registry entry pins result parity through
+# the full write -> catalog -> join -> agg path).
+
+_BUCKET_CLEANUP: set[str] = set()
+N_BUCKETS = 8
+
+
+@register(
+    "bucketed_join_order_lines",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc=f"Bucketed fact-fact join: orders and lineitem re-written "
+    f"bucketBy({N_BUCKETS}, orderkey) + sortBy, then joined WITHOUT any "
+    "exchange — the SortMergeJoin reads co-located, pre-sorted buckets "
+    "on both sides (broadcast disabled for the join to pin the big-big "
+    "regime). At 100 TB this converts every repeated orders-lineitem "
+    "join in the pipeline (q3/q4/q10/q12/q18/q21 shapes) from a "
+    "2-sided shuffle into a zero-shuffle scan; oracle is the plain "
+    "unbucketed join — layout is provably semantics-free.",
+)
+def bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.io import write_bucketed
+    from qa_data_pipeline_rag_llm_spark.plans.queries import _t as _load
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10] + f"_{os.getpid()}"
+    base = f"/tmp/spark_graft_bkt_{tag}"
+    t_orders, t_lines = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    if base not in _BUCKET_CLEANUP:
+        import atexit
+        import shutil
+
+        write_bucketed(
+            _load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            t_orders,
+            bucket_by=["o_orderkey"],
+            n_buckets=N_BUCKETS,
+            sort_by=["o_orderkey"],
+            path=f"{base}/orders",
+        )
+        write_bucketed(
+            _load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            ),
+            t_lines,
+            bucket_by=["l_orderkey"],
+            n_buckets=N_BUCKETS,
+            sort_by=["l_orderkey"],
+            path=f"{base}/lineitem",
+        )
+        _BUCKET_CLEANUP.add(base)
+        atexit.register(shutil.rmtree, base, True)
+    o = spark.table(t_orders)
+    li = spark.table(t_lines)
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_price"),
+        )
+    )

@@ -1020,3 +1020,119 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(oov_cnt) * 1.0 / F.sum("cnt"), 6).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Banding-quality eval: precision/recall of the RAW MinHash-LSH candidate
+# stage against exact-Jaccard ground truth. This is the measurement that
+# justifies a (bands, rows) choice before a 100 TB dedup run — the S-curve
+# in numbers, on this corpus, not from the formula.
+
+@register(
+    "lsh_band_eval_documents",
+    f"""
+    WITH {_sh_cte(SHINGLE_N)}, {_sig_cte(NUM_PERM)},
+    bands AS (SELECT doc, {_BAND_KEYS} FROM sig),
+    banded AS ({_BANDED_UNION}),
+    pred AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc < b.doc),
+    tcand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM tcand c
+      JOIN sh sa ON c.doc_a = sa.doc
+      JOIN sh sb ON c.doc_b = sb.doc AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes na ON i.doc_a = na.doc
+      JOIN sizes nb ON i.doc_b = nb.doc
+      WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= {JACCARD_T}),
+    m AS (
+      SELECT CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+             CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+      FROM pred p FULL OUTER JOIN truth t
+        ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+    SELECT CAST(SUM(in_pred) AS BIGINT) AS n_pred,
+           CAST(SUM(in_truth) AS BIGINT) AS n_truth,
+           CAST(SUM(in_pred * in_truth) AS BIGINT) AS n_hit,
+           round(SUM(in_pred * in_truth)
+                 / nullif(CAST(SUM(in_pred) AS DOUBLE), 0), 6) AS prec,
+           round(SUM(in_pred * in_truth)
+                 / nullif(CAST(SUM(in_truth) AS DOUBLE), 0), 6) AS rec
+    FROM m
+    """,
+    doc=f"LSH banding quality eval ({BANDS} bands x {NUM_PERM // BANDS} "
+    f"rows vs exact Jaccard >= {JACCARD_T}): precision/recall of the RAW "
+    "band-collision candidate set against ground truth — the measured "
+    "S-curve that picks (bands, rows) before a corpus-scale dedup run. "
+    "Truth pairs block through SHARED shingles (a pair with Jaccard > 0 "
+    "must share one), exact for the threshold; at 100 TB this truth arm "
+    "is the quadratic piece and runs on a sample — the banding arm "
+    "itself stays production-shaped (map-only signatures, band-key "
+    "equi-join, no all-pairs).",
+)
+def lsh_band_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.dedup import (
+        _doc_shingles,
+        _verify_jaccard,
+        minhash_bands,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = _doc_shingles(d, "text", "doc_id", SHINGLE_N)
+    banded = minhash_bands(
+        minhash_signatures(d, num_perm=NUM_PERM, shingle_n=SHINGLE_N),
+        num_perm=NUM_PERM,
+        bands=BANDS,
+    )
+    pred = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+        .withColumn("in_pred", F.lit(1))
+    )
+    tcand = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    truth = (
+        _verify_jaccard(tcand, sh, JACCARD_T)
+        .select("doc_a", "doc_b")
+        .withColumn("in_truth", F.lit(1))
+    )
+    m = (
+        pred.join(truth, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.coalesce("in_pred", F.lit(0)).alias("in_pred"),
+            F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+        )
+    )
+    agg = m.agg(
+        F.sum("in_pred").alias("n_pred"),
+        F.sum("in_truth").alias("n_truth"),
+        F.sum(F.col("in_pred") * F.col("in_truth")).alias("n_hit"),
+    )
+    return agg.select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.expr("nullif(CAST(n_pred AS DOUBLE), 0)"), 6
+        ).alias("prec"),
+        F.round(
+            F.col("n_hit") / F.expr("nullif(CAST(n_truth AS DOUBLE), 0)"), 6
+        ).alias("rec"),
+    )

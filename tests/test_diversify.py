@@ -1,0 +1,91 @@
+"""MMR diversification kernel: known-answer, tie-break, diversity property."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from qa_data_pipeline_rag_llm_spark.operators.diversify import (
+    _mmr_greedy_group,
+    mmr_rerank,
+)
+
+
+def _pairs_frame(probe_id, rel, sim):
+    """Build the operator's input rows from rel {doc: rel_s} and
+    symmetric sim {(i, j): sim_s}."""
+    rows = []
+    for i in rel:
+        for j in rel:
+            if i != j:
+                s = sim.get((i, j), sim.get((j, i), 0))
+                rows.append((probe_id, i, rel[i], j, s))
+    return pd.DataFrame(rows, columns=["probe_id", "i", "rel_s", "j", "sim_s"])
+
+
+def test_mmr_skips_near_duplicate_of_first_pick():
+    # doc 2 is nearly identical to doc 1 (sim .99) and slightly less
+    # relevant; pure relevance ranks it 2nd, MMR must demote it below
+    # the dissimilar doc 3.
+    rel = {1: 1_000_000, 2: 990_000, 3: 800_000}
+    sim = {(1, 2): 990_000, (1, 3): 100_000, (2, 3): 120_000}
+    out = _mmr_greedy_group(_pairs_frame(7, rel, sim), k=3, lam_num=7, dissim_num=3)
+    assert list(out["doc_id"]) == [1, 3, 2]
+    assert list(out["rnk"]) == [1, 2, 3]
+    # scores are exact integers: step1 = 7*rel, later = 7*rel - 3*maxsim
+    assert out["mmr_s"].tolist() == [
+        7 * 1_000_000,
+        7 * 800_000 - 3 * 100_000,
+        7 * 990_000 - 3 * 990_000,
+    ]
+
+
+def test_mmr_tie_breaks_on_smaller_doc_id():
+    rel = {5: 900_000, 9: 900_000, 1: 1_000_000}
+    # both 5 and 9 equally dissimilar to 1 → identical objective at
+    # step 2; the smaller id must win (oracle ORDER BY mmr_s DESC, doc_id)
+    sim = {(1, 5): 200_000, (1, 9): 200_000, (5, 9): 0}
+    out = _mmr_greedy_group(_pairs_frame(0, rel, sim), k=2, lam_num=7, dissim_num=3)
+    assert list(out["doc_id"]) == [1, 5]
+
+
+def test_mmr_matches_bruteforce_reference(spark):
+    """Distributed operator ≡ an independent brute-force greedy."""
+    import itertools
+
+    rel = {10: 500_000, 11: 480_000, 12: 470_000, 13: 100_000}
+    sim = {
+        (10, 11): 450_000,
+        (10, 12): 440_000,
+        (11, 12): 460_000,
+        (10, 13): 10_000,
+        (11, 13): 20_000,
+        (12, 13): 30_000,
+    }
+
+    def brute(k):
+        picked, out = [], []
+        remaining = sorted(rel)
+        while remaining and len(out) < k:
+            best = None
+            for c in remaining:
+                ms = max(
+                    (sim.get((c, s), sim.get((s, c), 0)) for s in picked),
+                    default=0,
+                )
+                score = 7 * rel[c] - 3 * ms
+                if best is None or score > best[1] or (score == best[1] and c < best[0]):
+                    best = (c, score)
+            picked.append(best[0])
+            remaining.remove(best[0])
+            out.append(best)
+        return out
+
+    pdf = _pairs_frame(3, rel, sim)
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        mmr_rerank(sdf, k=4)
+        .orderBy("rnk")
+        .select("doc_id", "mmr_s")
+        .collect()
+    )
+    assert [(r.doc_id, r.mmr_s) for r in got] == brute(4)

@@ -308,7 +308,14 @@ def test_topk_rank_windows_sit_above_takeordered(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["cosine_topk_embeddings", "retrieval_eval_cosine", "rag_retrieve"],
+    [
+        "cosine_topk_embeddings",
+        "retrieval_eval_cosine",
+        "rag_retrieve",
+        # MMR's corpus-sized candidate arm is the same low-cardinality
+        # per-probe top-k shape (the greedy itself only sees depth^2 rows)
+        "mmr_diversified_retrieval",
+    ],
 )
 def test_cosine_topk_rank_is_salt_partitioned(spark, name):
     """cosine_topk's phase-1 rank must partition by (probe, salt)
@@ -317,6 +324,19 @@ def test_cosine_topk_rank_is_salt_partitioned(spark, name):
     — phase 2 re-ranks only the bounded k·num_salts survivors."""
     plan = _plan(spark, name)
     assert "__topk_salt" in plan
+
+
+def test_dpp_prunes_partitioned_fact_scan(spark):
+    """dpp_pruned_daily_events' fact scan must carry a NON-TRIVIAL
+    dynamic-pruning partition filter (a disabled/inapplicable DPP prints
+    `dynamicpruningexpression(true)`), and actually read fewer
+    partitions than the table holds — the 100 TB date-prune."""
+    import re
+
+    df = REGISTRY["dpp_pruned_daily_events"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"dynamicpruningexpression\((?!true\))", plan)
+    assert m, f"no dynamic pruning subquery in fact scan:\n{plan[:2000]}"
 
 
 def test_hard_negatives_broadcasts_the_probe_side(spark):
