@@ -101,18 +101,22 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sort(list(DISTINCT CAST(year(o_orderdate) AS INT))) AS yrs
       FROM orders GROUP BY o_custkey)
     SELECT o_custkey,
-           prios,
+           array_to_string(prios, ',') AS prios,
            len(prios) AS n_prios,
            list_contains(prios, '1-URGENT') AS has_urgent,
-           list_sort(list_intersect(prios, ['1-URGENT', '2-HIGH'])) AS urgent_high,
+           COALESCE(array_to_string(list_sort(list_intersect(prios, ['1-URGENT', '2-HIGH'])), ','), '')
+             AS urgent_high,
            yrs[1] AS first_yr,
            yrs[-1] AS last_yr
     FROM per_cust
     """,
     doc="Array algebra on grouped data: collect_set→sort_array (canonical "
     "order so hashes are stable), size, array_contains, "
-    "array_intersect, element_at. Arrays stay native end-to-end "
-    "(no literal_eval round-trip — SURVEY.md F6).",
+    "array_intersect, element_at. Arrays stay native through the plan; "
+    "the FINAL projection stringifies them via array_join (output "
+    "contract: the driver canonicalizer lexsorts rows in pandas and "
+    "cannot hash ndarray cells — order_line_ids pattern, "
+    "plans/queries.py:270).",
 )
 def array_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -124,11 +128,16 @@ def array_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list_intersect does NOT keep first-list order) — canonicalize.
     return per.select(
         "o_custkey",
-        "prios",
+        F.array_join("prios", ",").alias("prios"),
         F.size("prios").alias("n_prios"),
         F.array_contains("prios", "1-URGENT").alias("has_urgent"),
-        F.sort_array(
-            F.array_intersect("prios", F.array(F.lit("1-URGENT"), F.lit("2-HIGH")))
+        F.array_join(
+            F.sort_array(
+                F.array_intersect(
+                    "prios", F.array(F.lit("1-URGENT"), F.lit("2-HIGH"))
+                )
+            ),
+            ",",
         ).alias("urgent_high"),
         F.element_at("yrs", 1).alias("first_yr"),
         F.element_at("yrs", -1).alias("last_yr"),

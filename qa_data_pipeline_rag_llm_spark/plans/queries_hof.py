@@ -25,15 +25,17 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
                             (a, b) -> a + b) AS BIGINT) AS sum_sq_len,
            len(list_filter(toks, x -> length(x) >= 6)) AS n_long,
            CAST(list_has_any(toks, ['the', 'and']) AS BOOLEAN) AS has_stopword,
-           list_transform(list_sort(list_filter(toks, x -> length(x) >= 8)),
-                          x -> upper(x)) AS long_upper
+           COALESCE(array_to_string(list_transform(list_sort(list_filter(toks, x -> length(x) >= 8)),
+                                                   x -> upper(x)), ','), '') AS long_upper
     FROM (SELECT doc_id,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
           FROM documents)
     """,
     doc="Higher-order lambdas on arrays, all codegen-side: transform "
     "(square of token length), aggregate/reduce (their sum), filter + "
-    "size, exists (stopword), and a sort+transform chain. Zero Python, "
+    "size, exists (stopword), and a sort+transform chain whose FINAL "
+    "projection is stringified via array_join (driver output contract — "
+    "no ArrayType in result schemas). Zero Python, "
     "zero shuffle. Tokens here are deliberately RAW lowered space-splits "
     "(punctuation kept — the point is the lambda surface, not text "
     "canon); caveat: raw lower() before split means Unicode special-"
@@ -56,8 +58,11 @@ def hof_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_sq_len"),
         F.size(F.filter("toks", lambda x: F.length(x) >= 6)).alias("n_long"),
         F.exists("toks", lambda x: x.isin("the", "and")).alias("has_stopword"),
-        F.transform(
-            F.array_sort(F.filter("toks", lambda x: F.length(x) >= 8)),
-            lambda x: F.upper(x),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.filter("toks", lambda x: F.length(x) >= 8)),
+                lambda x: F.upper(x),
+            ),
+            ",",
         ).alias("long_upper"),
     )

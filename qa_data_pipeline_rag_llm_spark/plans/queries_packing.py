@@ -18,9 +18,12 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 BLOCK_TOKENS = 2048
 
 
-@register(
-    "quantize_embeddings_int8",
-    """
+# Native-array quantizer SQL: reused as a CTE by ann_sq8_refine_topk
+# (which needs the real INT[] for list_dot_product); the REGISTERED
+# oracle below stringifies the final projection (driver output contract:
+# no ArrayType in result schemas — the driver canonicalizer lexsorts
+# rows in pandas and cannot hash ndarray cells).
+_O_QVEC_NATIVE = """
     WITH flat AS (
       SELECT vec_id,
              unnest(generate_series(1, len(embedding))) AS pos,
@@ -38,14 +41,35 @@ BLOCK_TOKENS = 2048
       FROM flat f JOIN bounds b USING (pos))
     SELECT vec_id, array_agg(qv ORDER BY pos) AS qvec
     FROM q GROUP BY vec_id
+"""
+
+
+@register(
+    "quantize_embeddings_int8",
+    f"""
+    SELECT vec_id, array_to_string(qvec, ',') AS qvec
+    FROM ({_O_QVEC_NATIVE})
     """,
     doc="Int8 scalar quantization of the embedding column (per-dimension "
     "min/max affine map to [-127, 127]): the 4× compression step before "
     "ANN serving. The tiny per-dimension bounds table is broadcast back "
     "over the flattened scan; vectors are reassembled position-ordered so "
-    "the output array is deterministic.",
+    "the output array is deterministic. The registered query stringifies "
+    "the final qvec (driver output contract); ann_sq8_refine_topk consumes "
+    "the native-array form via _quantize_int8_native.",
 )
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantize_int8_native(spark, sf_dir)
+    return qv.select(
+        "vec_id",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec"),
+    )
+
+
+def _quantize_int8_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantizer returning the native array<int> qvec (internal)."""
     emb = _t(spark, sf_dir, "embeddings")
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos0", "val")
@@ -237,11 +261,10 @@ SQ8_K = 5           # refined exact-cosine top-k
 
 
 def _sq8_refine_sql() -> str:
-    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
     from qa_data_pipeline_rag_llm_spark.plans.queries_vector import _O_COS
 
     return f"""
-    WITH qvec AS ({REGISTRY["quantize_embeddings_int8"].oracle}),
+    WITH qvec AS ({_O_QVEC_NATIVE}),
     coarse AS (
       SELECT pq.vec_id AS probe_id, eq.vec_id,
              list_dot_product(CAST(eq.qvec AS DOUBLE[]),
@@ -280,9 +303,8 @@ def ann_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm, safe_denom
-    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
 
-    qv = REGISTRY["quantize_embeddings_int8"].spark(spark, sf_dir)
+    qv = _quantize_int8_native(spark, sf_dir)
     probes_q = qv.filter(F.col("vec_id") < SQ8_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("qvec").alias("pqvec")
     )

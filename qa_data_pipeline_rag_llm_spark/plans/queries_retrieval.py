@@ -91,13 +91,15 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), postings AS (
       SELECT w AS term, COUNT(DISTINCT doc_id) AS df,
-             list_sort(list(DISTINCT doc_id)) AS posting
+             array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS posting
       FROM tok WHERE w IN ({_TERMS_SQL}) GROUP BY w)
     SELECT term, df, posting FROM postings
     """,
     doc="Inverted-index materialization for the query vocabulary: term → "
     "sorted distinct posting list + document frequency — the structure "
-    "BM25 walks, built as one grouped sorted collect. At 100 TB postings "
+    "BM25 walks, built as one grouped sorted collect; the final posting "
+    "column is stringified via array_join (driver output contract — no "
+    "ArrayType in result schemas). At 100 TB postings "
     "for common terms are range-bucketed (term, doc_id_bucket) so no "
     "single list exceeds a task; rare-term lists stay single-row.",
 )
@@ -111,7 +113,7 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy(F.col("w").alias("term"))
         .agg(
             F.countDistinct("doc_id").alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("posting"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("posting"),
         )
     )
 
