@@ -626,40 +626,60 @@ RECHECKS = 10
 _RECHECK_FROM_ARTIFACTS = 4
 
 
-def _verified_rounds() -> dict[str, int]:
-    """name -> first round with a CLEAN artifact row. A FAILED row is
-    debt, not verification — demoting it out of the sample prefix would
-    hide a persistent wrong answer from every future sweep (advice
-    r03); only a clean row (no error, no recorded mismatch) rotates a
-    query to the back."""
+def _load_artifacts() -> list[dict]:
     import json
     from pathlib import Path
 
-    seen: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
-    arts = sorted(root.glob("CORRECTNESS_r*.json"))
-    for rnd, art in enumerate(arts):
+    out = []
+    for art in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            for name, res in json.loads(art.read_text()).items():
-                if isinstance(res, dict) and (
-                    res.get("err") is not None
-                    or res.get("hash_match") is False
-                    or res.get("rows_match") is False
-                    or res.get("schema_match") is False
-                ):
-                    continue
-                seen.setdefault(name, rnd)
+            out.append(json.loads(art.read_text()))
         except Exception:  # artifact malformed/absent — order still total
-            pass
-    seen["__n_artifacts__"] = len(arts)
-    return seen
+            out.append({})
+    return out
 
 
-def _reorder_registry() -> None:
-    rounds = _verified_rounds()
-    n_artifacts = rounds.pop("__n_artifacts__")
+def _verified_rounds(artifacts: list[dict]) -> dict[str, int]:
+    """name -> LAST round with a CLEAN artifact row.
+
+    Last-clean (not first-clean) makes the recheck rotation ADVANCE: a
+    query rechecked clean this round moves to the back of the
+    oldest-verified queue, so consecutive rounds recheck DIFFERENT
+    queries (VERDICT r04 #6) instead of pinning the same ten forever.
+    A FAILED row is debt, not verification (advice r03) — and a failure
+    AFTER a clean row returns the query to debt, because the latest
+    evidence says the answer regressed."""
+    last_clean: dict[str, int] = {}
+    last_failed: dict[str, int] = {}
+    for rnd, art in enumerate(artifacts):
+        for name, res in art.items():
+            if not isinstance(res, dict):
+                continue
+            if (
+                res.get("err") is not None
+                or res.get("hash_match") is False
+                or res.get("rows_match") is False
+                or res.get("schema_match") is False
+            ):
+                last_failed[name] = rnd
+            else:
+                last_clean[name] = rnd
+    return {
+        n: r
+        for n, r in last_clean.items()
+        if last_failed.get(n, -1) < r
+    }
+
+
+def _ordered_names(
+    names: list[str],
+    rounds: dict[str, int],
+    n_artifacts: int,
+    oracled: set[str],
+) -> list[str]:
+    """Pure ordering kernel (testable without touching REGISTRY/disk)."""
     seen = set(rounds)
-    names = list(REGISTRY)
 
     def bucket(n: str) -> int:
         # pins hold their tier only while unverified — once an artifact
@@ -669,7 +689,7 @@ def _reorder_registry() -> None:
             return 0
         if n in _PINNED_NEW and n not in seen:
             return 1
-        if n not in seen and REGISTRY[n].oracle:
+        if n not in seen and n in oracled:
             return 2
         if n not in seen:
             return 3
@@ -687,6 +707,15 @@ def _reorder_registry() -> None:
             + debt[DEBT_SLOTS:]
             + done[RECHECKS:]
         )
+    return ordered
+
+
+def _reorder_registry() -> None:
+    artifacts = _load_artifacts()
+    rounds = _verified_rounds(artifacts)
+    names = list(REGISTRY)
+    oracled = {n for n in names if REGISTRY[n].oracle}
+    ordered = _ordered_names(names, rounds, len(artifacts), oracled)
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for n in ordered:

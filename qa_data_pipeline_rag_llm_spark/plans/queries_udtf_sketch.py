@@ -1,11 +1,12 @@
 """Registry entries: Python UDTF surface + sketch aggregates + the
 watermarked stream-stream join.
 
-The sketch query has NO SQL oracle on purpose: HLL/KLL estimates are
-implementation-defined, so DuckDB's approx functions would not
-value-hash-match Spark's. The driver records the weaker rows-only check;
-tests/test_sketches.py pins the estimates against EXACT answers with an
-error budget instead.
+HLL/KLL estimates are implementation-defined, so DuckDB's approx
+functions would never value-hash-match Spark's raw estimates. The sketch
+query therefore registers the BOUNDS VERDICT (estimate within its error
+budget of the exact answer, computed in the same pass) — deterministic,
+driver-hashable; tests/test_sketches.py additionally pins the raw
+estimates against exact answers.
 """
 
 from __future__ import annotations
@@ -61,17 +62,9 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_stats_events",
-    None,  # estimates are impl-defined; exactness pinned in test_sketches.py
-    doc="Sketch aggregates for 100 TB cardinality/quantile work: HLL "
-    "(hll_sketch_agg — mergeable across partitions, Apache DataSketches "
-    "wire format) vs approx_count_distinct (HLL++), plus KLL-style "
-    "approx_percentile. One pass, constant memory per group — the scale "
-    "path where exact COUNT(DISTINCT)/percentile_approx would shuffle "
-    "every distinct value.",
-)
-def sketch_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sketch_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch estimates per event_type (internal; estimates are
+    impl-defined so they cannot be the registered driver-facing shape)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -79,6 +72,47 @@ def sketch_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_users"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("p95"),
+        # exact references for the verdict columns, same single pass
+        F.count_distinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").alias("pb"),
+    )
+
+
+@register(
+    "sketch_stats_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           TRUE AS approx_users_ok, TRUE AS hll_users_ok,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Sketch aggregates for 100 TB cardinality/quantile work: HLL "
+    "(hll_sketch_agg — mergeable across partitions, Apache DataSketches "
+    "wire format) vs approx_count_distinct (HLL++), plus KLL-style "
+    "approx_percentile. One pass, constant memory per group — the scale "
+    "path where exact COUNT(DISTINCT)/percentile_approx would shuffle "
+    "every distinct value. Estimates are impl-defined, so the registered "
+    "output is the per-group BOUNDS VERDICT the driver can hash (VERDICT "
+    "r04 #3): each estimate within its published error budget of the "
+    "exact answer computed in the same pass (5% for both HLL forms — "
+    "lgK=12 standard error is ~1.6%; rank window ±0.01 for the "
+    "1e-4-accuracy percentiles). An estimator outside its budget flips "
+    "a boolean; raw estimates stay pinned in tests/test_sketches.py.",
+)
+def sketch_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _sketch_stats_raw(spark, sf_dir)
+
+    def _cd_ok(est: str) -> F.Column:
+        budget = F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+        return F.abs(F.col(est) - F.col("exact_users")) <= budget
+
+    return raw.select(
+        "event_type",
+        "n",
+        _cd_ok("approx_users").alias("approx_users_ok"),
+        _cd_ok("hll_users").alias("hll_users_ok"),
+        F.col("p50").between(F.col("pb")[0], F.col("pb")[1]).alias("p50_ok"),
+        F.col("p95").between(F.col("pb")[2], F.col("pb")[3]).alias("p95_ok"),
     )
 
 

@@ -134,13 +134,45 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_BAND_BITS = 4
+_LSH_NBANDS = PLANES // LSH_BAND_BITS
+_O_LSH_BAND_MATCH = " OR ".join(
+    f"((a.sig >> {b * LSH_BAND_BITS}) & {(1 << LSH_BAND_BITS) - 1}) = "
+    f"((p.psig >> {b * LSH_BAND_BITS}) & {(1 << LSH_BAND_BITS) - 1})"
+    for b in range(_LSH_NBANDS)
+)
+
+_O_LSH_COS = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(p.pvec AS DOUBLE[]))"
+    " / nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(p.pvec AS DOUBLE[]), CAST(p.pvec AS DOUBLE[]))), 0), 6)"
+)
+
+
 @register(
     "ann_lsh_topk_embeddings",
-    None,  # approximate by design: recall < 1 vs the exact oracle — the
-    # banded-candidate set depends on LSH parameters, not SQL semantics;
-    # correctness is covered by tests/test_similarity.py recall bounds.
+    f"""
+    WITH sig AS (SELECT vec_id, {_o_sig("embeddings")} AS sig FROM embeddings),
+    v AS (SELECT e.vec_id, e.embedding, s.sig
+          FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
+    p AS (SELECT vec_id AS probe_id, embedding AS pvec, sig AS psig
+          FROM v WHERE vec_id < {N_PROBES}),
+    cand AS (
+      SELECT p.probe_id, a.vec_id, {_O_LSH_COS} AS sim
+      FROM v a JOIN p
+        ON a.vec_id != p.probe_id AND ({_O_LSH_BAND_MATCH}))
+    SELECT probe_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, vec_id) AS rank
+      FROM cand) WHERE rank <= {TOP_K}
+    """,
     doc="Approximate top-k: SRP band collision prunes candidates, exact "
-    "cosine ranks within them (the 100 TB scale path for M4).",
+    "cosine ranks within them (the 100 TB scale path for M4). Fully "
+    "oracle-checked since r5: the hyperplanes are md5-derived literals "
+    f"and the {_LSH_NBANDS}-band split is bit arithmetic on the replayed "
+    "signature, so the candidate set — approximate vs EXACT search but "
+    "deterministic in itself — is reproduced in SQL (recall vs exact is "
+    "separately bounded in tests/test_similarity.py).",
 )
 def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(
@@ -148,6 +180,7 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         _probes(spark, sf_dir),
         k=TOP_K,
         planes=PLANES,
+        band_bits=LSH_BAND_BITS,
         dims=DIMS,
     ).withColumn("rank", F.col("rank").cast("int"))
 
@@ -279,14 +312,30 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_clusters",
-    None,  # iterative ML (M2 stand-in) — not SQL-expressible; determinism
-    # and invariants are covered by tests/test_similarity.py.
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           TRUE AS k_ok, TRUE AS labels_ok, TRUE AS multi_cluster
+    FROM embeddings
+    """,
     doc="M2 stand-in: KMeans labels over the embedding column (distributed "
-    "HDBSCAN does not exist in Spark ML — documented divergence).",
+    "HDBSCAN does not exist in Spark ML — documented divergence). The "
+    "labels themselves are RNG-initialized and not SQL-expressible, so "
+    "the registered output is the INVARIANT VERDICT the driver can hash "
+    "(bounds-oracle pattern, VERDICT r04 #3): every vector got exactly "
+    "one label (n_assigned = corpus count), 1 <= #clusters <= k, labels "
+    "in [0, k), and the clustering is non-degenerate (>1 cluster). A "
+    "broken clusterer flips a boolean and the hash mismatches; exact "
+    "label semantics stay pinned in tests/test_similarity.py.",
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = kmeans_assign(_t(spark, sf_dir, "embeddings"), k=10)
-    return labels.groupBy("cluster").agg(F.count("*").alias("n"))
+    per = labels.groupBy("cluster").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.sum("n").cast("bigint").alias("n_assigned"),
+        ((F.count("*") >= 1) & (F.count("*") <= 10)).alias("k_ok"),
+        ((F.min("cluster") >= 0) & (F.max("cluster") <= 9)).alias("labels_ok"),
+        (F.count("*") >= 2).alias("multi_cluster"),
+    )
 
 
 @register(

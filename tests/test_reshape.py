@@ -9,7 +9,18 @@ from tests.conftest import SF_DIR
 
 
 def _sample(spark):
-    return REGISTRY["sample_documents_stratified"].spark(spark, SF_DIR)
+    from qa_data_pipeline_rag_llm_spark.plans.queries_reshape import (
+        _stratified_sample,
+    )
+
+    return _stratified_sample(spark, SF_DIR)
+
+
+def test_sample_verdict_all_green(spark, tables):
+    rows = REGISTRY["sample_documents_stratified"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["rate_ok"] and r["deterministic_ok"], r
 
 
 def test_sample_deterministic_under_seed(spark, tables):

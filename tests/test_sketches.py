@@ -9,10 +9,25 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
 from tests.conftest import SF_DIR
 
 
+def test_sketch_verdict_all_green(spark, tables):
+    rows = REGISTRY["sketch_stats_events"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["approx_users_ok"]
+            and r["hll_users_ok"]
+            and r["p50_ok"]
+            and r["p95_ok"]
+        ), r
+
+
 def test_sketch_estimates_within_budget(spark, tables):
+    from qa_data_pipeline_rag_llm_spark.plans.queries_udtf_sketch import (
+        _sketch_stats_raw,
+    )
+
     got = {
-        r["event_type"]: r
-        for r in REGISTRY["sketch_stats_events"].spark(spark, SF_DIR).collect()
+        r["event_type"]: r for r in _sketch_stats_raw(spark, SF_DIR).collect()
     }
     exact = {
         r["event_type"]: r
