@@ -46,7 +46,12 @@ def _mmr_greedy_group(pdf: pd.DataFrame, k: int, lam_num: int, dissim_num: int) 
     """Greedy MMR over ONE query's candidate pairs (integer-exact).
 
     ``pdf`` columns: probe_id, i (candidate doc), rel_s (scaled relevance
-    of i), j (other candidate), sim_s (scaled sim(i, j)).
+    of i), j (other candidate, NULL when i is the probe's only
+    candidate), sim_s (scaled sim(i, j), NULL with j). The candidate
+    universe comes from the (i, rel_s) rows, NOT from the pairs — a
+    probe whose top-depth set has exactly one doc still emits its rank-1
+    row (advice r04). Callers must pre-drop NULL rel_s/sim_s scores
+    (zero-norm embeddings) — see mmr_rerank.
     """
     probe_id = int(pdf["probe_id"].iloc[0])
     rel = (
@@ -56,8 +61,9 @@ def _mmr_greedy_group(pdf: pd.DataFrame, k: int, lam_num: int, dissim_num: int) 
         .astype("int64")
         .to_dict()
     )
+    with_pairs = pdf.dropna(subset=["j", "sim_s"])
     sim: dict[tuple[int, int], int] = {
-        (int(r.i), int(r.j)): int(r.sim_s) for r in pdf.itertuples()
+        (int(r.i), int(r.j)): int(r.sim_s) for r in with_pairs.itertuples()
     }
     remaining = set(rel)
     picked: list[int] = []
@@ -77,21 +83,36 @@ def _mmr_greedy_group(pdf: pd.DataFrame, k: int, lam_num: int, dissim_num: int) 
 
 
 def mmr_rerank(
-    cand_pairs: DataFrame,
+    cand: DataFrame,
+    pairs: DataFrame,
     k: int,
     lam_num: int = 7,
     dissim_num: int = 3,
 ) -> DataFrame:
-    """Diversified top-k per query from a bounded candidate-pair frame.
+    """Diversified top-k per query from a bounded candidate frame.
 
-    ``cand_pairs`` columns: ``probe_id`` (query id), ``i`` (candidate doc
-    id), ``rel_s`` (scaled-int relevance of ``i`` to the query), ``j``
-    (other candidate), ``sim_s`` (scaled-int sim(i, j)). One group per
-    query — pair counts are depth^2-bounded upstream, so each group is
-    tiny regardless of corpus size.
+    ``cand`` columns: ``probe_id`` (query id), ``i`` (candidate doc id),
+    ``rel_s`` (scaled-int relevance of ``i``). ``pairs`` columns:
+    ``probe_id``, ``i``, ``j`` (other candidate), ``sim_s`` (scaled-int
+    sim(i, j)). The kernel's candidate universe is ``cand`` left-joined
+    with ``pairs`` (advice r04): a probe with a single candidate has no
+    pairs but still emits its rank-1 row, matching the oracle's
+    recursive base case. One group per query — pair counts are
+    depth^2-bounded upstream, so each group is tiny regardless of
+    corpus size.
+
+    NULL guards: rows whose scores are NULL (a zero-norm embedding makes
+    the cosine's nullif denominator yield NULL) are DROPPED before the
+    kernel — the integer kernel cannot represent them, and both engines
+    exclude zero-norm vectors from the candidate set by the same rule.
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _mmr_greedy_group(pdf, k, lam_num, dissim_num)
 
-    return cand_pairs.groupBy("probe_id").applyInPandas(kernel, MMR_OUT_SCHEMA)
+    from pyspark.sql import functions as F
+
+    c = cand.filter(F.col("rel_s").isNotNull())
+    p = pairs.filter(F.col("sim_s").isNotNull())
+    joined = c.join(p, ["probe_id", "i"], "left")
+    return joined.groupBy("probe_id").applyInPandas(kernel, MMR_OUT_SCHEMA)

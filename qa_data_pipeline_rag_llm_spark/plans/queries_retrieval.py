@@ -403,7 +403,8 @@ _O_SIMS = (
     cand AS (
       SELECT probe_id, doc_id, rel_s FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-                  ORDER BY rel_s DESC, doc_id) AS r FROM cand0)
+                  ORDER BY rel_s DESC, doc_id) AS r FROM cand0
+        WHERE rel_s IS NOT NULL)
       WHERE r <= {MMR_DEPTH}),
     pairs AS (
       SELECT a.probe_id, a.doc_id AS i, b.doc_id AS j, {_O_SIMS} AS sim_s
@@ -485,7 +486,7 @@ def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         MMR_DEPTH,
         salt_col="i",
     ).drop("rank")
-    a = cand.select("probe_id", "i", "rel_s",
+    a = cand.select("probe_id", "i",
                     F.col("embedding").alias("_ea"), F.col("_vn").alias("_an"))
     b = cand.select(F.col("probe_id").alias("_pb"), F.col("i").alias("j"),
                     F.col("embedding").alias("_eb"), F.col("_vn").alias("_bn"))
@@ -495,7 +496,6 @@ def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "i",
-            "rel_s",
             "j",
             F.round(
                 dot(F.col("_ea"), F.col("_eb"))
@@ -506,4 +506,7 @@ def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim_s"),
         )
     )
-    return mmr_rerank(pairs, MMR_K, MMR_LAM_NUM, MMR_DIS_NUM)
+    return mmr_rerank(
+        cand.select("probe_id", "i", "rel_s"), pairs,
+        MMR_K, MMR_LAM_NUM, MMR_DIS_NUM,
+    )

@@ -436,10 +436,21 @@ def bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10] + f"_{os.getpid()}"
     base = f"/tmp/spark_graft_bkt_{tag}"
     t_orders, t_lines = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    if base not in _BUCKET_CLEANUP:
+    # cache guard keyed on CATALOG state, not a module-level set: table
+    # registrations are session-scoped, so a second SparkSession in this
+    # process must re-register even though the parquet exists (advice r04)
+    if not (
+        spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_lines)
+    ):
         import atexit
         import shutil
 
+        if base not in _BUCKET_CLEANUP:
+            _BUCKET_CLEANUP.add(base)
+            atexit.register(shutil.rmtree, base, True)
+        else:
+            shutil.rmtree(base, True)  # stale files from a dead session
         write_bucketed(
             _load(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderpriority"
@@ -460,8 +471,6 @@ def bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             sort_by=["l_orderkey"],
             path=f"{base}/lineitem",
         )
-        _BUCKET_CLEANUP.add(base)
-        atexit.register(shutil.rmtree, base, True)
     o = spark.table(t_orders)
     li = spark.table(t_lines)
     return (

@@ -81,11 +81,46 @@ def test_mmr_matches_bruteforce_reference(spark):
         return out
 
     pdf = _pairs_frame(3, rel, sim)
-    sdf = spark.createDataFrame(pdf)
+    cand = spark.createDataFrame(
+        pdf[["probe_id", "i", "rel_s"]].drop_duplicates()
+    )
+    pairs = spark.createDataFrame(pdf[["probe_id", "i", "j", "sim_s"]])
     got = (
-        mmr_rerank(sdf, k=4)
+        mmr_rerank(cand, pairs, k=4)
         .orderBy("rnk")
         .select("doc_id", "mmr_s")
         .collect()
     )
     assert [(r.doc_id, r.mmr_s) for r in got] == brute(4)
+
+
+def test_mmr_single_candidate_probe_survives(spark):
+    """A probe whose top-depth set has exactly ONE doc produces zero
+    pairs but must still emit its rank-1 row (advice r04) — matching
+    the oracle's recursive base case, which is built from cand."""
+    cand = spark.createDataFrame(
+        [(1, 42, 900_000)], ["probe_id", "i", "rel_s"]
+    )
+    pairs = spark.createDataFrame(
+        [], "probe_id long, i long, j long, sim_s long"
+    )
+    got = mmr_rerank(cand, pairs, k=3).collect()
+    assert [(r.probe_id, r.rnk, r.doc_id, r.mmr_s) for r in got] == [
+        (1, 1, 42, 7 * 900_000)
+    ]
+
+
+def test_mmr_null_scores_are_dropped(spark):
+    """Zero-norm embeddings yield NULL scaled scores; the kernel must
+    never see them (advice r04) — NULL rel_s candidates are excluded,
+    NULL sim_s pairs ignored, and the remaining rows rank normally."""
+    cand = spark.createDataFrame(
+        [(1, 10, 500_000), (1, 11, None), (1, 12, 400_000)],
+        "probe_id long, i long, rel_s long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 10, 12, 100_000), (1, 12, 10, 100_000), (1, 10, 11, None)],
+        "probe_id long, i long, j long, sim_s long",
+    )
+    got = mmr_rerank(cand, pairs, k=3).orderBy("rnk").collect()
+    assert [r.doc_id for r in got] == [10, 12]

@@ -326,17 +326,57 @@ def test_cosine_topk_rank_is_salt_partitioned(spark, name):
     assert "__topk_salt" in plan
 
 
+def _iter_plan_nodes(jnode):
+    """Walk an executed plan including across AQE stage boundaries —
+    query stages and reused exchanges hide their subtree behind plan()/
+    child() rather than children()."""
+    yield jnode
+    cls = jnode.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _iter_plan_nodes(jnode.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _iter_plan_nodes(jnode.plan())
+        return
+    if cls == "ReusedExchangeExec":
+        yield from _iter_plan_nodes(jnode.child())
+        return
+    for i in range(jnode.children().size()):
+        yield from _iter_plan_nodes(jnode.children().apply(i))
+
+
 def test_dpp_prunes_partitioned_fact_scan(spark):
     """dpp_pruned_daily_events' fact scan must carry a NON-TRIVIAL
     dynamic-pruning partition filter (a disabled/inapplicable DPP prints
-    `dynamicpruningexpression(true)`), and actually read fewer
-    partitions than the table holds — the 100 TB date-prune."""
+    `dynamicpruningexpression(true)`), and — checked on the executed
+    scan's own metric, not the plan string (advice r04) — actually read
+    fewer partitions than the table holds: the 100 TB date-prune."""
+    import glob
     import re
 
     df = REGISTRY["dpp_pruned_daily_events"].spark(spark, SF_DIR)
+    df.collect()  # populate scan metrics on the final adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"dynamicpruningexpression\((?!true\))", plan)
     assert m, f"no dynamic pruning subquery in fact scan:\n{plan[:2000]}"
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries_scale import _dpp_paths
+
+    fact_path, _ = _dpp_paths(SF_DIR)
+    total_parts = len(glob.glob(f"{fact_path}/d=*"))
+    assert total_parts > 1, f"fact table not partitioned at {fact_path}"
+    # the fact scan is the only scan with a partition-read metric (the
+    # dim parquet is unpartitioned)
+    read_counts = [
+        int(n.metrics().apply("numPartitions").value())
+        for n in _iter_plan_nodes(df._jdf.queryExecution().executedPlan())
+        if n.getClass().getSimpleName() == "FileSourceScanExec"
+        and n.metrics().contains("numPartitions")
+    ]
+    assert read_counts, "no partitioned FileSourceScan found in final plan"
+    assert max(read_counts) < total_parts, (
+        f"DPP read {read_counts} of {total_parts} partitions — nothing pruned"
+    )
 
 
 def test_hard_negatives_broadcasts_the_probe_side(spark):
