@@ -59,6 +59,13 @@ PROBE = [
     # reuse (not a second fact scan) holds one decade up
     "q11_important_parts",
     "q15_top_supplier",
+    # r05 (VERDICT r04 #5): the physical-layout levers — runtime bloom
+    # join, dynamic partition pruning, bucketed exchange-free join —
+    # timed one decade up; prune/selectivity ratios measured separately
+    # by physical_levers() below
+    "runtime_filter_join_revenue",
+    "dpp_pruned_daily_events",
+    "bucketed_join_order_lines",
 ]
 
 # table -> columns to offset per replica
@@ -109,9 +116,134 @@ def generate(spark, out_dir: str) -> None:
         print(f"wrote {t}", flush=True)
 
 
+def _iter_plan_nodes(jnode):
+    """Walk an executed plan across AQE stage boundaries (same helper as
+    tests/test_plans.py — duplicated so the tool stays standalone)."""
+    yield jnode
+    cls = jnode.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _iter_plan_nodes(jnode.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _iter_plan_nodes(jnode.plan())
+        return
+    if cls == "ReusedExchangeExec":
+        yield from _iter_plan_nodes(jnode.child())
+        return
+    for i in range(jnode.children().size()):
+        yield from _iter_plan_nodes(jnode.children().apply(i))
+
+
+def physical_levers(spark, sf_dir: str) -> dict:
+    """Measured (not asserted) evidence for the r04 physical-layer
+    queries at this scale:
+
+      * dpp:   partitions actually read vs partitions on disk — the
+               fact-scan metric, so the ratio is the real IO saved;
+      * bloom: probe-side rows surviving the injected
+               BloomFilterMightContain vs rows scanned — the shuffle
+               rows the runtime filter deleted (measured under the
+               lowered thresholds the plan gate uses, since at local
+               data sizes the 10 GB default never arms);
+      * bucketed: exchange count in the final adaptive join plan (must
+               be 0 at every scale — the whole point of the layout).
+    """
+    import glob
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries_scale import _dpp_paths
+
+    out: dict = {}
+
+    # --- DPP: partitions read / partitions on disk
+    df = REGISTRY["dpp_pruned_daily_events"].spark(spark, sf_dir)
+    df.collect()
+    fact_path, _ = _dpp_paths(sf_dir)
+    total = len(glob.glob(f"{fact_path}/d=*"))
+    read = max(
+        int(n.metrics().apply("numPartitions").value())
+        for n in _iter_plan_nodes(df._jdf.queryExecution().executedPlan())
+        if n.getClass().getSimpleName() == "FileSourceScanExec"
+        and n.metrics().contains("numPartitions")
+    )
+    out["dpp"] = {
+        "parts_total": total,
+        "parts_read": read,
+        "read_ratio": round(read / total, 4) if total else None,
+    }
+
+    # --- Bloom: probe rows killed before the shuffle
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = REGISTRY["runtime_filter_join_revenue"].spark(spark, sf_dir)
+        df.collect()
+        scan_rows = bloom_out = None
+        for n in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+            cls = n.getClass().getSimpleName()
+            if cls == "FilterExec" and "might_contain" in n.toString().lower():
+                bloom_out = int(n.metrics().apply("numOutputRows").value())
+                # the filter's child subtree holds the probe-side scan
+                scans = [
+                    int(c.metrics().apply("numOutputRows").value())
+                    for c in _iter_plan_nodes(n)
+                    if c.getClass().getSimpleName() == "FileSourceScanExec"
+                ]
+                scan_rows = max(scans) if scans else None
+                break
+        out["bloom"] = {
+            "probe_rows_scanned": scan_rows,
+            "rows_after_bloom": bloom_out,
+            "selectivity": (
+                round(bloom_out / scan_rows, 4)
+                if scan_rows and bloom_out is not None
+                else None
+            ),
+        }
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # --- Bucketed: the join stays exchange-free
+    df = REGISTRY["bucketed_join_order_lines"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange ") - plan.count("BroadcastExchange ")
+    # one Exchange belongs to the final groupBy, not the join — count
+    # exchanges UNDER the SortMergeJoin instead
+    smj_exchanges = 0
+    for n in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        if n.getClass().getSimpleName() == "SortMergeJoinExec":
+            smj_exchanges = sum(
+                1
+                for c in _iter_plan_nodes(n)
+                if "ShuffleExchange" in c.getClass().getSimpleName()
+            )
+            break
+    out["bucketed"] = {
+        "join_side_exchanges": smj_exchanges,
+        "total_shuffle_exchanges": n_exchange,
+    }
+    return out
+
+
 def main() -> None:
     positional = [a for a in sys.argv[1:] if not a.startswith("-")]
     out_dir = positional[0] if positional else "/tmp/sfsynth1"
+    only = [
+        a.split("=", 1)[1].split(",")
+        for a in sys.argv[1:]
+        if a.startswith("--only=")
+    ]
+    probe = [n for n in PROBE if not only or n in only[0]]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--gen" in sys.argv:
@@ -121,7 +253,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     timings = {}
-    for name in PROBE:
+    for name in probe:
         spec = REGISTRY[name]
         run(spec.spark(spark, out_dir))  # warm
         samples = []
@@ -131,7 +263,9 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         print(name, timings[name], flush=True)
+    levers = physical_levers(spark, out_dir)
     print(json.dumps({"sf": "synth1", "queries": timings,
+                      "physical_levers": levers,
                       "total": round(sum(timings.values()), 3)}))
 
 
