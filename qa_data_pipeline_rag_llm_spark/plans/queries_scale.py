@@ -487,3 +487,191 @@ def bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join split: the AUTOMATIC twin of the explicit salting pair
+# above. salted_join_event_revenue pays the salt in the plan; AQE's
+# OptimizeSkewedJoin instead splits an oversized shuffle partition into
+# sub-reads at runtime and replicates the matching build-side partition —
+# no plan rewrite, works on joins written naively. SCALING.md claims the
+# rule is armed session-wide; this query + its plan gate
+# (tests/test_plans.py::test_aqe_splits_skewed_join) prove it fires.
+
+SKEW_HOT_MOD = 10   # user_id % 10 < 7  → ~70% of rows share one key
+SKEW_COLD_MOD = 97
+_SKEWDIM_CLEANUP: set[str] = set()
+
+
+def _skew_key(col):
+    return (
+        F.when((F.col(col) % SKEW_HOT_MOD) < 7, F.lit(-1))
+        .otherwise(F.col(col) % SKEW_COLD_MOD)
+        .alias("skew_key")
+    )
+
+
+_O_SKEW_KEY = (
+    f"CASE WHEN user_id % {SKEW_HOT_MOD} < 7 THEN -1 "
+    f"ELSE user_id % {SKEW_COLD_MOD} END"
+)
+
+
+@register(
+    "aqe_skew_join_events",
+    f"""
+    WITH keyed AS (
+      SELECT {_O_SKEW_KEY} AS skew_key, event_type, value FROM events),
+    dim AS (
+      SELECT skew_key,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS key_value,
+             COUNT(*) AS key_rows
+      FROM keyed GROUP BY skew_key)
+    SELECT k.event_type,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(d.key_value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_key_value
+    FROM keyed k JOIN dim d ON k.skew_key = d.skew_key
+    GROUP BY k.event_type
+    """,
+    doc="AQE skew-join split, end-to-end: a synthetic 70%%-hot join key "
+    "(user_id folded so one key owns most rows) joined against its "
+    "materialized per-key profile — written as a NAIVE equi-join, no "
+    "salting. At runtime AQE detects the oversized shuffle partition "
+    "and splits it into sub-reads with a replicated build side (plan "
+    "gate asserts isSkewJoin under lowered thresholds; at 100 TB the "
+    "defaults arm at 256 MB/partition). The automatic twin of "
+    "salted_join_event_revenue — same hot-key problem, zero plan "
+    "surgery; oracle is the plain join, so the split is provably "
+    "semantics-free. The dim is a parquet table (not an inline agg) "
+    "because OptimizeSkewedJoin only matches plain "
+    "Sort(ShuffleQueryStage) join children — an aggregate directly "
+    "under the join defeats the rewrite, a real planning constraint "
+    "worth pinning.",
+)
+def aqe_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import _t as _load
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10] + f"_{os.getpid()}"
+    dim_path = f"/tmp/spark_graft_skewdim_{tag}"
+    if dim_path not in _SKEWDIM_CLEANUP:
+        import atexit
+        import shutil
+
+        (
+            _load(spark, sf_dir, "events")
+            .select(_skew_key("user_id"), "value")
+            .groupBy("skew_key")
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("key_value"),
+                F.count("*").alias("key_rows"),
+            )
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+        _SKEWDIM_CLEANUP.add(dim_path)
+        atexit.register(shutil.rmtree, dim_path, True)
+    # the repartition stands in for the thousands-of-map-tasks input a
+    # real fact table has, and is what GIVES AQE the mapper granularity
+    # to split the hot partition: a skewed reduce partition is split
+    # into per-mapper-range sub-reads, so a single-mapper shuffle (the
+    # one-file local scan) is unsplittable no matter how skewed.
+    # Semantics-free (hash distribution by the row id).
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(_skew_key("user_id"), "event_type", "value", "event_id")
+        .repartition(32, "event_id")
+        .drop("event_id")
+    )
+    dim = spark.read.parquet(dim_path)
+    return (
+        ev.join(dim, "skew_key")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("key_value").cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("total_key_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested schema pruning: at 100 TB fact tables carry wide structs
+# (request context, device profile, experiment payload); a query touching
+# one leaf must not deserialize the whole struct. Spark prunes nested
+# fields into the parquet ReadSchema (nestedSchemaPruning, on by
+# default) — but only if the plan stays declarative; gate:
+# tests/test_plans.py::test_nested_struct_scan_prunes_to_leaf.
+
+_NESTED_CLEANUP: set[str] = set()
+
+
+def _nested_path(sf_dir: str) -> str:
+    return (
+        "/tmp/spark_graft_nested_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        + f"_{os.getpid()}"
+    )
+
+
+@register(
+    "nested_prune_events",
+    """
+    SELECT CAST(k % 10 AS BIGINT) AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Nested schema pruning end-to-end: events re-written with a wide "
+    "ctx struct (the parsed payload plus two fat padding leaves), then "
+    "aggregated touching ONLY ctx.k — the scan's ReadSchema must shrink "
+    "to struct<k> (plan-gated), skipping the fat leaves' parquet pages "
+    "entirely. The 100 TB lever for wide-struct fact tables: IO scales "
+    "with the leaves you touch, not the struct you declared. Oracle "
+    "computes k straight from the original JSON payload — the struct "
+    "round-trip is provably lossless for the touched leaf.",
+)
+def nested_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import _t as _load
+
+    path = _nested_path(sf_dir)
+    if path not in _NESTED_CLEANUP:
+        import atexit
+        import shutil
+
+        ev = _load(spark, sf_dir, "events")
+        (
+            ev.select(
+                "event_id",
+                F.struct(
+                    F.get_json_object("props", "$.k")
+                    .cast("bigint")
+                    .alias("k"),
+                    # fat leaves a pruned scan must never read
+                    F.repeat(F.coalesce(F.col("props"), F.lit("")), 20).alias(
+                        "payload"
+                    ),
+                    F.repeat(F.col("event_type"), 50).alias("trace"),
+                ).alias("ctx"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _NESTED_CLEANUP.add(path)
+        atexit.register(shutil.rmtree, path, True)
+    t = spark.read.parquet(path)
+    return (
+        t.filter(F.col("ctx.k").isNotNull())
+        .groupBy((F.col("ctx.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ctx.k").cast("bigint").alias("k_sum"),
+        )
+    )

@@ -266,3 +266,28 @@ def streaming_scd2_closed_versions(
     )
 
     return stream_scd2_closed_versions(spark, sf_dir)
+
+
+@register(
+    "streaming_backfill_bounded",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE)
+             AS total_value,
+           TRUE AS multi_batch
+    FROM events GROUP BY event_type
+    """,
+    doc="Bounded-batch backfill (Trigger.AvailableNow + maxFilesPerTrigger): "
+    "replays the archive as a SEQUENCE of executor-sized micro-batches with "
+    "checkpointed progress instead of one giant batch — the kill/resume-safe "
+    "way to push a 100 TB file archive through a streaming pipeline. "
+    "multi_batch is the driver-hashable verdict that the bound actually "
+    "split the run (>1 micro-batch); totals are exact decimal sums, "
+    "batch-order-independent.",
+)
+def streaming_backfill_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        stream_backfill_bounded,
+    )
+
+    return stream_backfill_bounded(spark, sf_dir)

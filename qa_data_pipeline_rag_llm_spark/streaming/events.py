@@ -863,3 +863,76 @@ def stream_scd2_closed_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_completion(out, "append")
+
+
+# ------------------------------------------------- bounded-batch backfill
+_BACKFILL_CLEANUP: set[str] = set()
+BACKFILL_FILES = 8
+BACKFILL_FILES_PER_TRIGGER = 2
+
+
+def stream_backfill_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-batch historical backfill: Trigger.AvailableNow +
+    maxFilesPerTrigger — the operational pattern for replaying a large
+    file archive through a streaming pipeline WITHOUT one giant
+    micro-batch. At 100 TB a naive availableNow over the whole archive
+    builds a single batch whose shuffle must fit the cluster at once;
+    capping files-per-trigger makes the backfill a sequence of
+    executor-sized batches with checkpointed progress (kill/resume-safe),
+    while the final aggregate is still a total function of the input.
+
+    Output: per-type exact totals plus a ``multi_batch`` verdict column —
+    TRUE iff the run really processed more than one micro-batch (the
+    bound working is the point; a regression to one batch flips it).
+    """
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from qa_data_pipeline_rag_llm_spark.catalog import (
+        events_read_schema,
+        load_table,
+        normalize_events_ts,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10] + f"_{os.getpid()}"
+    src_dir = f"/tmp/spark_graft_backfill_{tag}"
+    if src_dir not in _BACKFILL_CLEANUP:
+        # materialize the archive as BACKFILL_FILES parquet files once
+        # (the testdata table is a single file — one file = one batch)
+        load_table(spark, sf_dir, "events").repartition(
+            BACKFILL_FILES
+        ).write.mode("overwrite").parquet(src_dir)
+        _BACKFILL_CLEANUP.add(src_dir)
+        atexit.register(shutil.rmtree, src_dir, True)
+
+    raw = (
+        spark.readStream.schema(events_read_schema(spark, src_dir))
+        .option("maxFilesPerTrigger", str(BACKFILL_FILES_PER_TRIGGER))
+        .parquet(src_dir)
+    )
+    ev = normalize_events_ts(raw)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    name = f"q_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(
+        {p["batchId"] for p in q.recentProgress if p.get("numInputRows", 0) > 0}
+    )
+    out = spark.table(name).localCheckpoint(eager=True)
+    q.stop()
+    spark.catalog.dropTempView(name)
+    return out.withColumn("multi_batch", F.lit(n_batches > 1))

@@ -477,3 +477,59 @@ def test_runtime_bloom_filter_fires_in_big_big_regime(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """aqe_skew_join_events is a naive equi-join over a 70%-hot key; with
+    the skew thresholds scaled to the sandbox (production defaults —
+    256 MB/partition — are what a real hot partition clears), AQE must
+    mark the join skew=true, read the hot partition as skewed sub-reads,
+    and return identical rows to the unsplit run."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    want = sorted(
+        map(tuple, REGISTRY["aqe_skew_join_events"].spark(spark, SF_DIR).collect())
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        df = REGISTRY["aqe_skew_join_events"].spark(spark, SF_DIR)
+        got = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not mark the join skewed"
+        assert "AQEShuffleRead skewed" in plan, "hot partition not sub-read"
+        assert got == want
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+def test_nested_struct_scan_prunes_to_leaf(spark):
+    """nested_prune_events touches only ctx.k of a 3-leaf struct; the
+    parquet scan's ReadSchema must shrink to struct<k> — the fat
+    payload/trace leaves never reach the reader (nested schema pruning,
+    the wide-struct IO lever at 100 TB)."""
+    df = REGISTRY["nested_prune_events"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: (struct<ctx:[^\n]*)", plan)
+    assert m, f"no struct scan found:\n{plan[:1500]}"
+    schema = m.group(1)
+    assert "k:bigint" in schema, schema
+    assert "payload" not in schema and "trace" not in schema, (
+        f"fat leaves not pruned from scan: {schema}"
+    )
