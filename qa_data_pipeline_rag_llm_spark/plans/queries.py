@@ -552,6 +552,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_audit  # noqa: E402,F40
 from qa_data_pipeline_rag_llm_spark.plans import queries_sft  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_contrib  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_evals  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_maintenance  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -609,6 +610,11 @@ _PINNED_NEW = [
     "dpp_pruned_daily_events",
     "lsh_band_eval_documents",
     "bucketed_join_order_lines",
+    # round 5 additions (table-maintenance family)
+    "compaction_plan_orders",
+    "psi_drift_events",
+    "cdc_versioned_merge_orders",
+    "heavy_hitters_events",
 ]
 
 
