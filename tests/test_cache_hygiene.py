@@ -32,13 +32,26 @@ def _cached_rdd_ids(spark) -> set[int]:
 
 def _drain(spark, target_ids: set[int], deadline_s: float) -> set[int]:
     """Poke GC until every id in target_ids is gone or the deadline
-    passes; returns the ids still cached."""
+    passes; returns the ids still cached.
+
+    The listener bus must drain FIRST: a backlogged
+    SparkListenerSQLExecutionEnd event strongly holds its
+    QueryExecution (non-serialized ``qe`` field) → physical plan →
+    checkpointed RDD, so under full-suite load (thousands of queued
+    events from test_oracle's ~245 queries) System.gc() can never
+    enqueue the weak reference the ContextCleaner waits on. This was
+    the r4 flake: kmeans' checkpoint block survived 180 s of GC pokes
+    in-suite yet drained instantly in isolation."""
     import gc
     import time
 
     deadline = time.time() + deadline_s
     left = _cached_rdd_ids(spark) & target_ids
     while left and time.time() < deadline:
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            pass  # bus drain is best-effort; GC pokes still run
         gc.collect()  # free the py4j refs → JVM weak refs → ContextCleaner
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)

@@ -67,12 +67,18 @@ def test_quantized_vectors_bounded_and_shaped(spark, tables):
     dimensionality."""
     out = _run(spark, "quantize_embeddings_int8")
     n_in = tables["embeddings"].count()
+    # the registry's output contract stringifies arrays (no ArrayType in
+    # final schemas — tests/test_output_contract.py); re-split for the
+    # numeric bound checks
+    arr = F.transform(
+        F.split("qvec", ","), lambda x: x.cast("int")
+    )
     stats = out.select(
         F.count("*").alias("n"),
-        F.min(F.array_min("qvec")).alias("lo"),
-        F.max(F.array_max("qvec")).alias("hi"),
-        F.min(F.size("qvec")).alias("dmin"),
-        F.max(F.size("qvec")).alias("dmax"),
+        F.min(F.array_min(arr)).alias("lo"),
+        F.max(F.array_max(arr)).alias("hi"),
+        F.min(F.size(arr)).alias("dmin"),
+        F.max(F.size(arr)).alias("dmax"),
     ).collect()[0]
     assert stats.n == n_in
     assert stats.lo >= -127 and stats.hi <= 127
