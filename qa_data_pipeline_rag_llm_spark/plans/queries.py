@@ -553,6 +553,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_sft  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_contrib  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_evals  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_maintenance  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_experiment  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -615,6 +616,8 @@ _PINNED_NEW = [
     "psi_drift_events",
     "cdc_versioned_merge_orders",
     "heavy_hitters_events",
+    "cuped_ab_events",
+    "decayed_leaderboard_events",
 ]
 
 

@@ -137,3 +137,58 @@ def test_compaction_bins_partition_the_table(spark, tables):
     # contiguous, non-overlapping month ranges in bin order
     for i in range(1, len(out)):
         assert out.from_month[i] > out.to_month[i - 1]
+
+
+# ------------------------------------------- experimentation family
+
+
+def test_cuped_single_scan_reused_exchange(spark):
+    """Pooled moments and per-arm rollup must both re-aggregate the
+    user-level frame (one events scan, exchange reuse) — never a second
+    fact pass."""
+    plan = _final_plan(spark, "cuped_ab_events")
+    assert "ReusedExchange" in plan
+    assert plan.count("events.parquet") <= 1
+
+
+def test_decayed_leaderboard_anchor_is_pruned_scan(spark):
+    """The max-ts anchor may rescan events but must read ONLY the ts
+    column (column pruning reached the scan); the scoring arm reads
+    exactly its three columns."""
+    plan = _plan(spark, "decayed_leaderboard_events")
+    assert "ReadSchema: struct<ts:timestamp_ntz>" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_adjustment_is_mean_preserving(spark, tables):
+    """Exact CUPED identity: because sum_arms n_a*(xbar_a - xbar) = 0,
+    the user-weighted average of the ADJUSTED means equals the pooled
+    raw mean — the adjustment moves variance between arms, never the
+    overall level. (A per-sample 'gap shrinks' check would be wrong:
+    CUPED reduces variance in expectation, not on every draw.)"""
+    out = REGISTRY["cuped_ab_events"].spark(spark, SF_DIR).toPandas()
+    assert len(out) == 2
+    n = out.n_users
+    pooled_raw = (out.mean_y * n).sum() / n.sum()
+    pooled_adj = (out.mean_y_cuped * n).sum() / n.sum()
+    assert abs(pooled_adj - pooled_raw) < 1e-5  # rounding slack (6 dp)
+
+
+def test_decayed_scores_bounded_by_raw_sums(spark, tables):
+    """Each decayed score is a sum of value*exp(-dt/tau) with decay in
+    (0, 1]: positive, and no larger than the raw per-type value sum."""
+    out = (
+        REGISTRY["decayed_leaderboard_events"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    raw = (
+        tables["events"]
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("s"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, row in out.iterrows():
+        assert 0.0 < row.decayed_score <= raw.loc[et].s + 1e-6

@@ -66,6 +66,16 @@ PROBE = [
     "runtime_filter_join_revenue",
     "dpp_pruned_daily_events",
     "bucketed_join_order_lines",
+    # r05 session 2: table-maintenance family — the compaction planner's
+    # metadata window, PSI's exchange-reused totals, the CDC merge's
+    # single key shuffle, and the map-only MG sketch must all stay
+    # linear-in-bytes one decade up
+    "compaction_plan_orders",
+    "psi_drift_events",
+    "cdc_versioned_merge_orders",
+    "heavy_hitters_events",
+    "cuped_ab_events",
+    "decayed_leaderboard_events",
 ]
 
 # table -> columns to offset per replica
