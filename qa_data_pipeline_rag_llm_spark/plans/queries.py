@@ -554,6 +554,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_contrib  # noqa: E402,F
 from qa_data_pipeline_rag_llm_spark.plans import queries_evals  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_maintenance  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_experiment  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_linalg  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -618,6 +619,9 @@ _PINNED_NEW = [
     "heavy_hitters_events",
     "cuped_ab_events",
     "decayed_leaderboard_events",
+    "gram_matrix_embeddings",
+    "prefix_filter_jaccard_pairs",
+    "seasonal_anomalies_events",
 ]
 
 

@@ -533,3 +533,31 @@ def test_nested_struct_scan_prunes_to_leaf(spark):
     assert "payload" not in schema and "trace" not in schema, (
         f"fat leaves not pruned from scan: {schema}"
     )
+
+
+def test_gram_matrix_single_shuffle(spark):
+    """gram_matrix_embeddings: the only exchange is the d^2-row partial
+    fold — the corpus-sized scan feeds mapInPandas with NO prior
+    shuffle, so the Gram computation is a pure map-side reduction."""
+    plan = _plan(spark, "gram_matrix_embeddings")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan
+    # map-side combine of the partials before the tiny shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_prefix_filter_reuses_shingle_exchange(spark):
+    """prefix_filter_jaccard_pairs fans the distinct (doc_id, shingle)
+    frame into five consumers (sizes, dfs, prefix, two overlap probes);
+    the final adaptive plan must dedupe that subtree via exchange reuse
+    rather than re-scanning documents per consumer."""
+    plan = _final_plan(spark, "prefix_filter_jaccard_pairs")
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_anomalies_two_shuffles(spark):
+    """seasonal_anomalies_events: one data-sized rollup shuffle plus one
+    bounded slot-window repartition — nothing else."""
+    plan = _plan(spark, "seasonal_anomalies_events")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
