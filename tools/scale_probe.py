@@ -76,6 +76,13 @@ PROBE = [
     "heavy_hitters_events",
     "cuped_ab_events",
     "decayed_leaderboard_events",
+    # r05 session 3: linalg/similarity/seasonal — the Gram fold's shuffle
+    # is O(batches x d^2) so its decade growth should track scan bytes;
+    # the prefix-filter join's candidate stage must not go quadratic on
+    # the replicated corpus; the seasonal rollup is one data-sized shuffle
+    "gram_matrix_embeddings",
+    "prefix_filter_jaccard_pairs",
+    "seasonal_anomalies_events",
 ]
 
 # table -> columns to offset per replica
