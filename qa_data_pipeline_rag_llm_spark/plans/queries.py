@@ -622,6 +622,9 @@ _PINNED_NEW = [
     "gram_matrix_embeddings",
     "prefix_filter_jaccard_pairs",
     "seasonal_anomalies_events",
+    "ivf_cell_balance_audit",
+    "zipf_slope_by_source",
+    "l_diversity_customers",
 ]
 
 

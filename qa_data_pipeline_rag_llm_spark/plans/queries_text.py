@@ -1136,3 +1136,107 @@ def lsh_band_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit") / F.expr("nullif(CAST(n_truth AS DOUBLE), 0)"), 6
         ).alias("rec"),
     )
+
+
+# Zipf regression window: ranks past ~100 leave the power-law head and
+# only add noise to the fit; 100 also bounds the per-source frame.
+ZIPF_K = 100
+#: ln() terms are rounded to 1e-9-scaled longs before the moment sums
+#: (the token_entropy_by_source discipline) so sums are order-free.
+_LN9 = 1_000_000_000
+
+
+@register(
+    "zipf_slope_by_source",
+    f"""
+    WITH tok AS (SELECT source, unnest({O.toks("text")}) AS w
+                 FROM documents),
+    tc AS (SELECT source, w, COUNT(*) AS c FROM tok WHERE w != ''
+           GROUP BY source, w),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, w) AS rank
+      FROM tc),
+    terms AS (
+      SELECT source,
+             CAST(round(ln(CAST(rank AS DOUBLE)) * {_LN9}) AS BIGINT)
+               AS x9,
+             CAST(round(ln(CAST(c AS DOUBLE)) * {_LN9}) AS BIGINT)
+               AS y9
+      FROM ranked WHERE rank <= {ZIPF_K}),
+    mom AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(x9 AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y9 AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x9 AS DECIMAL(38,0))
+                           * CAST(y9 AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(x9 AS DECIMAL(38,0))
+                           * CAST(x9 AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+      FROM terms GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           round(((n * sxy) - (sx * sy))
+                 / nullif((n * sxx) - (sx * sx), 0), 6) AS zipf_slope
+    FROM mom
+    """,
+    doc=f"Zipf's-law slope per source: least-squares fit of ln(tf) "
+    f"against ln(rank) over each source's top-{ZIPF_K} tokens — the "
+    "corpus-health scalar (natural text sits near -1; templated or "
+    "boilerplate-heavy sources drift shallow). Each ln term is rounded "
+    "to a 1e-9-scaled long BEFORE the moment sums (the "
+    "token_entropy_by_source / cuped_ab_events exact-decimal "
+    "discipline), so the aggregation is order-independent and the "
+    "slope is a fixed double-op sequence both engines replay "
+    "identically; a nullif guards the single-rank degenerate fit. "
+    "Per-source ranking runs through salted_top_k (sources are "
+    "few -> one window per source would be one task per source over "
+    "the whole vocab); the corpus-sized work is one (source, token) "
+    "partial-agg shuffle.",
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import tokens
+    from qa_data_pipeline_rag_llm_spark.operators.ranking import salted_top_k
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    tc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    ranked = salted_top_k(
+        tc, ["source"], [F.desc("c"), F.asc("w")], ZIPF_K, salt_col="w"
+    )
+    terms = ranked.select(
+        "source",
+        F.round(F.log(F.col("rank").cast("double")) * _LN9)
+        .cast("long")
+        .alias("x9"),
+        F.round(F.log(F.col("c").cast("double")) * _LN9)
+        .cast("long")
+        .alias("y9"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = terms.groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("x9")).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(dec("y9")).cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(dec("x9") * dec("y9"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxy"),
+        F.sum(dec("x9") * dec("x9"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    return mom.select(
+        "source",
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(num / F.expr("nullif((n * sxx) - (sx * sx), 0)"), 6).alias(
+            "zipf_slope"
+        ),
+    )

@@ -487,3 +487,71 @@ _R3["ann_recall_ivf"].oracle = f"""
     FROM exact e LEFT JOIN hits h ON h.probe_id = e.probe_id
     GROUP BY e.probe_id, h.n_hits
 """
+
+
+@register(
+    "ivf_cell_balance_audit",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      ORDER BY vec_id LIMIT {N_CELLS}),
+    scores AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(c.cvec AS DOUBLE[])) AS dp
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+        FROM scores) WHERE rn = 1),
+    sizes AS (
+      SELECT c.cid AS cell, COUNT(a.vec_id) AS n
+      FROM cent c LEFT JOIN assign a ON a.cell = c.cid GROUP BY c.cid),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM sizes)
+    SELECT cell, n, round(CAST(n AS DOUBLE) / total, 6) AS share,
+           CASE WHEN n * {N_CELLS} >= 2 * total THEN 'split'
+                WHEN n * {N_CELLS} * 5 <= total THEN 'merge'
+                ELSE 'ok' END AS verdict
+    FROM sizes, tot
+    """,
+    doc=f"IVF index-maintenance audit: per-cell vector counts under the "
+    f"same {N_CELLS}-seed assignment ann_ivf_topk_embeddings serves "
+    "from, with a split/merge/ok verdict per cell (split at >= 2x the "
+    "mean cell size, merge at <= 1/5 — cross-multiplied integers, no "
+    "division). Empty cells surface as n=0 merge rows via the "
+    "centroid-list left join. The decision table a 100 TB vector store "
+    "re-balances from: assignment is the zero-shuffle argmax "
+    "projection, the audit adds one 16-group shuffle and a broadcast "
+    "1-row total.",
+)
+def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.ivf import (
+        ivf_assign,
+        seed_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, N_CELLS)
+    assign = ivf_assign(emb, cents).select(F.col("cell").cast("long"))
+    counts = assign.groupBy("cell").agg(F.count("*").alias("n"))
+    cells = spark.createDataFrame(
+        [(int(cid),) for cid, _ in cents], "cell long"
+    )
+    sizes = cells.join(counts, "cell", "left").select(
+        "cell", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    tot = sizes.agg(F.sum("n").cast("long").alias("total"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.when(
+            F.col("n") * N_CELLS >= 2 * F.col("total"), F.lit("split")
+        )
+        .when(F.col("n") * N_CELLS * 5 <= F.col("total"), F.lit("merge"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )
