@@ -83,6 +83,13 @@ PROBE = [
     "gram_matrix_embeddings",
     "prefix_filter_jaccard_pairs",
     "seasonal_anomalies_events",
+    # r05 session 4: maintenance/audit batch — the IVF audit's argmax
+    # projection must stay zero-shuffle, the Zipf fit's corpus work is
+    # one (source, token) shuffle (the per-source regression frame is
+    # capped at ZIPF_K rows), the l-diversity gate is two partial aggs
+    "ivf_cell_balance_audit",
+    "zipf_slope_by_source",
+    "l_diversity_customers",
 ]
 
 # table -> columns to offset per replica
