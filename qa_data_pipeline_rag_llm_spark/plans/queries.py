@@ -555,6 +555,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_evals  # noqa: E402,F40
 from qa_data_pipeline_rag_llm_spark.plans import queries_maintenance  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_experiment  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_linalg  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_scoring  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -625,6 +626,10 @@ _PINNED_NEW = [
     "ivf_cell_balance_audit",
     "zipf_slope_by_source",
     "l_diversity_customers",
+    "auc_score_events",
+    "brier_ece_events",
+    "calibration_bins_events",
+    "chi2_tokens_by_source",
 ]
 
 

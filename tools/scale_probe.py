@@ -90,6 +90,13 @@ PROBE = [
     "ivf_cell_balance_audit",
     "zipf_slope_by_source",
     "l_diversity_customers",
+    # r05 session 4b: scoring family — AUC's distinct-score ranking
+    # must stay bucket-offset (no single-task window), the calibration
+    # pair is one 10-group shuffle + broadcast min-max, chi2's top-k
+    # is salted; all should track scan bytes one decade up
+    "auc_score_events",
+    "brier_ece_events",
+    "chi2_tokens_by_source",
 ]
 
 # table -> columns to offset per replica
