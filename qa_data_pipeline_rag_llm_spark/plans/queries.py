@@ -620,6 +620,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_maintenance  # noqa: E4
 from qa_data_pipeline_rag_llm_spark.plans import queries_experiment  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_linalg  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_scoring  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_robust  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -694,6 +695,9 @@ _PINNED_NEW = [
     "brier_ece_events",
     "calibration_bins_events",
     "chi2_tokens_by_source",
+    "cusum_changepoint_events",
+    "trimmed_mean_events",
+    "equidepth_bounds_events",
 ]
 
 

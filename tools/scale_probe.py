@@ -97,6 +97,13 @@ PROBE = [
     "auc_score_events",
     "brier_ece_events",
     "chi2_tokens_by_source",
+    # r05 session 4c: robust/planning — CUSUM's windows run over the
+    # calendar-bounded day series, the trimmed mean and equi-depth
+    # bounds over the distinct-cent frame (bucket-offset cumsum for
+    # the global one); all should be flat-to-linear one decade up
+    "cusum_changepoint_events",
+    "trimmed_mean_events",
+    "equidepth_bounds_events",
 ]
 
 # table -> columns to offset per replica
