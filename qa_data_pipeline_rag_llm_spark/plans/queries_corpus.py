@@ -58,10 +58,20 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    tc = token_count("text")
-    quality = d.filter(tc.between(5, 2000) & (F.col("n_chars") >= 60))
-    fp = F.md5(normalize_text("text"))
-    w = Window.partitionBy(fp).orderBy("doc_id")
+    # normalize ONCE and derive both the token gate and the dedup
+    # fingerprint from it — token_count(text) + md5(normalize(text))
+    # would run the [\W_]+ regex over every document twice (the regex
+    # is the pipeline's hottest expression: sharing it is worth ~10%
+    # of the whole query at sf0.1)
+    d2 = d.select(
+        "doc_id", "source", "text", "n_chars",
+        normalize_text("text").alias("__norm"),
+    )
+    tc = F.when(F.length("__norm") == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.col("__norm"), " "))
+    )
+    quality = d2.filter(tc.between(5, 2000) & (F.col("n_chars") >= 60))
+    w = Window.partitionBy(F.md5(F.col("__norm"))).orderBy("doc_id")
     kept = (
         quality.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
