@@ -135,10 +135,13 @@ def auc_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE text: per-event exact probability numerator against the
-# global min-max denominator, plus the decile bin — both oracles below
-# replay it so the bin edges are pinned in one place.
-_PBINS = f"""
+# Shared CTE text: the per-event exact probability numerator against
+# the global min-max denominator collapses IMMEDIATELY to (num, y, bin)
+# cells with a count — the calibration metrics are all linear/quadratic
+# in (num, y), so the cell frame (bounded by the score domain, not the
+# row count) carries everything. Both oracles replay it so the bin
+# edges and the cell algebra are pinned in one place.
+_PCELLS = f"""
     lab AS (
       SELECT CAST(round(value * {V_SCALE}) AS BIGINT) AS v, {_Y} AS y
       FROM events),
@@ -146,30 +149,35 @@ _PBINS = f"""
       SELECT CAST(MIN(v) AS BIGINT) AS lo,
              CAST(MAX(v) - MIN(v) AS BIGINT) AS d
       FROM lab),
-    pe AS (
+    cells AS (
       SELECT v - lo AS num, d, y,
              CAST(LEAST({N_BINS - 1}, ({N_BINS} * (v - lo)) // d)
-                  AS INTEGER) AS bin
-      FROM lab, mm)
+                  AS INTEGER) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lab, mm
+      GROUP BY v - lo, d, y,
+               CAST(LEAST({N_BINS - 1}, ({N_BINS} * (v - lo)) // d)
+                    AS INTEGER))
 """
 
 
 @register(
     "brier_ece_events",
     f"""
-    WITH {_PBINS},
+    WITH {_PCELLS},
     bins AS (
-      SELECT bin, d, COUNT(*) AS n,
-             CAST(SUM(CAST(num AS DECIMAL(38,0))) AS DECIMAL(38,0))
+      SELECT bin, d, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(38,0))
+                      * CAST(num AS DECIMAL(38,0))) AS DECIMAL(38,0))
                AS snum,
-             CAST(SUM(y) AS BIGINT) AS npos
-      FROM pe GROUP BY bin, d),
+             CAST(SUM(c * y) AS BIGINT) AS npos
+      FROM cells GROUP BY bin, d),
     sq AS (
-      SELECT d, COUNT(*) AS n,
-             CAST(SUM(CAST(num - y * d AS DECIMAL(38,0))
-                      * CAST(num - y * d AS DECIMAL(38,0)))
-                  AS DECIMAL(38,0)) AS serr
-      FROM pe GROUP BY d)
+      SELECT d, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(38,0))
+                      * CAST((num - y * d) * (num - y * d)
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS serr
+      FROM cells GROUP BY d)
     SELECT CAST(sq.n AS BIGINT) AS n,
            round(CAST(sq.serr AS DOUBLE)
                  / (CAST(sq.n AS DOUBLE) * CAST(sq.d AS DOUBLE)
@@ -185,26 +193,34 @@ _PBINS = f"""
     f"min-max-scaled event score against the '{POS_TYPE}' label, with "
     "EXACT integer numerators end-to-end: p = (v-min)/(max-min) is "
     "carried as the integer numerator against the shared global "
-    "denominator, so each (p-y)^2 term is (num - y*d)^2 and each "
-    "bin's |rate - mean_p| gap is |npos*d - sum(num)| / (n_b*d) — "
+    "denominator, so each (p-y)^2 term is c·(num - y·d)^2 and each "
+    "bin's |rate - mean_p| gap is |npos·d - Σc·num| / (n_b·d) — "
     "decimal-summed integers, one closing division per metric (the "
-    "cuped/zipf discipline; no float summation anywhere). The min-max "
-    "frame is a broadcast 1-row re-aggregate of the same scan (q11 "
-    "exchange-reuse pattern). At 100 TB: one bin-key shuffle (10 "
-    "groups, map-side combined) and a 1-row reduce.",
+    "cuped/zipf discipline; no float summation anywhere). ONE fact "
+    "scan: the labeled scan collapses to (num, y) cells immediately "
+    "(both metrics are low-degree polynomials in num and y, so the "
+    "domain-bounded cell frame carries them), the min-max 1-row frame "
+    "re-aggregates the same scan (exchange-reuse, q11 pattern), and "
+    "the per-bin and per-corpus reductions both fold the SAME cell "
+    "exchange. At 100 TB: one scan, one cell-key partial-agg shuffle, "
+    "bounded reductions after.",
 )
 def brier_ece_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pe = _prob_events(spark, sf_dir)
+    cells = _prob_cells(spark, sf_dir)
     dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
-    bins = pe.groupBy("bin", "d").agg(
-        F.count("*").alias("n"),
-        F.sum(dec(F.col("num"))).cast("decimal(38,0)").alias("snum"),
-        F.sum("y").cast("long").alias("npos"),
+    bins = cells.groupBy("bin", "d").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("num")))
+        .cast("decimal(38,0)")
+        .alias("snum"),
+        F.sum(F.col("c") * F.col("y")).cast("long").alias("npos"),
     )
     err = F.col("num") - F.col("y") * F.col("d")
-    sq = pe.groupBy("d").agg(
-        F.count("*").alias("n"),
-        F.sum(dec(err) * dec(err)).cast("decimal(38,0)").alias("serr"),
+    sq = cells.groupBy("d").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(dec(F.col("c")) * dec(err * err))
+        .cast("decimal(38,0)")
+        .alias("serr"),
     )
     gaps = bins.agg(
         F.sum(F.abs(dec(F.col("npos")) * F.col("d") - F.col("snum")))
@@ -234,42 +250,44 @@ def brier_ece_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "calibration_bins_events",
     f"""
-    WITH {_PBINS}
-    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-           round(CAST(CAST(SUM(CAST(num AS DECIMAL(38,0)))
+    WITH {_PCELLS}
+    SELECT bin, CAST(SUM(c) AS BIGINT) AS n,
+           round(CAST(CAST(SUM(CAST(c AS DECIMAL(38,0))
+                           * CAST(num AS DECIMAL(38,0)))
                       AS DECIMAL(38,0)) AS DOUBLE)
-                 / (COUNT(*) * CAST(d AS DOUBLE)), 6) AS mean_p,
-           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
-           round(CAST(SUM(y) AS DOUBLE) / COUNT(*)
-                 - CAST(CAST(SUM(CAST(num AS DECIMAL(38,0)))
+                 / (SUM(c) * CAST(d AS DOUBLE)), 6) AS mean_p,
+           round(CAST(SUM(c * y) AS DOUBLE) / SUM(c), 6) AS pos_rate,
+           round(CAST(SUM(c * y) AS DOUBLE) / SUM(c)
+                 - CAST(CAST(SUM(CAST(c AS DECIMAL(38,0))
+                             * CAST(num AS DECIMAL(38,0)))
                         AS DECIMAL(38,0)) AS DOUBLE)
-                   / (COUNT(*) * CAST(d AS DOUBLE)), 6) AS gap
-    FROM pe GROUP BY bin, d
+                   / (SUM(c) * CAST(d AS DOUBLE)), 6) AS gap
+    FROM cells GROUP BY bin, d
     """,
     doc="Reliability table behind brier_ece_events: per decile bin of "
     "the min-max-scaled score, the row count, exact mean predicted "
     "probability (decimal-summed integer numerators over the shared "
     "denominator), empirical positive rate, and their gap — the table "
-    "a score-recalibration (Platt/isotonic) fits from. Same exact-"
-    "rational discipline and the same single bin-key shuffle as the "
+    "a score-recalibration (Platt/isotonic) fits from. Same cell-"
+    "collapse discipline and the same single cell-key shuffle as the "
     "one-row summary; 10 output rows regardless of scale.",
 )
 def calibration_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pe = _prob_events(spark, sf_dir)
+    cells = _prob_cells(spark, sf_dir)
     dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
     return (
-        pe.groupBy("bin", "d")
+        cells.groupBy("bin", "d")
         .agg(
-            F.count("*").alias("n"),
-            F.sum(dec(F.col("num")))
+            F.sum("c").cast("long").alias("n"),
+            F.sum(dec(F.col("c")) * dec(F.col("num")))
             .cast("decimal(38,0)")
             .cast("double")
             .alias("snum"),
-            F.sum("y").cast("long").alias("npos"),
+            F.sum(F.col("c") * F.col("y")).cast("long").alias("npos"),
         )
         .select(
             "bin",
-            F.col("n").cast("long").alias("n"),
+            "n",
             F.round(
                 F.col("snum") / (F.col("n") * F.col("d").cast("double")), 6
             ).alias("mean_p"),
@@ -285,14 +303,16 @@ def calibration_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _prob_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(num, d, y, bin) frame shared by the calibration queries.
+def _prob_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(num, d, y, bin, c) cell frame shared by the calibration queries.
 
-    The min-max 1-row frame re-aggregates the same scan and broadcasts
-    back (exchange reuse dedupes the subtree — the q11/q15 pattern,
-    queries_olap2.py), so the probability numerator needs no second
-    pass over the fact.
-    """
+    One fact scan: the min-max 1-row frame re-aggregates the same scan
+    and broadcasts back (exchange reuse dedupes the subtree — the
+    q11/q15 pattern, queries_olap2.py), and the immediate groupBy
+    collapses the corpus to score-domain-bounded cells, so every
+    downstream reduction works on a tiny frame. err bound: |num - y·d|
+    <= d, so the per-cell (num - y·d)^2 stays in int64 for score
+    domains up to ~3e9 distinct cents."""
     ev = _t(spark, sf_dir, "events")
     lab = ev.select(
         F.round(F.col("value") * V_SCALE).cast("long").alias("v"),
@@ -302,17 +322,20 @@ def _prob_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("long").alias("lo"),
         (F.max("v") - F.min("v")).cast("long").alias("d"),
     )
-    num = F.col("v") - F.col("lo")
-    return lab.crossJoin(F.broadcast(mm)).select(
-        num.alias("num"),
-        "d",
-        "y",
-        F.least(
-            F.lit(N_BINS - 1),
-            F.expr(f"({N_BINS} * (v - lo)) div d"),
+    return (
+        lab.crossJoin(F.broadcast(mm))
+        .groupBy(
+            (F.col("v") - F.col("lo")).alias("num"),
+            "d",
+            "y",
+            F.least(
+                F.lit(N_BINS - 1),
+                F.expr(f"({N_BINS} * (v - lo)) div d"),
+            )
+            .cast("int")
+            .alias("bin"),
         )
-        .cast("int")
-        .alias("bin"),
+        .agg(F.count("*").cast("long").alias("c"))
     )
 
 

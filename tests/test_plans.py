@@ -315,6 +315,10 @@ def test_topk_rank_windows_sit_above_takeordered(spark, name):
         # MMR's corpus-sized candidate arm is the same low-cardinality
         # per-probe top-k shape (the greedy itself only sees depth^2 rows)
         "mmr_diversified_retrieval",
+        # r05: per-source token rankings (few sources -> one task per
+        # source over the vocabulary without the salt)
+        "zipf_slope_by_source",
+        "chi2_tokens_by_source",
     ],
 )
 def test_cosine_topk_rank_is_salt_partitioned(spark, name):
@@ -414,6 +418,10 @@ def test_oov_vocab_topk_is_takeordered(spark):
         "pareto_users_events",
         "vocab_coverage_documents",
         "peak_concurrency_daily",
+        # r05: AUC's distinct-score ranking and the equi-depth boundary
+        # cumulative both ride the same operator
+        "auc_score_events",
+        "equidepth_bounds_events",
     ],
 )
 def test_cumulative_queries_use_partition_offset_pattern(spark, name):
@@ -561,3 +569,42 @@ def test_seasonal_anomalies_two_shuffles(spark):
     bounded slot-window repartition — nothing else."""
     plan = _plan(spark, "seasonal_anomalies_events")
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_calibration_minmax_reuses_scan(spark):
+    """brier_ece/calibration: the global min-max 1-row frame is a
+    re-aggregate of the same labeled scan — the final adaptive plan
+    must dedupe it via exchange/stage reuse, not scan events twice."""
+    for name in ("brier_ece_events", "calibration_bins_events"):
+        plan = _final_plan(spark, name)
+        # the labeled scan + the 1-column min-max scan; never a third
+        assert plan.count("FileScan") <= 2, (name, plan)
+        assert "CartesianProduct" not in plan
+    # brier additionally folds its per-bin and per-corpus reductions
+    # over the SAME cell exchange — reuse must fire
+    assert "ReusedExchange" in _final_plan(spark, "brier_ece_events")
+
+
+def test_ivf_audit_assignment_is_shuffle_lean(spark):
+    """ivf_cell_balance_audit: cell assignment is a zero-shuffle argmax
+    projection; the whole audit needs only the 16-cell count shuffle
+    plus bounded 1-row/cell-list exchanges — no data-sized join."""
+    plan = _plan(spark, "ivf_cell_balance_audit")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_cusum_windows_are_type_partitioned(spark):
+    """cusum_changepoint_events: every window frame is partitioned by
+    event_type over the calendar-bounded day series — no global window
+    anywhere in the plan."""
+    import re
+
+    plan = _plan(spark, "cusum_changepoint_events")
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
+        second = m.group(2)
+        unpartitioned = not second.strip() or re.search(
+            r"\b(ASC|DESC) NULLS", second
+        )
+        assert not unpartitioned, m.group(0)
