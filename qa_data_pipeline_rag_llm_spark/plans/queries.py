@@ -621,6 +621,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_experiment  # noqa: E40
 from qa_data_pipeline_rag_llm_spark.plans import queries_linalg  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_scoring  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_robust  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_mergeable  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -698,6 +699,8 @@ _PINNED_NEW = [
     "cusum_changepoint_events",
     "trimmed_mean_events",
     "equidepth_bounds_events",
+    "hll_union_users_events",
+    "weighted_reservoir_documents",
 ]
 
 

@@ -1,0 +1,151 @@
+"""Mergeable-summary family (queries_mergeable.py): cross-engine
+register parity, estimator branch coverage, and the merge property
+itself — top-k-of-union == merge-of-top-k's, register-max associativity.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+from qa_data_pipeline_rag_llm_spark.plans.queries_mergeable import (
+    _DUCK_BUCKET,
+    _DUCK_W,
+    _M,
+    _RHO_MAX,
+    _SPARK_BUCKET,
+    _SPARK_W,
+)
+from tests.conftest import SF_DIR
+
+
+def test_md5_register_parity_cross_engine(spark):
+    """The (bucket, w, rho) triple — the entire sketch state — must be
+    bit-identical between Spark and DuckDB for the same user_ids."""
+    ids = list(range(0, 2000, 7)) + [2**40 + 3, 999_999_999_999]
+    sdf = (
+        spark.createDataFrame([(i,) for i in ids], "user_id long")
+        .select(
+            "user_id",
+            F.expr(_SPARK_BUCKET).alias("bucket"),
+            F.expr(_SPARK_W).alias("w"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    ddf = con.execute(
+        f"""
+        SELECT user_id, {_DUCK_BUCKET} AS bucket, {_DUCK_W} AS w
+        FROM (SELECT unnest(?) AS user_id) ORDER BY user_id
+        """,
+        [ids],
+    ).fetchall()
+    for s, d in zip(sdf, ddf):
+        assert (s.user_id, s.bucket, s.w) == d
+        assert 0 <= s.bucket < _M
+        assert 0 <= s.w < 1 << 60
+
+
+def test_hll_within_budget_both_branches(spark):
+    """sf0.001/sf0.01 exercise the linear-counting branch, sf0.1 the raw
+    estimator (checked via empty_registers); all rows stay in budget."""
+    rows = REGISTRY["hll_union_users_events"].spark(spark, SF_DIR).collect()
+    assert all(r.within_budget for r in rows)
+    scopes = {r.scope for r in rows}
+    assert "ALL" in scopes and len(scopes) == 6
+
+
+def test_hll_register_merge_is_associative(spark):
+    """The union proof the ALL scope relies on: max-merging per-type
+    register vectors must equal the registers computed over the union of
+    rows directly — on real data, not synthetic."""
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    w = F.expr(_SPARK_W)
+    rho = ev.select(
+        "event_type",
+        F.expr(_SPARK_BUCKET).alias("bucket"),
+        F.when(w == 0, F.lit(_RHO_MAX))
+        .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(w)))
+        .alias("r"),
+    )
+    merged = (
+        rho.groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+        .groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    direct = rho.groupBy("bucket").agg(F.max("r").alias("m"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_reservoir_topk_is_mergeable(spark):
+    """A-ExpJ's scale story: top-k over the full corpus == top-k of the
+    union of per-half top-k's. Split documents by doc_id parity, take
+    each half's per-source top-20 by the same deterministic key, merge,
+    re-rank — must equal the registered query's output exactly."""
+    full = (
+        REGISTRY["weighted_reservoir_documents"]
+        .spark(spark, SF_DIR)
+        .orderBy("source", "rank")
+        .collect()
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("n_chars") > 0
+    )
+    u_num = (
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 3, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+        + 1
+    )
+    key = F.log(u_num.cast("double") / F.lit(float(1 << 60))) / F.col(
+        "n_chars"
+    )
+    from pyspark.sql import Window
+
+    halves = []
+    for parity in (0, 1):
+        half = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == parity)
+        w_ = Window.partitionBy("source").orderBy(
+            F.col("__k").desc(), "doc_id"
+        )
+        halves.append(
+            half.withColumn("__k", key)
+            .withColumn("__r", F.row_number().over(w_))
+            .where(F.col("__r") <= 20)
+            .drop("__r")
+        )
+    w_ = Window.partitionBy("source").orderBy(F.col("__k").desc(), "doc_id")
+    remerged = (
+        halves[0]
+        .unionByName(halves[1])
+        .withColumn("rank", F.row_number().over(w_))
+        .where(F.col("rank") <= 20)
+        .select(
+            "source", "rank", "doc_id", F.col("n_chars").alias("weight")
+        )
+        .orderBy("source", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in remerged] == [tuple(r) for r in full]
+
+
+def test_reservoir_prefers_heavy_documents(spark):
+    """Selection probability must actually track weight: the sampled
+    docs' mean n_chars exceeds the corpus mean (size-biased sampling)."""
+    sel = REGISTRY["weighted_reservoir_documents"].spark(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("n_chars") > 0
+    )
+    m_sel = sel.agg(F.avg("weight")).first()[0]
+    m_all = docs.agg(F.avg("n_chars")).first()[0]
+    assert m_sel > m_all

@@ -319,6 +319,8 @@ def test_topk_rank_windows_sit_above_takeordered(spark, name):
         # source over the vocabulary without the salt)
         "zipf_slope_by_source",
         "chi2_tokens_by_source",
+        # r05: A-ExpJ weighted reservoir — per-source corpus-sized rank
+        "weighted_reservoir_documents",
     ],
 )
 def test_cosine_topk_rank_is_salt_partitioned(spark, name):
@@ -593,6 +595,19 @@ def test_ivf_audit_assignment_is_shuffle_lean(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_hll_union_is_register_sized(spark):
+    """hll_union_users_events: the only data-sized shuffles are the
+    register extraction and the exact-reference count-distinct audit;
+    the union merge and the estimate run over <= 6*256 register rows —
+    no cartesian, no data-sized sort-merge join (the 6-row est<->exact
+    join must broadcast)."""
+    plan = _plan(spark, "hll_union_users_events")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    # register groupBy must be map-side combinable (partial_max present)
+    assert "partial_max" in plan, plan
 
 
 def test_cusum_windows_are_type_partitioned(spark):
