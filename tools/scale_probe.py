@@ -104,6 +104,12 @@ PROBE = [
     "cusum_changepoint_events",
     "trimmed_mean_events",
     "equidepth_bounds_events",
+    # r05 session 5: mergeable summaries — the HLL's data-sized work is
+    # one map-side-combinable register shuffle (plus the exact audit
+    # count-distinct); the reservoir's corpus work is the salted local
+    # rank, with only k·salts rows surviving to phase 2
+    "hll_union_users_events",
+    "weighted_reservoir_documents",
 ]
 
 # table -> columns to offset per replica
