@@ -701,6 +701,8 @@ _PINNED_NEW = [
     "equidepth_bounds_events",
     "hll_union_users_events",
     "weighted_reservoir_documents",
+    "streaming_hll_users",
+    "deletion_cascade_customers",
 ]
 
 

@@ -11,16 +11,18 @@ but are implementation-defined, so they can never value-hash-match a
 DuckDB oracle (the `sketch_stats_events` lesson). This family instead
 implements the SAME algebra deterministically from md5 — every register
 and every reservoir key is a pure function of the data, replayed
-bit-identically by the oracle:
+bit-identically by the oracle (core algebra in ``operators/hll.py``):
 
-* ``hll_union_users_events`` — a from-scratch HyperLogLog (p=8, m=256
-  registers, Flajolet et al. 2007 estimator with the linear-counting
-  small-range correction) whose register extraction is a map-side-
-  combinable ``groupBy(type, bucket).max(rho)``, plus the union proof:
-  per-type register vectors max-merged into an ``ALL`` scope estimate
-  distinct-users-across-all-types WITHOUT rescanning — the set-union-
-  without-re-aggregation property that makes sketches composable across
-  partitions, days, and datacenters.
+* ``hll_union_users_events`` — from-scratch HyperLogLog (p=8, m=256,
+  Flajolet et al. 2007 estimator + linear-counting branch) per
+  event_type, plus the union proof: per-type register vectors
+  max-merged into an ``ALL`` scope that estimates distinct users across
+  all types WITHOUT rescanning.
+* ``streaming_hll_users`` — the streaming twin: register maintenance as
+  a stateful aggregation whose state IS the sketch (256 longs, merged
+  by max across micro-batches exactly as partitions merge in batch);
+  complete-mode AvailableNow replay makes the result a total function
+  of the input, so the oracle checks the STREAMING path exactly.
 * ``weighted_reservoir_documents`` — weighted sampling without
   replacement (Efraimidis–Spirakis A-ExpJ): key = ln(u)/weight with u a
   deterministic md5-derived uniform, top-k keys per source. Top-k of a
@@ -41,35 +43,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qa_data_pipeline_rag_llm_spark.operators import hll
 from qa_data_pipeline_rag_llm_spark.operators.ranking import salted_top_k
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 
-# HLL geometry: p=8 -> m=256 registers; md5 supplies 2 hex chars of
-# bucket + 15 hex chars (60 bits) of rank material, so rho in [1, 61].
-_M = 256
-_RHO_MAX = 61
-_TWO61 = 1 << 61  # scaled-integer denominator for sum(2^-M_j)
-# alpha_m * m^2 * 2^61 as one Python double, inlined verbatim on both
-# engines so the single closing division is bit-identical.
-_ALPHA_NUM = repr(0.7213 / (1.0 + 1.079 / _M) * _M * _M * float(_TWO61))
-_LC_CUTOFF = 2.5 * _M  # linear-counting branch threshold
+# Re-exports pinned by tests/test_mergeable.py's parity suite.
+_M = hll.M
+_RHO_MAX = hll.RHO_MAX
+_SPARK_BUCKET = hll.spark_bucket_sql("user_id")
+_SPARK_W = hll.spark_w_sql("user_id")
+_DUCK_BUCKET = hll.duck_bucket_sql("user_id")
+_DUCK_W = hll.duck_w_sql("user_id")
 
-# md5-derived fields, identical in both engines (parity pinned by
-# tests/test_mergeable.py): hex chars 1-2 -> register index, 3-17 -> the
-# 60-bit rank word. rho = leading zeros in the 60-bit word + 1 =
-# 61 - bitlength(w); bin() drops leading zeros in both engines.
-_SPARK_BUCKET = (
-    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS INT)"
-)
-_SPARK_W = (
-    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 3, 15), 16, 10) AS BIGINT)"
-)
-_DUCK_BUCKET = (
-    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INTEGER)"
-)
-_DUCK_W = (
-    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15)) AS BIGINT)"
-)
+# Final projection shared by both HLL queries (engine + oracle shape).
+_HLL_FINAL_DUCK = """
+    SELECT e.{g} AS scope, x.exact_users, e.v AS empty_registers,
+           round(e.est, 4) AS est_users,
+           round(100.0 * (e.est - x.exact_users) / x.exact_users, 4)
+             AS err_pct,
+           (abs(e.est - x.exact_users) / x.exact_users <= 0.195)
+             AS within_budget
+    FROM est e JOIN ex x ON e.{g} = x.{g}
+"""
+
+
+def _hll_final(est: DataFrame, ex: DataFrame, group_col: str) -> DataFrame:
+    e = F.col("est")
+    return est.join(ex, group_col).select(
+        F.col(group_col).alias("scope"),
+        "exact_users",
+        F.col("v").alias("empty_registers"),
+        F.round(e, 4).alias("est_users"),
+        F.round(
+            F.lit(100.0) * (e - F.col("exact_users")) / F.col("exact_users"),
+            4,
+        ).alias("err_pct"),
+        (
+            F.abs(e - F.col("exact_users")) / F.col("exact_users")
+            <= F.lit(0.195)
+        ).alias("within_budget"),
+    )
 
 
 @register(
@@ -78,9 +91,8 @@ _DUCK_W = (
     WITH raw AS (
       SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
     rho AS (
-      SELECT event_type, {_DUCK_BUCKET} AS bucket,
-             CASE WHEN {_DUCK_W} = 0 THEN {_RHO_MAX}
-                  ELSE {_RHO_MAX} - length(bin({_DUCK_W})) END AS r
+      SELECT event_type, {hll.duck_bucket_sql("user_id")} AS bucket,
+             {hll.duck_rho_sql("user_id")} AS r
       FROM raw),
     regs AS (
       SELECT event_type, bucket, MAX(r) AS m_reg
@@ -90,32 +102,13 @@ _DUCK_W = (
       UNION ALL
       SELECT 'ALL' AS event_type, bucket, MAX(m_reg) AS m_reg
       FROM regs GROUP BY bucket),
-    est AS (
-      SELECT event_type, CAST({_M} - COUNT(*) AS BIGINT) AS v,
-             CAST(SUM(CAST((CAST(1 AS BIGINT) << ({_RHO_MAX} - m_reg))
-                           AS DECIMAL(38,0)))
-                  + CAST({_M} AS DECIMAL(38,0)) * {_TWO61}
-                  - CAST(COUNT(*) AS DECIMAL(38,0)) * {_TWO61}
-                  AS DECIMAL(38,0)) AS s
-      FROM allregs GROUP BY event_type),
+    est AS ({hll.duck_estimate_sql("allregs", "event_type")}),
     ex AS (
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
       FROM raw GROUP BY event_type
       UNION ALL
-      SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) FROM raw),
-    fin AS (
-      SELECT e.event_type AS scope, x.exact_users, e.v AS empty_registers,
-             CASE WHEN e.v > 0
-                       AND {_ALPHA_NUM} / CAST(e.s AS DOUBLE) <= {_LC_CUTOFF}
-                  THEN CAST({_M} AS DOUBLE)
-                       * ln(CAST({_M} AS DOUBLE) / e.v)
-                  ELSE {_ALPHA_NUM} / CAST(e.s AS DOUBLE) END AS est
-      FROM est e JOIN ex x ON e.event_type = x.event_type)
-    SELECT scope, exact_users, empty_registers,
-           round(est, 4) AS est_users,
-           round(100.0 * (est - exact_users) / exact_users, 4) AS err_pct,
-           (abs(est - exact_users) / exact_users <= 0.195) AS within_budget
-    FROM fin
+      SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) FROM raw)
+    {_HLL_FINAL_DUCK.format(g="event_type")}
     """,
     doc="From-scratch deterministic HyperLogLog (p=8, m=256; Flajolet "
     "et al. 2007 raw estimator + linear-counting small-range branch) "
@@ -135,38 +128,14 @@ _DUCK_W = (
 )
 def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    w = F.expr(_SPARK_W)
-    rho = ev.select(
-        "event_type",
-        F.expr(_SPARK_BUCKET).alias("bucket"),
-        F.when(w == 0, F.lit(_RHO_MAX))
-        .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(w)))
-        .alias("r"),
-    )
+    rho = ev.select("event_type", *hll.register_cols("user_id"))
     regs = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("m_reg"))
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("m_reg").alias("m_reg"))
         .select(F.lit("ALL").alias("event_type"), "bucket", "m_reg")
     )
-    term = F.expr(
-        f"CAST(shiftleft(CAST(1 AS BIGINT), {_RHO_MAX} - m_reg)"
-        " AS DECIMAL(38,0))"
-    )
-    est = (
-        regs.unionByName(merged)
-        .groupBy("event_type")
-        .agg(
-            (F.lit(_M) - F.count("*")).cast("long").alias("v"),
-            (
-                F.sum(term)
-                + F.lit(_M).cast("decimal(38,0)") * F.lit(_TWO61)
-                - F.count("*").cast("decimal(38,0)") * F.lit(_TWO61)
-            )
-            .cast("decimal(38,0)")
-            .alias("s"),
-        )
-    )
+    est = hll.estimate(regs.unionByName(merged), ["event_type"])
     ex = (
         ev.groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("exact_users"))
@@ -176,28 +145,63 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    raw_est = F.expr(_ALPHA_NUM) / F.col("s").cast("double")
-    e = F.when(
-        (F.col("v") > 0) & (raw_est <= F.lit(_LC_CUTOFF)),
-        F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
-    ).otherwise(raw_est)
-    return (
-        est.join(ex, "event_type")
-        .select(
-            F.col("event_type").alias("scope"),
-            "exact_users",
-            F.col("v").alias("empty_registers"),
-            F.round(e, 4).alias("est_users"),
-            F.round(
-                F.lit(100.0) * (e - F.col("exact_users")) / F.col("exact_users"),
-                4,
-            ).alias("err_pct"),
-            (
-                F.abs(e - F.col("exact_users")) / F.col("exact_users")
-                <= F.lit(0.195)
-            ).alias("within_budget"),
-        )
+    return _hll_final(est, ex, "event_type")
+
+
+@register(
+    "streaming_hll_users",
+    f"""
+    WITH raw AS (
+      SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    rho AS (
+      SELECT {hll.duck_bucket_sql("user_id")} AS bucket,
+             {hll.duck_rho_sql("user_id")} AS r
+      FROM raw),
+    regs AS (
+      SELECT 'stream' AS scope, bucket, MAX(r) AS m_reg
+      FROM rho GROUP BY bucket),
+    est AS ({hll.duck_estimate_sql("regs", "scope")}),
+    ex AS (
+      SELECT 'stream' AS scope, COUNT(DISTINCT user_id) AS exact_users
+      FROM raw)
+    {_HLL_FINAL_DUCK.format(g="scope")}
+    """,
+    doc="Streaming twin of hll_union_users_events: the register vector "
+    "maintained as streaming state. The stateful complete-mode "
+    "groupBy(bucket).max(rho) keeps exactly 256 longs in the state "
+    "store — the sketch IS the state, and each micro-batch's partial "
+    "registers merge by max exactly as batch partitions do, so a "
+    "dashboard reads live distinct-user estimates without any "
+    "count-distinct re-aggregation. AvailableNow + complete mode makes "
+    "the replay a total function of the input files (the "
+    "streaming_scd2 batch-parity discipline), so the oracle verifies "
+    "the streaming path exactly; the exact-reference audit column "
+    "comes from the batch table. At 100 TB/day the state never grows: "
+    "cardinality tracking costs m=256 longs per tracked scope.",
+)
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        read_events_stream,
+        run_to_completion,
     )
+
+    ev = read_events_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    regs_stream = (
+        ev.select(*hll.register_cols("user_id"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("m_reg"))
+    )
+    regs = run_to_completion(regs_stream, "complete").select(
+        F.lit("stream").alias("scope"), "bucket", "m_reg"
+    )
+    est = hll.estimate(regs, ["scope"])
+    ex = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .select(F.lit("stream").alias("scope"), "exact_users")
+    )
+    return _hll_final(est, F.broadcast(ex), "scope")
 
 
 # A-ExpJ uniform: md5 hex chars 3-17 -> 60-bit integer; u = (w+1)/2^60
@@ -260,4 +264,99 @@ def weighted_reservoir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "source", "rank", "doc_id", F.col("n_chars").alias("weight")
+    )
+
+
+# Deterministic ~5% customer cohort: md5 register index < 13 (13/256).
+_DEL_BUCKETS = 13
+
+
+@register(
+    "deletion_cascade_customers",
+    f"""
+    WITH cohort AS (
+      SELECT c_custkey FROM customer
+      WHERE {hll.duck_bucket_sql("c_custkey")} < {_DEL_BUCKETS}),
+    o AS (
+      SELECT o.o_orderkey, (c.c_custkey IS NOT NULL) AS hit
+      FROM orders o LEFT JOIN cohort c ON o.o_custkey = c.c_custkey),
+    ok AS (SELECT o_orderkey FROM o WHERE hit),
+    l AS (
+      SELECT (k.o_orderkey IS NOT NULL) AS hit
+      FROM lineitem li LEFT JOIN ok k ON li.l_orderkey = k.o_orderkey)
+    SELECT tbl, rows_total, rows_affected,
+           round(100.0 * rows_affected / rows_total, 4) AS pct
+    FROM (
+      SELECT 'customer' AS tbl, COUNT(*) AS rows_total,
+             CAST(SUM(CASE WHEN {hll.duck_bucket_sql("c_custkey")}
+                                < {_DEL_BUCKETS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rows_affected
+      FROM customer
+      UNION ALL
+      SELECT 'orders', COUNT(*),
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'lineitem', COUNT(*),
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) FROM l)
+    """,
+    doc="Right-to-be-forgotten impact report: for a deterministic ~5% "
+    "customer cohort (md5 bucket < 13/256 — stands in for an uploaded "
+    "deletion list), count the rows each table would lose when the "
+    "deletion cascades customer -> orders -> lineitem. Each fact scans "
+    "ONCE with a key-only left join carrying the hit flag (total and "
+    "affected counted in the same pass — no per-table second scan), "
+    "and the cascade joins are key-only frames, never data-sized "
+    "intermediates. At 100 TB this is the deletion-planning query run "
+    "before a GDPR purge: the key frames broadcast or shuffle by key, "
+    "AQE picks per-stage, and no raw payload column ever moves. "
+    "Reference contrast: no deletion/compliance surface exists "
+    "(closest is keep-first dedup in Mise-En-Forme-CSV-Donnees.py).",
+)
+def deletion_cascade_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.expr(hll.spark_bucket_sql("c_custkey"))
+    cohort = cust.where(bucket < _DEL_BUCKETS).select("c_custkey")
+    c_row = cust.agg(
+        F.lit("customer").alias("tbl"),
+        F.count("*").alias("rows_total"),
+        F.sum(F.when(bucket < _DEL_BUCKETS, 1).otherwise(0))
+        .cast("long")
+        .alias("rows_affected"),
+    )
+    o = orders.join(
+        cohort, orders["o_custkey"] == cohort["c_custkey"], "left"
+    ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("hit"))
+    o_row = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("rows_total"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("rows_affected"),
+    )
+    ok = o.where("hit").select("o_orderkey")
+    l_row = (
+        li.join(ok, li["l_orderkey"] == ok["o_orderkey"], "left")
+        .select(F.col("o_orderkey").isNotNull().alias("hit"))
+        .agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count("*").alias("rows_total"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("rows_affected"),
+        )
+    )
+    return (
+        c_row.unionByName(o_row)
+        .unionByName(l_row)
+        .select(
+            "tbl",
+            "rows_total",
+            "rows_affected",
+            F.round(
+                F.lit(100.0) * F.col("rows_affected") / F.col("rows_total"),
+                4,
+            ).alias("pct"),
+        )
     )

@@ -139,6 +139,43 @@ def test_reservoir_topk_is_mergeable(spark):
     assert [tuple(r) for r in remerged] == [tuple(r) for r in full]
 
 
+def test_streaming_hll_matches_batch_all_scope(spark):
+    """The streaming register path must land on the SAME estimate as the
+    batch union query's ALL scope — the state-store merge is the same
+    max-merge as the batch shuffle."""
+    stream = REGISTRY["streaming_hll_users"].spark(spark, SF_DIR).collect()
+    batch = {
+        r.scope: r
+        for r in REGISTRY["hll_union_users_events"].spark(spark, SF_DIR).collect()
+    }
+    assert len(stream) == 1
+    s, b = stream[0], batch["ALL"]
+    assert (s.est_users, s.exact_users, s.empty_registers) == (
+        b.est_users,
+        b.exact_users,
+        b.empty_registers,
+    )
+    assert s.within_budget
+
+
+def test_deletion_cascade_is_consistent(spark):
+    """Cascade invariants on real data: affected <= total everywhere,
+    affected(customer) > 0, and the orders hit-rate tracks the customer
+    cohort share (each order belongs to exactly one customer)."""
+    rows = {
+        r.tbl: r
+        for r in REGISTRY["deletion_cascade_customers"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert 0 <= r.rows_affected <= r.rows_total
+    assert rows["customer"].rows_affected > 0
+    # ~5% cohort: orders pct within a loose band of the customer pct
+    assert abs(rows["orders"].pct - rows["customer"].pct) < 5.0
+
+
 def test_reservoir_prefers_heavy_documents(spark):
     """Selection probability must actually track weight: the sampled
     docs' mean n_chars exceeds the corpus mean (size-biased sampling)."""

@@ -610,6 +610,17 @@ def test_hll_union_is_register_sized(spark):
     assert "partial_max" in plan, plan
 
 
+def test_deletion_cascade_single_pass_per_table(spark):
+    """deletion_cascade_customers: each fact table scans exactly once —
+    total and affected counted in the same pass via the key-only left
+    join; no cartesian anywhere."""
+    plan = _final_plan(spark, "deletion_cascade_customers")
+    assert "CartesianProduct" not in plan
+    for t in ("customer", "orders", "lineitem"):
+        n = plan.count(f"{t}.parquet")
+        assert n <= 2, (t, n)  # scan + (cohort/key re-read at most)
+
+
 def test_cusum_windows_are_type_partitioned(spark):
     """cusum_changepoint_events: every window frame is partitioned by
     event_type over the calendar-bounded day series — no global window
