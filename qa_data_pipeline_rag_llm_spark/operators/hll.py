@@ -96,6 +96,48 @@ def estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     return agg.select(*group_cols, "v", est.alias("est"))
 
 
+def estimate_dense(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Like :func:`estimate` but over DENSE register vectors (every
+    group carries all m buckets, empty ones as m_reg = 0 — the shape
+    set-operation joins produce). term(0) = 2^61 is exactly the empty-
+    register contribution, so only the empty-count changes."""
+    term = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {RHO_MAX} - m_reg)"
+        " AS DECIMAL(38,0))"
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("m_reg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+        F.sum(term).cast("decimal(38,0)").alias("s"),
+    )
+    raw = F.expr(ALPHA_NUM) / F.col("s").cast("double")
+    est = F.when(
+        (F.col("v") > 0) & (raw <= F.lit(LC_CUTOFF)),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, "v", est.alias("est"))
+
+
+def duck_estimate_dense_sql(regs_cte: str, group_cols: str) -> str:
+    """Oracle twin of :func:`estimate_dense` over a CTE with columns
+    (``group_cols``..., bucket, m_reg); m_reg = 0 marks empty."""
+    s = (
+        f"SUM(CAST((CAST(1 AS BIGINT) << ({RHO_MAX} - m_reg))"
+        " AS DECIMAL(38,0)))"
+    )
+    v = "SUM(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END)"
+    return f"""
+    SELECT {group_cols},
+           CAST({v} AS BIGINT) AS v,
+           CASE WHEN {v} > 0
+                     AND {ALPHA_NUM} / CAST({s} AS DOUBLE) <= {LC_CUTOFF}
+                THEN CAST({M} AS DOUBLE) * ln(CAST({M} AS DOUBLE) / ({v}))
+                ELSE {ALPHA_NUM} / CAST({s} AS DOUBLE) END AS est
+    FROM {regs_cte} GROUP BY {group_cols}
+    """
+
+
 def duck_estimate_sql(regs_cte: str, group_col: str) -> str:
     """Oracle twin of :func:`estimate` over a CTE named ``regs_cte``
     with columns (``group_col``, bucket, m_reg)."""

@@ -703,6 +703,7 @@ _PINNED_NEW = [
     "weighted_reservoir_documents",
     "streaming_hll_users",
     "deletion_cascade_customers",
+    "hll_vocab_overlap_by_source",
 ]
 
 

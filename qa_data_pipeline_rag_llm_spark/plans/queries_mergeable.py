@@ -267,6 +267,165 @@ def weighted_reservoir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_vocab_overlap_by_source",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS w
+      FROM documents),
+    tok AS (SELECT source, w FROM toks WHERE w <> ''),
+    sparse AS (
+      SELECT source, {hll.duck_bucket_sql("w")} AS bucket,
+             MAX({hll.duck_rho_sql("w")}) AS m_reg
+      FROM tok GROUP BY source, {hll.duck_bucket_sql("w")}),
+    dense AS (
+      SELECT s.source, b.bucket, coalesce(r.m_reg, 0) AS m_reg
+      FROM (SELECT DISTINCT source FROM sparse) s
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS bucket
+                  FROM range({hll.M})) b
+      LEFT JOIN sparse r ON r.source = s.source AND r.bucket = b.bucket),
+    per_src AS ({hll.duck_estimate_dense_sql("dense", "source")}),
+    pair_regs AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.bucket,
+             greatest(a.m_reg, b.m_reg) AS m_reg
+      FROM dense a JOIN dense b
+        ON a.bucket = b.bucket AND a.source < b.source),
+    pair_est AS ({hll.duck_estimate_dense_sql("pair_regs",
+                                              "src_a, src_b")}),
+    vocab AS (SELECT DISTINCT source, w FROM tok),
+    sizes AS (SELECT source, COUNT(*) AS nv FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT p.src_a, p.src_b,
+           (sa.nv + sb.nv - coalesce(i.n_common, 0)) AS exact_union,
+           round(p.est, 4) AS est_union,
+           coalesce(i.n_common, 0) AS exact_inter,
+           round(ea.est + eb.est - p.est, 4) AS est_inter,
+           round(100.0 * (p.est - (sa.nv + sb.nv - coalesce(i.n_common, 0)))
+                 / (sa.nv + sb.nv - coalesce(i.n_common, 0)), 4)
+             AS union_err_pct,
+           (abs(p.est - (sa.nv + sb.nv - coalesce(i.n_common, 0)))
+            / (sa.nv + sb.nv - coalesce(i.n_common, 0)) <= 0.195)
+             AS union_within_budget
+    FROM pair_est p
+    JOIN per_src ea ON ea.source = p.src_a
+    JOIN per_src eb ON eb.source = p.src_b
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+    """,
+    doc="Sketch-space set algebra: pairwise source-vocabulary union and "
+    "intersection estimated from per-source HLL register vectors alone "
+    "— union by register max-merge, intersection by inclusion-"
+    "exclusion (est_a + est_b - est_union). This is the 100 TB twin of "
+    "source_vocab_overlap (queries_diff_mining.py): the exact form "
+    "self-joins vocabulary-sized sets per pair, the sketch form joins "
+    "S dense 256-long vectors — pair cost drops from O(|V_a ∩ V_b|) "
+    "to O(m), so an S-source overlap matrix needs S·m longs of state "
+    "regardless of corpus size. Same space-split tokenization as the "
+    "exact query; exact union/intersection ride along as audit "
+    "columns (test-scale verification — the verdict gates the union, "
+    "which carries the HLL error guarantee; inclusion-exclusion "
+    "intersections are reported, their error compounds by design). "
+    "Dense vectors come from a broadcast 256-row bucket spine, so the "
+    "only data-sized stage is the (source, bucket) register shuffle.",
+)
+def hll_vocab_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    sparse = (
+        tok.select("source", *hll.register_cols("w"))
+        .groupBy("source", "bucket")
+        .agg(F.max("r").alias("m_reg"))
+    )
+    spine = spark.range(hll.M).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        sparse.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(sparse, ["source", "bucket"], "left")
+        .fillna(0, subset=["m_reg"])
+    )
+    per_src = hll.estimate_dense(dense, ["source"])
+    a, b = dense.alias("a"), dense.alias("b")
+    pair_regs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.bucket").alias("bucket"),
+        F.greatest(F.col("a.m_reg"), F.col("b.m_reg")).alias("m_reg"),
+    )
+    pair_est = hll.estimate_dense(pair_regs, ["src_a", "src_b"])
+    vocab = tok.distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("nv"))
+    va, vb = vocab.alias("va"), vocab.alias("vb")
+    inter = (
+        va.join(
+            vb,
+            (F.col("va.w") == F.col("vb.w"))
+            & (F.col("va.source") < F.col("vb.source")),
+        )
+        .groupBy(
+            F.col("va.source").alias("src_a"),
+            F.col("vb.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ea = per_src.select(
+        F.col("source").alias("src_a"), F.col("est").alias("est_a")
+    )
+    eb = per_src.select(
+        F.col("source").alias("src_b"), F.col("est").alias("est_b")
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))
+    exact_union = (
+        F.col("nv_a") + F.col("nv_b") - F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    return (
+        pair_est.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            exact_union.cast("long").alias("exact_union"),
+            F.round(F.col("est"), 4).alias("est_union"),
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("long")
+            .alias("exact_inter"),
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est"), 4
+            ).alias("est_inter"),
+            F.round(
+                F.lit(100.0)
+                * (F.col("est") - exact_union)
+                / exact_union,
+                4,
+            ).alias("union_err_pct"),
+            (
+                F.abs(F.col("est") - exact_union) / exact_union
+                <= F.lit(0.195)
+            ).alias("union_within_budget"),
+        )
+    )
+
+
 # Deterministic ~5% customer cohort: md5 register index < 13 (13/256).
 _DEL_BUCKETS = 13
 

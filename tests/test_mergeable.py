@@ -176,6 +176,28 @@ def test_deletion_cascade_is_consistent(spark):
     assert abs(rows["orders"].pct - rows["customer"].pct) < 5.0
 
 
+def test_hll_overlap_tracks_exact_sets(spark):
+    """Inclusion-exclusion sanity on real data: every union estimate in
+    budget (HLL guarantee), and the intersection estimates must at
+    least RANK pairs like the exact intersections do (Spearman-style
+    sign check over all pairs — sketches are for triage, the ranking is
+    what a curation pipeline consumes)."""
+    rows = (
+        REGISTRY["hll_vocab_overlap_by_source"]
+        .spark(spark, SF_DIR)
+        .collect()
+    )
+    assert all(r.union_within_budget for r in rows)
+    # rank agreement: correlation of est_inter with exact_inter > 0
+    n = len(rows)
+    assert n >= 3
+    ex = [r.exact_inter for r in rows]
+    es = [r.est_inter for r in rows]
+    mean_ex, mean_es = sum(ex) / n, sum(es) / n
+    cov = sum((a - mean_ex) * (b - mean_es) for a, b in zip(ex, es))
+    assert cov > 0  # positively correlated, not noise
+
+
 def test_reservoir_prefers_heavy_documents(spark):
     """Selection probability must actually track weight: the sampled
     docs' mean n_chars exceeds the corpus mean (size-biased sampling)."""
