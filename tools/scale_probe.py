@@ -110,6 +110,13 @@ PROBE = [
     # rank, with only k·salts rows surviving to phase 2
     "hll_union_users_events",
     "weighted_reservoir_documents",
+    # r05 session 5b: streaming register maintenance (state is 256
+    # longs — decade growth should be scan-bound), the deletion
+    # cascade's key-only joins, and the sketch-space overlap (register
+    # shuffle + vocabulary-sized exact audit)
+    "streaming_hll_users",
+    "deletion_cascade_customers",
+    "hll_vocab_overlap_by_source",
 ]
 
 # table -> columns to offset per replica
