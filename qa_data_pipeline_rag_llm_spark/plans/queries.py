@@ -704,6 +704,7 @@ _PINNED_NEW = [
     "streaming_hll_users",
     "deletion_cascade_customers",
     "hll_vocab_overlap_by_source",
+    "hll_rollup_daily_users",
 ]
 
 

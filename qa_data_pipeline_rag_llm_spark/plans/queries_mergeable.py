@@ -267,6 +267,98 @@ def weighted_reservoir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLL_DAYS = 7
+
+
+@register(
+    "hll_rollup_daily_users",
+    f"""
+    WITH raw AS (
+      SELECT date_trunc('day', ts) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL),
+    rho AS (
+      SELECT day, {hll.duck_bucket_sql("user_id")} AS bucket,
+             {hll.duck_rho_sql("user_id")} AS r
+      FROM raw),
+    regs AS (
+      SELECT day, bucket, MAX(r) AS m_reg FROM rho GROUP BY day, bucket),
+    days AS (SELECT DISTINCT day FROM regs),
+    pairs AS (
+      SELECT d.day, d.day - o.off * INTERVAL '1 day' AS src_day
+      FROM days d
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS off
+                  FROM range({_ROLL_DAYS})) o),
+    winregs AS (
+      SELECT p.day, r.bucket, MAX(r.m_reg) AS m_reg
+      FROM pairs p JOIN regs r ON r.day = p.src_day
+      GROUP BY p.day, r.bucket),
+    est AS ({hll.duck_estimate_sql("winregs", "day")}),
+    du AS (SELECT DISTINCT day AS src_day, user_id FROM raw),
+    ex AS (
+      SELECT p.day, COUNT(DISTINCT d.user_id) AS exact_users
+      FROM pairs p JOIN du d ON d.src_day = p.src_day GROUP BY p.day)
+    SELECT strftime(e.day, '%Y-%m-%d') AS day, x.exact_users,
+           e.v AS empty_registers, round(e.est, 4) AS est_users,
+           round(100.0 * (e.est - x.exact_users) / x.exact_users, 4)
+             AS err_pct,
+           (abs(e.est - x.exact_users) / x.exact_users <= 0.195)
+             AS within_budget
+    FROM est e JOIN ex x ON e.day = x.day
+    """,
+    doc="Sketch rollup over time (the hypertable-rollup pattern): daily "
+    "HLL register vectors — the compact state a lakehouse would "
+    "materialize per partition — max-merged over a trailing 7-day "
+    "window to answer 'distinct users in the last week' for EVERY day "
+    "without ever re-scanning raw events. The raw scan happens once "
+    "(register extraction, map-side combinable); the rolling merge "
+    "joins days·7 spine rows against days·<=256 register rows — state "
+    "whose size depends on the calendar, not the corpus. At 100 TB "
+    "this is the nightly-rollup pattern: store (day, bucket, m_reg), "
+    "answer any trailing-window cardinality from state; windows "
+    "compose by the same max-merge across arbitrary spans. Exact "
+    "trailing-window count-distinct rides along as the audit (the "
+    "expensive path the sketch replaces). Completes the family's "
+    "sketch lifecycle: extract (hll_union) -> stream (streaming_hll) "
+    "-> store+serve (this).",
+)
+def hll_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    raw = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    rho = raw.select("day", *hll.register_cols("user_id"))
+    regs = rho.groupBy("day", "bucket").agg(F.max("r").alias("m_reg"))
+    offs = spark.range(_ROLL_DAYS).select(
+        F.col("id").cast("int").alias("off")
+    )
+    pairs = (
+        regs.select("day")
+        .distinct()
+        .crossJoin(F.broadcast(offs))
+        .select("day", F.date_sub(F.col("day"), F.col("off")).alias("src_day"))
+    )
+    winregs = (
+        pairs.join(
+            regs.withColumnRenamed("day", "src_day"), "src_day"
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    est = hll.estimate(winregs, ["day"])
+    du = raw.select(F.col("day").alias("src_day"), "user_id").distinct()
+    ex = (
+        pairs.join(du, "src_day")
+        .select("day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("exact_users"))
+    )
+    out = _hll_final(est, ex, "day")
+    return out.withColumn("scope", F.date_format("scope", "yyyy-MM-dd")).withColumnRenamed(
+        "scope", "day"
+    )
+
+
 @register(
     "hll_vocab_overlap_by_source",
     f"""

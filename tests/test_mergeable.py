@@ -198,6 +198,42 @@ def test_hll_overlap_tracks_exact_sets(spark):
     assert cov > 0  # positively correlated, not noise
 
 
+def test_hll_rollup_window_is_monotone_vs_daily(spark):
+    """Rolling-window estimates must dominate any single member day's
+    registers (max-merge can only raise registers, and the estimator is
+    monotone in registers) — checked against per-day estimates built
+    from the same register algebra; and every window row in budget."""
+    from qa_data_pipeline_rag_llm_spark.operators import hll
+
+    rows = (
+        REGISTRY["hll_rollup_daily_users"].spark(spark, SF_DIR).collect()
+    )
+    assert rows and all(r.within_budget for r in rows)
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+    )
+    regs = (
+        ev.select("day", *hll.register_cols("user_id"))
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("m_reg"))
+    )
+    daily = {
+        str(r.day): r.est
+        for r in hll.estimate(regs, ["day"]).collect()
+    }
+    for r in rows:
+        # window ending on day d includes day d itself
+        assert r.est_users >= round(daily[r.day], 4) - 1e-9, (
+            r.day,
+            r.est_users,
+            daily[r.day],
+        )
+
+
 def test_reservoir_prefers_heavy_documents(spark):
     """Selection probability must actually track weight: the sampled
     docs' mean n_chars exceeds the corpus mean (size-biased sampling)."""
