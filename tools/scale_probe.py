@@ -117,6 +117,7 @@ PROBE = [
     "streaming_hll_users",
     "deletion_cascade_customers",
     "hll_vocab_overlap_by_source",
+    "hll_rollup_daily_users",
 ]
 
 # table -> columns to offset per replica
