@@ -705,6 +705,11 @@ _PINNED_NEW = [
     "deletion_cascade_customers",
     "hll_vocab_overlap_by_source",
     "hll_rollup_daily_users",
+    # VERDICT r04 #1's latent third instance: fixed alongside the two
+    # err'd array-output queries (posting stringified) but never
+    # driver-rowed — pin so the FIX gets verified, not just the bug's
+    # siblings
+    "inverted_index_documents",
 ]
 
 
