@@ -705,6 +705,7 @@ _PINNED_NEW = [
     "deletion_cascade_customers",
     "hll_vocab_overlap_by_source",
     "hll_rollup_daily_users",
+    "cms_user_counts_events",
     # VERDICT r04 #1's latent third instance: fixed alongside the two
     # err'd array-output queries (posting stringified) but never
     # driver-rowed — pin so the FIX gets verified, not just the bug's

@@ -518,6 +518,132 @@ def hll_vocab_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry: d=4 rows x w=256 columns; row r hashes
+# key "r_<key>" through the same md5 bucket extractor. Probe cohort:
+# ~10% of users by md5 bucket < 26.
+_CMS_D = 4
+_CMS_PROBE_BUCKETS = 26
+
+
+def _cms_key_sql(r: int, col: str) -> str:
+    return f"concat('{r}_', CAST({col} AS STRING))"
+
+
+def _cms_duck_key_sql(r: int, col: str) -> str:
+    return f"concat('{r}_', CAST({col} AS VARCHAR))"
+
+
+@register(
+    "cms_user_counts_events",
+    f"""
+    WITH keyed AS (
+      SELECT user_id, COUNT(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id),
+    cells AS (
+      SELECT r, col, CAST(SUM(n) AS BIGINT) AS c FROM (
+        {" UNION ALL ".join(
+            f'''SELECT {r} AS r,
+                       {hll.duck_bucket_sql(_cms_duck_key_sql(r, "user_id"))}
+                         AS col,
+                       n FROM keyed'''
+            for r in range(_CMS_D)
+        )})
+      GROUP BY r, col),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM keyed),
+    probes AS (
+      SELECT user_id, n AS exact_n FROM keyed
+      WHERE {hll.duck_bucket_sql("user_id")} < {_CMS_PROBE_BUCKETS}),
+    est AS (
+      SELECT p.user_id, p.exact_n, MIN(c.c) AS est_n
+      FROM probes p
+      JOIN cells c ON c.col = CASE c.r
+        {" ".join(
+            f'''WHEN {r} THEN
+                {hll.duck_bucket_sql(_cms_duck_key_sql(r, "p.user_id"))}'''
+            for r in range(_CMS_D)
+        )} END
+      GROUP BY p.user_id, p.exact_n)
+    SELECT e.user_id, e.exact_n, e.est_n,
+           (e.est_n - e.exact_n) AS overestimate,
+           (e.est_n >= e.exact_n) AS never_underestimates,
+           (e.est_n - e.exact_n
+              <= CAST(ceil(2.718281828459045 * t.total_n / 256.0)
+                      AS BIGINT)) AS within_eps_budget
+    FROM est e, total t
+    """,
+    doc="Count-min sketch (Cormode-Muthukrishnan), deterministic md5 "
+    "twin: d=4 x w=256 counter cells built from per-key partial counts "
+    "(map-side combinable — the scatter works on the pre-aggregated "
+    "key frame, not raw rows), then point-frequency estimates for a "
+    "deterministic ~10% probe cohort as min over the 4 row cells. "
+    "Verdict columns pin BOTH guarantees: never_underestimates (hard "
+    "CMS invariant — est >= exact always) and the eps-budget "
+    "overestimate bound e/w * N. Complements heavy_hitters_events "
+    "(Misra-Gries tracks the top keys; CMS answers ANY key's frequency "
+    "from d*w = 1024 longs of mergeable state — cells add across "
+    "partitions/days exactly as HLL registers max). At 100 TB the "
+    "sketch state is constant-size and the only data-sized stage is "
+    "the keyed partial count.",
+)
+def cms_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    keyed = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    scattered = None
+    for r in range(_CMS_D):
+        part = keyed.select(
+            F.lit(r).alias("r"),
+            F.expr(
+                hll.spark_bucket_sql(_cms_key_sql(r, "user_id"))
+            ).alias("col"),
+            "n",
+        )
+        scattered = part if scattered is None else scattered.unionByName(part)
+    cells = scattered.groupBy("r", "col").agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    total = keyed.agg(F.sum("n").cast("long").alias("total_n"))
+    probes = keyed.where(
+        F.expr(hll.spark_bucket_sql("user_id")) < _CMS_PROBE_BUCKETS
+    ).select("user_id", F.col("n").alias("exact_n"))
+    probe_cols = probes.select(
+        "user_id",
+        "exact_n",
+        *[
+            F.expr(hll.spark_bucket_sql(_cms_key_sql(r, "user_id"))).alias(
+                f"col_{r}"
+            )
+            for r in range(_CMS_D)
+        ],
+    )
+    est = None
+    for r in range(_CMS_D):
+        lk = probe_cols.join(
+            F.broadcast(
+                cells.where(F.col("r") == r).select(
+                    F.col("col").alias(f"col_{r}"), F.col("c").alias("cr")
+                )
+            ),
+            f"col_{r}",
+        ).select("user_id", "exact_n", "cr")
+        est = lk if est is None else est.unionByName(lk)
+    est = est.groupBy("user_id", "exact_n").agg(
+        F.min("cr").cast("long").alias("est_n")
+    )
+    eps_bound = F.ceil(
+        F.lit(2.718281828459045) * F.col("total_n") / F.lit(256.0)
+    ).cast("long")
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        (F.col("est_n") >= F.col("exact_n")).alias("never_underestimates"),
+        (F.col("est_n") - F.col("exact_n") <= eps_bound).alias(
+            "within_eps_budget"
+        ),
+    )
+
+
 # Deterministic ~5% customer cohort: md5 register index < 13 (13/256).
 _DEL_BUCKETS = 13
 

@@ -234,6 +234,53 @@ def test_hll_rollup_window_is_monotone_vs_daily(spark):
         )
 
 
+def test_cms_never_underestimates_and_cells_merge(spark):
+    """CMS hard invariant (min-over-rows >= exact for EVERY probe) plus
+    the merge property: cells built from two disjoint halves of events
+    must SUM to the full-corpus cells (counter sketches merge by +)."""
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+    from qa_data_pipeline_rag_llm_spark.operators import hll
+    from qa_data_pipeline_rag_llm_spark.plans.queries_mergeable import (
+        _CMS_D,
+        _cms_key_sql,
+    )
+
+    rows = (
+        REGISTRY["cms_user_counts_events"].spark(spark, SF_DIR).collect()
+    )
+    assert rows and all(r.never_underestimates for r in rows)
+
+    ev = load_table(spark, SF_DIR, "events").where(
+        F.col("user_id").isNotNull()
+    )
+
+    def cells_of(df):
+        keyed = df.groupBy("user_id").agg(F.count("*").alias("n"))
+        parts = [
+            keyed.select(
+                F.lit(r).alias("r"),
+                F.expr(
+                    hll.spark_bucket_sql(_cms_key_sql(r, "user_id"))
+                ).alias("col"),
+                "n",
+            )
+            for r in range(_CMS_D)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy("r", "col").agg(F.sum("n").cast("long").alias("c"))
+
+    full = {(r.r, r.col): r.c for r in cells_of(ev).collect()}
+    h0 = cells_of(ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0))
+    h1 = cells_of(ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1))
+    merged: dict = {}
+    for part in (h0.collect(), h1.collect()):
+        for r in part:
+            merged[(r.r, r.col)] = merged.get((r.r, r.col), 0) + r.c
+    assert merged == full
+
+
 def test_reservoir_prefers_heavy_documents(spark):
     """Selection probability must actually track weight: the sampled
     docs' mean n_chars exceeds the corpus mean (size-biased sampling)."""
