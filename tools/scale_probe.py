@@ -118,6 +118,7 @@ PROBE = [
     "deletion_cascade_customers",
     "hll_vocab_overlap_by_source",
     "hll_rollup_daily_users",
+    "cms_user_counts_events",
 ]
 
 # table -> columns to offset per replica
