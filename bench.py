@@ -56,7 +56,10 @@ from qa_data_pipeline_rag_llm_spark.catalog import load_all  # noqa: E402
 from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY  # noqa: E402
 from qa_data_pipeline_rag_llm_spark.session import get_spark  # noqa: E402
 
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# 5 samples/query: r5 measured ±30% run-to-run spread on individual
+# medians-of-3 on a shared host (corpus_prep 0.92<->1.25 across back-to-
+# back runs); two extra samples tighten the median at ~+40 s total cost.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 # Recorded anchor for the calibration probe: the round-2 driver
 # environment measured 0.483 (BENCH_r02.json). value_calibrated rescales
