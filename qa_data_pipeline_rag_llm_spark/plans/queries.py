@@ -706,6 +706,7 @@ _PINNED_NEW = [
     "hll_vocab_overlap_by_source",
     "hll_rollup_daily_users",
     "cms_user_counts_events",
+    "cbo_stats_join_keys",
     # VERDICT r04 #1's latent third instance: fixed alongside the two
     # err'd array-output queries (posting stringified) but never
     # driver-rowed — pin so the FIX gets verified, not just the bug's

@@ -335,3 +335,125 @@ def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------- CBO stats
+# ANALYZE-style join-key statistics: the numbers a cost-based optimizer
+# (or a human planning a 100 TB join) needs per key column. Thresholds
+# mirror Spark's autoBroadcastJoinThreshold (10 MB) with a 32-byte/row
+# working estimate; skew > 4x uniform suggests salting.
+_CBO_KEYS = [
+    ("customer", "c_custkey"),
+    ("orders", "o_custkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+]
+_CBO_ROW_BYTES = 32
+_CBO_BROADCAST_BYTES = 10 * 1024 * 1024
+_CBO_SKEW = 4.0
+
+
+def _cbo_duck_one(table: str, col: str) -> str:
+    from qa_data_pipeline_rag_llm_spark.operators import hll
+
+    return f"""
+    SELECT '{table}.{col}' AS table_col, f.n_rows, f.ndv_exact,
+           round(e.est, 4) AS ndv_est,
+           round(100.0 * (e.est - f.ndv_exact) / f.ndv_exact, 4)
+             AS ndv_err_pct,
+           f.top_freq,
+           round(CAST(f.top_freq AS DOUBLE) * f.ndv_exact / f.n_rows, 4)
+             AS skew_ratio,
+           CASE WHEN f.n_rows * {_CBO_ROW_BYTES} <= {_CBO_BROADCAST_BYTES}
+                THEN 'broadcast'
+                WHEN CAST(f.top_freq AS DOUBLE) * f.ndv_exact / f.n_rows
+                     > {_CBO_SKEW}
+                THEN 'salted_shuffle'
+                ELSE 'shuffle' END AS strategy
+    FROM (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS ndv_exact,
+             CAST(MAX(n) AS BIGINT) AS top_freq
+      FROM (SELECT {col} AS k, COUNT(*) AS n FROM {table}
+            WHERE {col} IS NOT NULL GROUP BY {col})) f,
+    ({hll.duck_estimate_sql(
+        f'''(SELECT 1 AS g, {hll.duck_bucket_sql(col)} AS bucket,
+                    MAX({hll.duck_rho_sql(col)}) AS m_reg
+             FROM {table} WHERE {col} IS NOT NULL
+             GROUP BY {hll.duck_bucket_sql(col)})''', "g")}) e
+    """
+
+
+def _cbo_spark_one(spark, sf_dir: str, table: str, col: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators import hll
+
+    k = (
+        _t(spark, sf_dir, table)
+        .where(F.col(col).isNotNull())
+        .select(F.col(col).alias("k"))
+    )
+    freq = k.groupBy("k").agg(F.count("*").alias("n"))
+    f = freq.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("ndv_exact"),
+        F.max("n").cast("long").alias("top_freq"),
+    )
+    regs = (
+        k.select(*hll.register_cols("k"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("m_reg"))
+        .select(F.lit(1).alias("g"), "bucket", "m_reg")
+    )
+    est = hll.estimate(regs, ["g"])
+    skew = (
+        F.col("top_freq").cast("double")
+        * F.col("ndv_exact")
+        / F.col("n_rows")
+    )
+    return f.crossJoin(F.broadcast(est)).select(
+        F.lit(f"{table}.{col}").alias("table_col"),
+        "n_rows",
+        "ndv_exact",
+        F.round(F.col("est"), 4).alias("ndv_est"),
+        F.round(
+            F.lit(100.0)
+            * (F.col("est") - F.col("ndv_exact"))
+            / F.col("ndv_exact"),
+            4,
+        ).alias("ndv_err_pct"),
+        "top_freq",
+        F.round(skew, 4).alias("skew_ratio"),
+        F.when(
+            F.col("n_rows") * _CBO_ROW_BYTES <= _CBO_BROADCAST_BYTES,
+            F.lit("broadcast"),
+        )
+        .when(skew > _CBO_SKEW, F.lit("salted_shuffle"))
+        .otherwise(F.lit("shuffle"))
+        .alias("strategy"),
+    )
+
+
+@register(
+    "cbo_stats_join_keys",
+    " UNION ALL ".join(_cbo_duck_one(t, c) for t, c in _CBO_KEYS),
+    doc="ANALYZE TABLE twin: per join-key column, the statistics a "
+    "cost-based optimizer plans joins from — row count, exact NDV "
+    "(audit), deterministic-HLL NDV estimate (operators/hll.py — what "
+    "Spark's own ANALYZE computes, made cross-engine-checkable), top "
+    "key frequency, skew ratio (top_freq x ndv / rows; 1.0 = uniform), "
+    "and the derived join-strategy verdict mirroring the "
+    "autoBroadcastJoinThreshold + salt-above-4x-skew rules the "
+    "engine's own queries follow (q5 broadcasts dims, salted_join "
+    "salts). Per column: one keyed partial-count shuffle + one "
+    "register shuffle, both map-side combinable; at 100 TB the HLL "
+    "path IS the product (exact NDV rides as audit) and the stats "
+    "table is what you persist to drive broadcast/salt decisions "
+    "without rescanning. Reference contrast: no statistics surface "
+    "exists (the reference hard-codes its join order, main-spark.py).",
+)
+def cbo_stats_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, c in _CBO_KEYS:
+        one = _cbo_spark_one(spark, sf_dir, t, c)
+        out = one if out is None else out.unionByName(one)
+    return out
