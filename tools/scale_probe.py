@@ -119,6 +119,7 @@ PROBE = [
     "hll_vocab_overlap_by_source",
     "hll_rollup_daily_users",
     "cms_user_counts_events",
+    "cbo_stats_join_keys",
 ]
 
 # table -> columns to offset per replica
