@@ -86,3 +86,60 @@ def test_patch_grid_degenerate_dims_emit_zero_patches(spark):
     assert {r["doc_id"] for r in got} == {3}
     assert all(r["x_off"] >= 0 and r["y_off"] >= 0 for r in got)
     assert all(r["pw"] > 0 and r["ph"] > 0 for r in got)
+
+
+# ----------------------------------------------------------------- audio
+
+
+def test_wav_render_decode_roundtrip():
+    """The RIFF container must round-trip exactly: every sample is
+    (utf8_byte - 128) << 8, rate 8 kHz, PCM16 mono."""
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import (
+        decode_wav,
+        render_wav,
+    )
+
+    text = "ab z!"
+    dec = decode_wav(render_wav(text))
+    assert dec["rate"] == 8000
+    assert dec["samples"] == [(b - 128) * 256 for b in text.encode()]
+
+
+def test_wav_empty_and_multibyte_text():
+    """Empty text yields a valid zero-frame WAV; multibyte UTF-8 chars
+    contribute one sample per BYTE (the oracle's hex replay depends on
+    byte semantics, not code points); payloads cap at 2048 samples."""
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import (
+        _WAV_MAX_SAMPLES,
+        decode_wav,
+        render_wav,
+    )
+
+    assert decode_wav(render_wav(""))["n_samples"] == 0
+    assert decode_wav(render_wav("é"))["n_samples"] == 2
+    assert (
+        decode_wav(render_wav("x" * 5000))["n_samples"] == _WAV_MAX_SAMPLES
+    )
+
+
+def test_audio_frames_drop_partial_tails(spark):
+    """Only full 80-sample frames emit: 79 bytes -> 0 rows, 80 -> 1,
+    161 -> 2; zero crossings count strict sign flips only."""
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import (
+        attach_wav_blobs,
+        audio_frame_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 79), (2, "a" * 80), (3, "a" * 161)],
+        "doc_id long, text string",
+    )
+    rows = audio_frame_features(attach_wav_blobs(docs)).collect()
+    per = {}
+    for r in rows:
+        per[r.doc_id] = per.get(r.doc_id, 0) + 1
+    assert per == {2: 1, 3: 2}
+    # 'a' = 97 -> sample -7936 everywhere: no sign flips, peak exact
+    assert all(r.zero_crossings == 0 and r.peak == 7936 for r in rows)
