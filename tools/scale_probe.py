@@ -120,6 +120,7 @@ PROBE = [
     "hll_rollup_daily_users",
     "cms_user_counts_events",
     "cbo_stats_join_keys",
+    "multimodal_audio_frames",
 ]
 
 # table -> columns to offset per replica
