@@ -488,3 +488,59 @@ def audio_frame_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(batches, schema=_AUDIO_SCHEMA)
+
+
+# ------------------------------------------------------------------ resize
+_RESIZE_W = 8
+_RESIZE_H = 6
+
+
+def resize_image(img: dict, tw: int, th: int) -> dict:
+    """Nearest-neighbor resample of a decoded image (the real pixel
+    transform a vision-preprocessing stage applies before patching):
+    out(x, y) = in(x*w_in // tw, y*h_in // th), channels preserved."""
+    w, h, px = img["width"], img["height"], img["pixels"]
+    out = bytearray()
+    for y in range(th):
+        sy = y * h // th
+        for x in range(tw):
+            sx = x * w // tw
+            base = (sy * w + sx) * 3
+            out += bytes(px[base : base + 3])
+    return {"width": tw, "height": th, "maxval": img["maxval"],
+            "pixels": bytes(out)}
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def resized_image_features(blobs: DataFrame, tw: int = _RESIZE_W,
+                           th: int = _RESIZE_H) -> DataFrame:
+    """Decode → nearest-neighbor resize → per-channel integer sums of
+    the RESIZED pixels. Same zero-shuffle mapInPandas shape as
+    decoded_image_features; the resize is real pixel work on executors."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = resize_image(decode_image(bytes(payload)), tw, th)
+                px = img["pixels"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                for c, name in enumerate(("sum_r", "sum_g", "sum_b")):
+                    out[name].append(sum(px[c::3]))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(batches, schema=_RESIZE_SCHEMA)

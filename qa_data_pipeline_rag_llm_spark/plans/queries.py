@@ -708,6 +708,7 @@ _PINNED_NEW = [
     "cms_user_counts_events",
     "cbo_stats_join_keys",
     "multimodal_audio_frames",
+    "multimodal_resize_documents",
     # VERDICT r04 #1's latent third instance: fixed alongside the two
     # err'd array-output queries (posting stringified) but never
     # driver-rowed — pin so the FIX gets verified, not just the bug's

@@ -456,3 +456,45 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     )
     return audio_frame_features(blobs)
+
+
+@register(
+    "multimodal_resize_documents",
+    """
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+    FROM (
+      SELECT d.doc_id, CAST(t.r % 3 AS INTEGER) AS c,
+             CASE WHEN length(coalesce(d.text, '')) = 0 THEN 0
+                  ELSE unicode(substr(coalesce(d.text, ''),
+                         CAST((((((t.r // 3) // 8) * 4 // 6) * 4
+                                + ((t.r // 3) % 8) // 2) * 3 + t.r % 3)
+                              % length(coalesce(d.text, ''))
+                              AS INTEGER) + 1,
+                         1)) % 256 END AS v
+      FROM documents d, range(0, 144) t(r))
+    GROUP BY doc_id
+    """,
+    doc="EXECUTABLE image resize (the third leg of the brief's decode/"
+    "feature-extract/resize/frame-sample list): each doc's genuine 4x4 "
+    "P6 PPM decodes, nearest-neighbor-resamples to 8x6 (out(x,y) = "
+    "in(x*4//8, y*4//6) — real pixel indexing on executors, "
+    "operators/multimodal.py:resize_image), and per-channel sums of "
+    "the RESIZED pixels come out as exact integers. The oracle replays "
+    "the full decode+resample index arithmetic from the text (source "
+    "pixel of target position r is ((y*4//6)*4 + x//2)*3 + c), so a "
+    "hash match proves the resampling geometry, not just the sums. "
+    "Zero shuffles; the same mapInPandas production shape as the "
+    "decode and audio legs.",
+)
+def multimodal_resize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import (
+        attach_ppm_blobs,
+        resized_image_features,
+    )
+
+    blobs = attach_ppm_blobs(_t(spark, sf_dir, "documents"))
+    return resized_image_features(blobs)

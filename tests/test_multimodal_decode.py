@@ -143,3 +143,22 @@ def test_audio_frames_drop_partial_tails(spark):
     assert per == {2: 1, 3: 2}
     # 'a' = 97 -> sample -7936 everywhere: no sign flips, peak exact
     assert all(r.zero_crossings == 0 and r.peak == 7936 for r in rows)
+
+
+def test_resize_nearest_neighbor_geometry():
+    """Resize must be pure index remapping: a 2x2 image upscaled 2x
+    replicates each source pixel into a 2x2 block, downscale to 1x1
+    keeps the top-left pixel."""
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    # 2x2 RGB: pixels distinct per position
+    px = bytes(range(12))
+    img = {"width": 2, "height": 2, "maxval": 255, "pixels": px}
+    up = resize_image(img, 4, 4)
+    assert up["width"] == 4 and up["height"] == 4
+    # row 0 of the 4x4: src pixels (0,0),(0,0),(0,1),(0,1)
+    assert up["pixels"][:12] == px[0:3] + px[0:3] + px[3:6] + px[3:6]
+    down = resize_image(img, 1, 1)
+    assert down["pixels"] == px[0:3]
