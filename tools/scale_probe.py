@@ -121,6 +121,7 @@ PROBE = [
     "cms_user_counts_events",
     "cbo_stats_join_keys",
     "multimodal_audio_frames",
+    "multimodal_resize_documents",
 ]
 
 # table -> columns to offset per replica
