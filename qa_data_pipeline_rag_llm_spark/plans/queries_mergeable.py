@@ -97,12 +97,13 @@ def _hll_final(est: DataFrame, ex: DataFrame, group_col: str) -> DataFrame:
     regs AS (
       SELECT event_type, bucket, MAX(r) AS m_reg
       FROM rho GROUP BY event_type, bucket),
-    allregs AS (
-      SELECT event_type, bucket, m_reg FROM regs
-      UNION ALL
+    mregs AS (
       SELECT 'ALL' AS event_type, bucket, MAX(m_reg) AS m_reg
       FROM regs GROUP BY bucket),
-    est AS ({hll.duck_estimate_sql("allregs", "event_type")}),
+    est AS (
+      {hll.duck_estimate_sql("regs", "event_type")}
+      UNION ALL
+      {hll.duck_estimate_sql("mregs", "event_type")}),
     ex AS (
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
       FROM raw GROUP BY event_type
@@ -130,12 +131,19 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     rho = ev.select("event_type", *hll.register_cols("user_id"))
     regs = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("m_reg"))
+    # the union scope estimates from its OWN aggregate (never unioned
+    # into the per-type register frame): a real event_type named 'ALL'
+    # can then only collide on the output label, not corrupt the
+    # register math (review r05 — v would go negative on a shared
+    # groupBy)
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("m_reg").alias("m_reg"))
         .select(F.lit("ALL").alias("event_type"), "bucket", "m_reg")
     )
-    est = hll.estimate(regs.unionByName(merged), ["event_type"])
+    est = hll.estimate(regs, ["event_type"]).unionByName(
+        hll.estimate(merged, ["event_type"])
+    )
     ex = (
         ev.groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("exact_users"))
@@ -219,8 +227,7 @@ _RES_K = 20
       SELECT source, doc_id, n_chars,
              ROW_NUMBER() OVER (
                PARTITION BY source
-               ORDER BY ln(CAST(CAST(('0x' || substr(md5(
-                              CAST(doc_id AS VARCHAR)), 3, 15)) AS BIGINT)
+               ORDER BY ln(CAST({hll.duck_w_sql("doc_id")}
                             + 1 AS DOUBLE)
                            / CAST({_TWO60} AS DOUBLE)) / n_chars DESC,
                         doc_id) AS rank
@@ -244,13 +251,7 @@ _RES_K = 20
 )
 def weighted_reservoir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    u_num = (
-        F.expr(
-            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 3, 15), 16, 10)"
-            " AS BIGINT)"
-        )
-        + 1
-    )
+    u_num = F.expr(hll.spark_w_sql("doc_id")) + 1
     key = F.log(u_num.cast("double") / F.lit(float(_TWO60))) / F.col(
         "n_chars"
     )
@@ -586,53 +587,82 @@ def _cms_duck_key_sql(r: int, col: str) -> str:
     "the keyed partial count.",
 )
 def cms_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE keyed pass (review r05: the naive branch-per-row shape scanned
+    # events 9x): the keyed frame explodes into the 4 scatter rows plus
+    # a probe marker row (r = -1) in a single generator, so every
+    # consumer sits above the same keyed-aggregate exchange and AQE
+    # dedupes it via exchange reuse (plan-gated). The per-row total
+    # rides on the cell frame as a 4-partition window over <= d*w rows.
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     keyed = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    scattered = None
-    for r in range(_CMS_D):
-        part = keyed.select(
+    scatter = [
+        F.struct(
             F.lit(r).alias("r"),
             F.expr(
                 hll.spark_bucket_sql(_cms_key_sql(r, "user_id"))
             ).alias("col"),
-            "n",
         )
-        scattered = part if scattered is None else scattered.unionByName(part)
-    cells = scattered.groupBy("r", "col").agg(
-        F.sum("n").cast("long").alias("c")
+        for r in range(_CMS_D)
+    ]
+    probe_marker = F.when(
+        F.expr(hll.spark_bucket_sql("user_id")) < _CMS_PROBE_BUCKETS,
+        F.array(
+            F.struct(
+                F.lit(-1).alias("r"), F.lit(-1).cast("int").alias("col")
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<r:int,col:int>>"))
+    rows = keyed.select(
+        "user_id",
+        "n",
+        F.explode(F.concat(F.array(*scatter), probe_marker)).alias("rc"),
+    ).select("user_id", "n", F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+    cells = (
+        rows.where(F.col("r") >= 0)
+        .groupBy("r", "col")
+        .agg(F.sum("n").cast("long").alias("c"))
     )
-    total = keyed.agg(F.sum("n").cast("long").alias("total_n"))
-    probes = keyed.where(
-        F.expr(hll.spark_bucket_sql("user_id")) < _CMS_PROBE_BUCKETS
-    ).select("user_id", F.col("n").alias("exact_n"))
-    probe_cols = probes.select(
+    from pyspark.sql import Window
+
+    # total N per sketch row: each r partition saw every key once, so
+    # the window is over <= w cells in 4 bounded partitions
+    cells2 = cells.withColumn(
+        "total_n", F.sum("c").over(Window.partitionBy("r"))
+    )
+    probes = rows.where(F.col("r") == -1).select(
+        "user_id", F.col("n").alias("exact_n")
+    )
+    melted = probes.select(
         "user_id",
         "exact_n",
-        *[
-            F.expr(hll.spark_bucket_sql(_cms_key_sql(r, "user_id"))).alias(
-                f"col_{r}"
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(
+                            hll.spark_bucket_sql(_cms_key_sql(r, "user_id"))
+                        ).alias("col"),
+                    )
+                    for r in range(_CMS_D)
+                ]
             )
-            for r in range(_CMS_D)
-        ],
+        ).alias("rc"),
+    ).select(
+        "user_id", "exact_n", F.col("rc.r").alias("r"), F.col("rc.col").alias("col")
     )
-    est = None
-    for r in range(_CMS_D):
-        lk = probe_cols.join(
-            F.broadcast(
-                cells.where(F.col("r") == r).select(
-                    F.col("col").alias(f"col_{r}"), F.col("c").alias("cr")
-                )
-            ),
-            f"col_{r}",
-        ).select("user_id", "exact_n", "cr")
-        est = lk if est is None else est.unionByName(lk)
-    est = est.groupBy("user_id", "exact_n").agg(
-        F.min("cr").cast("long").alias("est_n")
+    est = (
+        melted.join(F.broadcast(cells2), ["r", "col"])
+        .groupBy("user_id", "exact_n")
+        .agg(
+            F.min("c").cast("long").alias("est_n"),
+            F.max("total_n").cast("long").alias("total_n"),
+        )
     )
     eps_bound = F.ceil(
         F.lit(2.718281828459045) * F.col("total_n") / F.lit(256.0)
     ).cast("long")
-    return est.crossJoin(F.broadcast(total)).select(
+    return est.select(
         "user_id",
         "exact_n",
         "est_n",

@@ -408,23 +408,32 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patch_grid(attach_blobs(_t(spark, sf_dir, "documents")))
 
 
+from qa_data_pipeline_rag_llm_spark.operators.multimodal import (  # noqa: E402
+    _WAV_FRAME,
+    _WAV_MAX_SAMPLES,
+)
+
+
 @register(
     "multimodal_audio_frames",
-    """
+    f"""
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS hx,
-             CAST(least(octet_length(encode(text)), 2048) AS INTEGER) AS n
+             CAST(least(octet_length(encode(text)), {_WAV_MAX_SAMPLES})
+                  AS INTEGER) AS n
       FROM documents WHERE text IS NOT NULL),
     s AS (
       SELECT doc_id, CAST(t.i AS INTEGER) AS i,
              (CAST(('0x' || substr(hx, CAST(2 * t.i + 1 AS INTEGER), 2))
                    AS INTEGER) - 128) * 256 AS v
-      FROM b, LATERAL unnest(range(CAST(n // 80 * 80 AS BIGINT))) t(i)),
+      FROM b, LATERAL unnest(range(
+        CAST(n // {_WAV_FRAME} * {_WAV_FRAME} AS BIGINT))) t(i)),
     z AS (
-      SELECT doc_id, CAST(i // 80 AS INTEGER) AS frame_idx, v,
-             lag(v) OVER (PARTITION BY doc_id, i // 80 ORDER BY i) AS pv
+      SELECT doc_id, CAST(i // {_WAV_FRAME} AS INTEGER) AS frame_idx, v,
+             lag(v) OVER (PARTITION BY doc_id, i // {_WAV_FRAME}
+                          ORDER BY i) AS pv
       FROM s)
-    SELECT doc_id, frame_idx, CAST(80 AS INTEGER) AS n_samples,
+    SELECT doc_id, frame_idx, CAST({_WAV_FRAME} AS INTEGER) AS n_samples,
            CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
            CAST(MAX(abs(v)) AS INTEGER) AS peak,
            CAST(SUM(CASE WHEN pv IS NOT NULL
@@ -458,11 +467,20 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(blobs)
 
 
+from qa_data_pipeline_rag_llm_spark.operators.multimodal import (  # noqa: E402
+    _PPM_H,
+    _PPM_W,
+    _RESIZE_H,
+    _RESIZE_W,
+)
+
+
 @register(
     "multimodal_resize_documents",
-    """
+    f"""
     SELECT doc_id,
-           CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+           CAST({_RESIZE_W} AS INTEGER) AS width,
+           CAST({_RESIZE_H} AS INTEGER) AS height,
            CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
            CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
            CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
@@ -470,12 +488,15 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, CAST(t.r % 3 AS INTEGER) AS c,
              CASE WHEN length(coalesce(d.text, '')) = 0 THEN 0
                   ELSE unicode(substr(coalesce(d.text, ''),
-                         CAST((((((t.r // 3) // 8) * 4 // 6) * 4
-                                + ((t.r // 3) % 8) // 2) * 3 + t.r % 3)
+                         CAST((((((t.r // 3) // {_RESIZE_W})
+                                 * {_PPM_H} // {_RESIZE_H}) * {_PPM_W}
+                                + ((t.r // 3) % {_RESIZE_W})
+                                  * {_PPM_W} // {_RESIZE_W})
+                               * 3 + t.r % 3)
                               % length(coalesce(d.text, ''))
                               AS INTEGER) + 1,
                          1)) % 256 END AS v
-      FROM documents d, range(0, 144) t(r))
+      FROM documents d, range(0, {_RESIZE_W * _RESIZE_H * 3}) t(r))
     GROUP BY doc_id
     """,
     doc="EXECUTABLE image resize (the third leg of the brief's decode/"

@@ -610,6 +610,16 @@ def test_hll_union_is_register_sized(spark):
     assert "partial_max" in plan, plan
 
 
+def test_cms_is_single_keyed_pass(spark):
+    """cms_user_counts_events (review r05): the unified explode puts
+    every consumer above ONE keyed-aggregate exchange — the final
+    adaptive plan must scan events once and dedupe the keyed shuffle
+    via exchange/stage reuse."""
+    plan = _final_plan(spark, "cms_user_counts_events")
+    assert plan.count("FileScan") <= 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_deletion_cascade_single_pass_per_table(spark):
     """deletion_cascade_customers: each fact table scans exactly once —
     total and affected counted in the same pass via the key-only left
