@@ -126,3 +126,60 @@ def ask(
         F.length("prompt").cast("long").alias("prompt_chars"),
         generate_text(F.col("prompt")).alias("answer"),
     )
+
+
+def approx_distinct(
+    df: DataFrame, col: str, by: list[str] | None = None
+) -> DataFrame:
+    """Deterministic-HLL distinct count per group (operators/hll.py).
+
+    The facade for the mergeable-summary layer: same register algebra
+    the registry's hll_* queries verify cross-engine, exposed the way
+    Spark's own approx_count_distinct is — but reproducible bit-for-bit
+    across engines and runs. Returns (by..., v, est).
+    """
+    from pyspark.sql import functions as F  # local: keep facade thin
+
+    from qa_data_pipeline_rag_llm_spark.operators import hll
+
+    by = list(by or [])
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(*by, *hll.register_cols(col))
+        .groupBy(*by, "bucket")
+        .agg(F.max("r").alias("m_reg"))
+    )
+    if not by:
+        regs = regs.select(F.lit(1).alias("__g"), "bucket", "m_reg")
+        return hll.estimate(regs, ["__g"]).drop("__g")
+    return hll.estimate(regs, by)
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, by: str
+) -> DataFrame:
+    """A-ExpJ weighted reservoir per group (the registry's
+    weighted_reservoir_documents as a parameterized facade): top-k rows
+    by ln(u)/weight with u a deterministic md5 uniform of ``__key``,
+    which must exist as a unique row key column named by convention
+    'doc_id'-like; here the first df column is used as the key."""
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark.operators import hll
+    from qa_data_pipeline_rag_llm_spark.operators.ranking import (
+        salted_top_k,
+    )
+
+    key = df.columns[0]
+    u_num = F.expr(hll.spark_w_sql(key)) + 1
+    score = F.log(u_num.cast("double") / F.lit(float(1 << 60))) / F.col(
+        weight_col
+    )
+    return salted_top_k(
+        df.where(F.col(weight_col) > 0).withColumn("__res_key", score),
+        [by],
+        [F.col("__res_key").desc(), F.col(key)],
+        k,
+        salt_col=key,
+        rank_col="rank",
+    ).drop("__res_key")

@@ -58,3 +58,52 @@ def test_pipeline_stage_reexports_compose(spark, tables):
         child_id="id_comment",
     )
     assert enriched.count() == posts.count()
+
+
+def test_api_approx_distinct_matches_registry(spark, tables):
+    """The facade must reproduce the registry query's math exactly:
+    per-type estimates equal hll_union_users_events' rows."""
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark import api
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.event_type: round(r.est, 4)
+        for r in api.approx_distinct(
+            tables["events"], "user_id", by=["event_type"]
+        ).collect()
+    }
+    want = {
+        r.scope: r.est_users
+        for r in REGISTRY["hll_union_users_events"]
+        .spark(spark, SF_DIR)
+        .collect()
+        if r.scope != "ALL"
+    }
+    assert got == want
+
+
+def test_api_weighted_sample_matches_registry(spark, tables):
+    """Facade reservoir == registry reservoir on documents."""
+    from qa_data_pipeline_rag_llm_spark import api
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    got = sorted(
+        (r.source, r.rank, r.doc_id)
+        for r in api.weighted_sample(
+            tables["documents"].select("doc_id", "source", "n_chars"),
+            "n_chars",
+            20,
+            "source",
+        ).collect()
+    )
+    want = sorted(
+        (r.source, r.rank, r.doc_id)
+        for r in REGISTRY["weighted_reservoir_documents"]
+        .spark(spark, SF_DIR)
+        .collect()
+    )
+    assert got == want
