@@ -709,6 +709,7 @@ _PINNED_NEW = [
     "cbo_stats_join_keys",
     "multimodal_audio_frames",
     "multimodal_resize_documents",
+    "bloom_membership_customers",
     # VERDICT r04 #1's latent third instance: fixed alongside the two
     # err'd array-output queries (posting stringified) but never
     # driver-rowed — pin so the FIX gets verified, not just the bug's

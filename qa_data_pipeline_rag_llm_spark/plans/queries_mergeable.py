@@ -674,6 +674,167 @@ def cms_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom filter geometry: m=8192 bits, k=3 md5-salted hashes. Bit of
+# key under salt r: first 4 md5 hex chars of "r_<key>" mod m.
+_BLOOM_M = 8192
+_BLOOM_K = 3
+
+
+def _bloom_bit_sql(r: int, col: str, cast: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(concat('{r}_', CAST({col} AS VARCHAR)))"
+        f", 1, 4)) AS INTEGER) % {_BLOOM_M}"
+        if cast == "duck"
+        else f"CAST(conv(substr(md5(concat('{r}_', CAST({col} AS STRING)))"
+        f", 1, 4), 16, 10) AS INT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "bloom_membership_customers",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_bit_sql(r, 'k', 'duck')} AS bit FROM members"
+            for r in range(_BLOOM_K)
+        )})),
+    probes AS (
+      SELECT c_custkey AS k FROM customer
+      UNION ALL
+      SELECT c_custkey + 900000000 AS k FROM customer),
+    melted AS (
+      {" UNION ALL ".join(
+          f'''SELECT k, {_bloom_bit_sql(r, 'k', 'duck')} AS bit
+              FROM probes'''
+          for r in range(_BLOOM_K)
+      )}),
+    claims AS (
+      SELECT m.k, (COUNT(b.bit) = {_BLOOM_K}) AS claimed
+      FROM melted m LEFT JOIN bits b ON b.bit = m.bit
+      GROUP BY m.k),
+    lab AS (
+      SELECT c.k, c.claimed, (mm.k IS NOT NULL) AS member
+      FROM claims c LEFT JOIN members mm ON mm.k = c.k),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+             CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT)
+               AS claimed,
+             CAST(SUM(CASE WHEN claimed AND NOT member THEN 1 ELSE 0 END)
+                  AS BIGINT) AS false_positives,
+             CAST(SUM(CASE WHEN member AND NOT claimed THEN 1 ELSE 0 END)
+                  AS BIGINT) AS missed
+      FROM lab),
+    fill AS (
+      SELECT *,
+             1.0 - exp(CAST({_BLOOM_K} AS DOUBLE) * n_members
+                       * ln(1.0 - CAST(1 AS DOUBLE) / {_BLOOM_M})) AS fl
+      FROM agg)
+    SELECT n_members, n_probes, claimed, false_positives,
+           round(CAST(false_positives AS DOUBLE)
+                 / nullif(n_probes - n_members, 0), 6) AS fp_rate,
+           round(fl * fl * fl, 6) AS expected_fp_rate,
+           (missed = 0) AS no_false_negatives,
+           (CAST(false_positives AS DOUBLE)
+              / nullif(n_probes - n_members, 0)
+            <= 3.0 * fl * fl * fl + 0.01) AS fp_within_budget
+    FROM fill
+    """,
+    doc="Bloom-filter membership summary (completes the mergeable-"
+    "sketch trio: HLL=cardinality, CMS=frequency, Bloom=membership): "
+    "m=8192 bits, k=3 deterministic md5-salted hashes over the "
+    "customers-with-orders key set, probed with EVERY customer. "
+    "Verdicts pin the hard invariant (no false negatives — a Bloom "
+    "filter may only over-claim) and measured-vs-theory FPR "
+    "((1-e^(-kn/m))^k, ln/exp-only math, k-th power as plain "
+    "multiplication), so the row stays honest at any scale — a "
+    "saturated filter raises BOTH measured and expected rates "
+    "together. Bits OR-merge across partitions/batches (the DISTINCT "
+    "bit union IS the merge); at 100 TB the filter is m bits of "
+    "state built by one map-side-combinable pass, and the probe join "
+    "broadcasts <= m bit rows. This is the hand-rolled, oracle-"
+    "checkable twin of the runtime BloomFilterMightContain the "
+    "engine's own runtime_filter_join_revenue plan-gates.",
+)
+def bloom_membership_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    members = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bit_structs = [
+        F.struct(F.expr(_bloom_bit_sql(r, "k", "spark")).alias("bit"))
+        for r in range(_BLOOM_K)
+    ]
+    bits = (
+        members.select(F.explode(F.array(*bit_structs)).alias("s"))
+        .select(F.col("s.bit").alias("bit"))
+        .distinct()
+    )
+    # probe with every real customer PLUS an offset twin per customer —
+    # guaranteed non-members, so the measured FPR is never degenerate
+    # (at small SF every customer has orders and the non-member count
+    # would otherwise be zero -> NULL rate)
+    probes = cust.select(F.col("c_custkey").alias("k")).unionByName(
+        cust.select((F.col("c_custkey") + 900_000_000).alias("k"))
+    )
+    melted = probes.select(
+        "k", F.explode(F.array(*bit_structs)).alias("s")
+    ).select("k", F.col("s.bit").alias("bit"))
+    claims = (
+        melted.join(F.broadcast(bits.withColumnRenamed("bit", "b")),
+                    F.col("bit") == F.col("b"), "left")
+        .groupBy("k")
+        .agg((F.count("b") == _BLOOM_K).alias("claimed"))
+    )
+    lab = claims.join(
+        members.withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"),
+        "left",
+    ).select("k", "claimed", F.col("mk").isNotNull().alias("member"))
+    agg = lab.agg(
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("claimed"),
+        F.sum(F.when(F.col("claimed") & ~F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("false_positives"),
+        F.sum(F.when(F.col("member") & ~F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("missed"),
+    )
+    fl = F.lit(1.0) - F.exp(
+        F.lit(float(_BLOOM_K))
+        * F.col("n_members")
+        * F.log(F.lit(1.0) - F.lit(1.0) / F.lit(_BLOOM_M))
+    )
+    fpr = F.col("false_positives").cast("double") / F.nullif(
+        F.col("n_probes") - F.col("n_members"), F.lit(0)
+    )
+    return agg.select(
+        "n_members",
+        "n_probes",
+        "claimed",
+        "false_positives",
+        F.round(fpr, 6).alias("fp_rate"),
+        F.round(fl * fl * fl, 6).alias("expected_fp_rate"),
+        (F.col("missed") == 0).alias("no_false_negatives"),
+        (fpr <= F.lit(3.0) * fl * fl * fl + F.lit(0.01)).alias(
+            "fp_within_budget"
+        ),
+    )
+
+
 # Deterministic ~5% customer cohort: md5 register index < 13 (13/256).
 _DEL_BUCKETS = 13
 

@@ -285,6 +285,44 @@ def test_cms_never_underestimates_and_cells_merge(spark):
     assert merged == full
 
 
+def test_bloom_invariants_and_bit_merge(spark):
+    """Bloom hard invariant (never a false negative) and the merge
+    property: bits built from two disjoint halves of the key set,
+    OR-merged (set union), must equal the full filter's bits."""
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+    from qa_data_pipeline_rag_llm_spark.plans.queries_mergeable import (
+        _BLOOM_K,
+        _bloom_bit_sql,
+    )
+
+    row = (
+        REGISTRY["bloom_membership_customers"].spark(spark, SF_DIR).first()
+    )
+    assert row.no_false_negatives and row.fp_within_budget
+    # the offset-twin probes guarantee a non-degenerate non-member pool
+    assert row.n_probes > row.n_members > 0
+    orders = load_table(spark, SF_DIR, "orders").where(
+        F.col("o_custkey").isNotNull()
+    )
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+
+    def bits_of(df):
+        out = set()
+        for r in range(_BLOOM_K):
+            out |= {
+                x.bit
+                for x in df.select(
+                    F.expr(_bloom_bit_sql(r, "k", "spark")).alias("bit")
+                ).collect()
+            }
+        return out
+
+    full = bits_of(members)
+    h0 = bits_of(members.where(F.pmod(F.col("k"), F.lit(2)) == 0))
+    h1 = bits_of(members.where(F.pmod(F.col("k"), F.lit(2)) == 1))
+    assert (h0 | h1) == full
+
+
 def test_reservoir_prefers_heavy_documents(spark):
     """Selection probability must actually track weight: the sampled
     docs' mean n_chars exceeds the corpus mean (size-biased sampling)."""
