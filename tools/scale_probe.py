@@ -122,6 +122,7 @@ PROBE = [
     "cbo_stats_join_keys",
     "multimodal_audio_frames",
     "multimodal_resize_documents",
+    "bloom_membership_customers",
 ]
 
 # table -> columns to offset per replica
