@@ -620,6 +620,34 @@ def test_cms_is_single_keyed_pass(spark):
     assert "ReusedExchange" in plan, plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        # docstring claims "zero shuffles" for both media legs — gate it
+        "multimodal_audio_frames",
+        "multimodal_resize_documents",
+    ],
+)
+def test_media_legs_are_shuffle_free(spark, name):
+    """No KEY shuffle anywhere — the single allowed exchange is
+    ensure_parallelism's round-robin rebalance of the single-file
+    input (data-balancing, not data movement by key)."""
+    plan = _plan(spark, name)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_hll_rollup_state_sized_merge(spark):
+    """hll_rollup_daily_users: after register extraction (1 data-sized
+    shuffle) everything runs over calendar-sized state — the plan may
+    shuffle registers/spine/audit keys but never cartesian, and the
+    7-offset spine join must broadcast."""
+    plan = _plan(spark, "hll_rollup_daily_users")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_deletion_cascade_single_pass_per_table(spark):
     """deletion_cascade_customers: each fact table scans exactly once —
     total and affected counted in the same pass via the key-only left
