@@ -150,6 +150,18 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         minima[name] = round(min(samples), 3)
     total = round(sum(timings.values()), 3)
+    # Re-probe machine speed AFTER the timed runs: the start-of-run
+    # probes cannot see a host-throughput dip that arrives mid-run
+    # (observed r5: probes healthy, every query uniformly ~1.3x slower
+    # minutes later on the same build). A drifted pair tells the reader
+    # the run straddled a speed change and value_min is the fairer
+    # total.
+    cal_end_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id)").collect()
+        cal_end_samples.append(time.perf_counter() - t0)
+    cal_end = round(min(cal_end_samples), 3)
     # median-of-RUNS totals attribute ~1/RUNS of the timed jobs' excess
     # scheduling overhead to the reported value
     sched_excess = round(
@@ -179,6 +191,13 @@ def main() -> None:
                 if calibration > 0
                 else total,
                 "contaminated_uniform": calibration > 1.5 * CAL_ANCHOR_SEC,
+                "calibration_end_sec": cal_end,
+                "speed_drifted": (
+                    calibration > 0
+                    and cal_end > 0
+                    and max(cal_end / calibration, calibration / cal_end)
+                    > 1.5
+                ),
                 "sched_probe_sec": sched_probe,
                 "sched_anchor_sec": SCHED_ANCHOR_SEC,
                 "jobs_timed": jobs_timed,
