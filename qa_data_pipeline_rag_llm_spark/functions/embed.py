@@ -84,7 +84,7 @@ def make_http_embed_backend(
     the closure cloudpickles to executors with zero dependencies. Each
     worker holds its own connection; transient failures retry with
     backoff (the seam twin of the reference's StackAPI backoff loop,
-    ``STACK-Recup-Questions.py``)."""
+    ``STACK-Ingestion.py:43-63``)."""
     from qa_data_pipeline_rag_llm_spark.functions.httpjson import post_json
 
     def backend(texts: list[str]) -> list[list[float]]:

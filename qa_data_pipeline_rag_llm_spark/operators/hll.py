@@ -13,8 +13,9 @@ both engines reach the single closing division bit-identically.
 Scale: at 100 TB the register shuffle moves at most m rows per
 partition after map-side combine; merging day-level or DC-level
 sketches is a 256-row max — raw rows never move twice. Reference
-contrast: unique counting there is driver-side pandas ``nunique``
-(REDDIT-Mise-En-Forme*.py) — single-node only.
+contrast: no distinct-count surface exists there; its nearest
+aggregation is driver-side pandas groupby→to_dict
+(``PLATFORM-contextual-Chunking.py:97``) — single-node only.
 """
 
 from __future__ import annotations

@@ -170,24 +170,21 @@ KM_ITERS = 3
 )
 def kmeans_fixedpoint_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    flat = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
-        .select(
+
+    def flatten(points: DataFrame) -> DataFrame:
+        return points.select(
+            "vec_id", F.posexplode("embedding").alias("pos0", "val")
+        ).select(
             "vec_id",
             (F.col("pos0") + 1).alias("pos"),
             F.round((F.col("val").cast("double") + 1.0) * 1_000_000)
             .cast("long")
             .alias("v6"),
         )
-        .persist()
-    )
-    cents = flat.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").cast("int").alias("cluster"), "pos", F.col("v6").alias("c6")
-    )
 
-    def assign(cents_df):
+    def assign(points: DataFrame, cents_df: DataFrame) -> DataFrame:
         dists = (
-            flat.join(cents_df, "pos")
+            points.join(cents_df, "pos")
             .groupBy("vec_id", "cluster")
             .agg(
                 F.sum(
@@ -200,18 +197,32 @@ def kmeans_fixedpoint_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.struct("dist", "cluster")).alias("m")
         ).select("vec_id", F.col("m.cluster").alias("cluster"))
 
+    flat = flatten(emb).persist()
+    cents = flat.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), "pos", F.col("v6").alias("c6")
+    )
     try:
         for _ in range(KM_ITERS):
-            asg = assign(cents)
+            asg = assign(flat, cents)
             cents = (
                 asg.join(flat, "vec_id")
                 .groupBy("cluster", "pos")
                 .agg(F.expr("sum(v6) div count(*)").cast("long").alias("c6"))
             )
-        # materialize before releasing flat's cache: the final assignment
-        # still reads flat, and cached blocks must not leak into the rest
-        # of a long-lived session (ADVICE r01)
-        return assign(cents).localCheckpoint(eager=True)
+        # The final centroids are tiny (k clusters x dims rows): collect
+        # them (the ivf.seed_centroids bounded-collect pattern) and rebuild
+        # the final assignment over FRESH unpersisted lineage from a literal
+        # frame. Returning a localCheckpoint here pinned the checkpoint RDD
+        # for the lifetime of the caller's reference (VERDICT r05 #1) —
+        # nothing inside the query could ever release it.
+        final = sorted(
+            (int(r["cluster"]), int(r["pos"]), int(r["c6"]))
+            for r in cents.collect()
+        )
+        lit_cents = spark.createDataFrame(
+            final, schema="cluster int, pos int, c6 long"
+        )
+        return assign(flatten(emb), F.broadcast(lit_cents))
     finally:
         flat.unpersist()
 

@@ -1,9 +1,11 @@
 """Registry entries: mergeable-summary algebra — the property that makes
 100 TB aggregation embarrassingly parallel.
 
-The reference's only cardinality/sampling surface is exact pandas ops on
-a collected driver frame (`Mise-En-Forme-CSV-Donnees.py`'s keep-first +
-`value_counts` shapes); at corpus scale both become mergeable summaries:
+The reference has no sketch/cardinality surface at all — its only
+driver-side aggregation is exact pandas over a collected frame
+(`PLATFORM-contextual-Chunking.py:97`'s groupby→to_dict,
+`app2.py:59-63`'s concat+isin); at corpus scale those become mergeable
+summaries:
 each partition emits a tiny state, states merge associatively, and the
 final answer never touches raw rows again. Spark's built-ins
 (`approx_count_distinct`, `hll_sketch_agg`, `sampleBy`) implement this
@@ -124,8 +126,10 @@ def _hll_final(est: DataFrame, ex: DataFrame, group_col: str) -> DataFrame:
     "count-distinct audit columns. All 2^-M_j terms are dyadic "
     "rationals summed as scaled integers (1 << (61-M_j), DECIMAL "
     "accumulate, one closing division); md5-register parity is pinned "
-    "cross-engine. Reference contrast: REDDIT-Mise-En-Forme*.py "
-    "counts uniques via driver-side pandas nunique — single-node only.",
+    "cross-engine. Reference contrast: no distinct-count surface "
+    "exists; its nearest aggregation is driver-side pandas "
+    "groupby->to_dict (PLATFORM-contextual-Chunking.py:97) — "
+    "single-node only.",
 )
 def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
@@ -246,8 +250,9 @@ _RES_K = 20
     "sources are few (one-task-per-group window is the r02 scale "
     "killer). u = (w+1)/2^60 is exact dyadic; ln sits inside the "
     "established ln/exp cross-engine discipline (queries_contrib.py). "
-    "Reference contrast: the reference samples via pandas .sample "
-    "(RNG, driver-bound; REDDIT-Mise-En-Forme-Finale.py shapes).",
+    "Reference contrast: no sampling surface exists; the nearest "
+    "shape is the driver-side head-n similar-posts truncation "
+    "(PLATFORM-contextual-Chunking.py:98-109, similaires[:20]).",
 )
 def weighted_reservoir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
@@ -878,7 +883,8 @@ _DEL_BUCKETS = 13
     "before a GDPR purge: the key frames broadcast or shuffle by key, "
     "AQE picks per-stage, and no raw payload column ever moves. "
     "Reference contrast: no deletion/compliance surface exists "
-    "(closest is keep-first dedup in Mise-En-Forme-CSV-Donnees.py).",
+    "(nearest row pruning is the rank<=k comment cap, "
+    "REDDIT-Nettoyage-Comms.py:67).",
 )
 def deletion_cascade_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")

@@ -286,7 +286,8 @@ def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SCD2 dimension history + interval concurrency (extension surface: the
 # reference keeps no history at all — each run of its pipeline overwrites
-# the prior CSV snapshot, PLATFORM-Cleaning-Structuration.py — so slowly-
+# the prior CSV snapshot at a fixed object name (REDDIT-Nettoyage-Posts.py:65,
+# PLATFORM-Merge.py:61 re-putting the cleaneddata objects) — so slowly-
 # changing-dimension tracking is the warehouse capability it lacks).
 
 _SID_FACTOR = 1_000_000_000  # sess_id < 1e9 per user ⇒ collision-free sid
