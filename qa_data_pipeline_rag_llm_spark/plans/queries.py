@@ -746,6 +746,64 @@ def _load_artifacts() -> list[dict]:
     return out
 
 
+def query_fingerprint(spec: QuerySpec) -> str:
+    """Identity of what the driver actually verifies: the Spark builder's
+    source + the oracle text. A clean artifact row certifies THIS pair —
+    change either and the row is evidence about code that no longer
+    exists (VERDICT r05 #2: q1 was rewritten in r5 but its last clean
+    row was r2-vintage)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.spark)
+        # getsource on a decorated function includes the @register(...)
+        # call — whose doc= text changes for editorial reasons; hash from
+        # the def line so only BEHAVIOR (body + oracle) invalidates.
+        at = src.find(f"def {spec.spark.__name__}")
+        if at >= 0:
+            src = src[at:]
+    except (OSError, TypeError):  # builtins/partials — fall back to name
+        src = getattr(spec.spark, "__qualname__", repr(spec.spark))
+    body = src + "\x00" + (spec.oracle or "")
+    return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def _load_fingerprint_ledger() -> dict[str, dict[str, str]]:
+    """FINGERPRINTS.json: {round: {query: fingerprint-at-that-round}}.
+    Snapshot taken per round by tools/fingerprint_snapshot.py; absence
+    degrades to the pre-r6 behavior (trust the artifact row)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[2] / "FINGERPRINTS.json"
+    try:
+        return json.loads(path.read_text())
+    except Exception:
+        return {}
+
+
+def _drop_stale_verifications(
+    rounds: dict[str, int],
+    ledger: dict[str, dict[str, str]],
+    current_fp: dict[str, str],
+) -> dict[str, int]:
+    """Change-aware rotation (VERDICT r05 ask #2): a query whose
+    (source, oracle) fingerprint differs from the snapshot at its last
+    clean round returns to DEBT — the stale green certified different
+    code. Rounds in `rounds` are 0-indexed artifact positions; ledger
+    keys are 1-based round numbers. Missing snapshot/entry keeps the
+    verification (graceful degradation for pre-ledger rounds)."""
+    out: dict[str, int] = {}
+    for name, rnd in rounds.items():
+        snap = ledger.get(str(rnd + 1), {})
+        fp_then = snap.get(name)
+        if fp_then is not None and fp_then != current_fp.get(name):
+            continue  # rewritten since its clean row — back to debt
+        out[name] = rnd
+    return out
+
+
 def _verified_rounds(artifacts: list[dict]) -> dict[str, int]:
     """name -> LAST round with a CLEAN artifact row.
 
@@ -778,13 +836,27 @@ def _verified_rounds(artifacts: list[dict]) -> dict[str, int]:
     }
 
 
+# Stale queries the next recheck window must cover first, regardless of
+# their rank in the stale queue (VERDICT r05 ask #2 names q1's limb-split
+# rewrite as the live example to re-row).
+_PINNED_RECHECK = ["q1_pricing_summary"]
+
+
 def _ordered_names(
     names: list[str],
     rounds: dict[str, int],
     n_artifacts: int,
     oracled: set[str],
+    stale: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
-    """Pure ordering kernel (testable without touching REGISTRY/disk)."""
+    """Pure ordering kernel (testable without touching REGISTRY/disk).
+
+    `rounds` maps every name with a clean artifact row to its last clean
+    round; `stale` is the subset whose fingerprint changed since that row
+    (change-aware rotation, VERDICT r05 ask #2). Never-rowed debt keeps
+    all DEBT_SLOTS (the cumulative-coverage burn); stale queries take the
+    RECHECKS window ahead of merely-old verifications — their green is
+    evidence about code that no longer exists, the most urgent recheck."""
     seen = set(rounds)
 
     def bucket(n: str) -> int:
@@ -805,8 +877,16 @@ def _ordered_names(
     if n_artifacts >= _RECHECK_FROM_ARTIFACTS:
         debt = [n for n in ordered if n not in seen]
         done = [n for n in ordered if n in seen]
-        # oldest verification first: most time to have rotted
-        done.sort(key=lambda n: (rounds[n], names.index(n)))
+        # stale first (pinned, then oldest clean row); then oldest
+        # verification (most time to have rotted)
+        done.sort(
+            key=lambda n: (
+                n not in stale,
+                n not in _PINNED_RECHECK,
+                rounds[n],
+                names.index(n),
+            )
+        )
         ordered = (
             debt[:DEBT_SLOTS]
             + done[:RECHECKS]
@@ -819,9 +899,15 @@ def _ordered_names(
 def _reorder_registry() -> None:
     artifacts = _load_artifacts()
     rounds = _verified_rounds(artifacts)
+    kept = _drop_stale_verifications(
+        rounds,
+        _load_fingerprint_ledger(),
+        {n: query_fingerprint(s) for n, s in REGISTRY.items()},
+    )
+    stale = frozenset(rounds) - set(kept)
     names = list(REGISTRY)
     oracled = {n for n in names if REGISTRY[n].oracle}
-    ordered = _ordered_names(names, rounds, len(artifacts), oracled)
+    ordered = _ordered_names(names, rounds, len(artifacts), oracled, stale)
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for n in ordered:

@@ -10,6 +10,7 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import (
     DEBT_SLOTS,
     RECHECKS,
     _RECHECK_FROM_ARTIFACTS,
+    _drop_stale_verifications,
     _ordered_names,
     _verified_rounds,
 )
@@ -83,3 +84,76 @@ def test_debt_fills_before_rechecks():
     assert all(n not in rounds for n in ordered[:DEBT_SLOTS])
     # then the rechecks
     assert all(n in rounds for n in ordered[DEBT_SLOTS : DEBT_SLOTS + RECHECKS])
+
+
+# --------------------------------------------------------------------------
+# Change-aware rotation (VERDICT r05 ask #2): a clean row only certifies the
+# (source, oracle) fingerprint that was current when the driver ran.
+
+
+def test_fingerprint_change_returns_query_to_debt():
+    rounds = {"a": 1, "b": 1}
+    ledger = {"2": {"a": "fp_old", "b": "fp_same"}}
+    current = {"a": "fp_new", "b": "fp_same"}
+    kept = _drop_stale_verifications(rounds, ledger, current)
+    assert kept == {"b": 1}
+
+
+def test_missing_snapshot_degrades_to_trusting_the_row():
+    # pre-ledger rounds (or a name absent from the snapshot) keep their
+    # verification — absence of evidence is not a rewrite
+    rounds = {"a": 0, "b": 3}
+    ledger = {"4": {"b": "fp"}}
+    current = {"a": "anything", "b": "fp"}
+    assert _drop_stale_verifications(rounds, ledger, current) == rounds
+
+
+def test_stale_queries_take_recheck_slots_not_debt_slots():
+    """Never-rowed debt keeps all DEBT_SLOTS (the cumulative-coverage
+    burn); stale queries lead the RECHECKS window."""
+    names = _names(120)
+    oracled = set(names)
+    rounds = {n: 0 for n in names[:60]}  # 60 verified, 60 never-rowed
+    stale = frozenset(names[50:60])  # ten of the verified went stale
+    ordered = _ordered_names(
+        names, rounds, _RECHECK_FROM_ARTIFACTS, oracled, stale
+    )
+    debt_slice = ordered[:DEBT_SLOTS]
+    recheck_slice = ordered[DEBT_SLOTS : DEBT_SLOTS + RECHECKS]
+    assert all(n not in rounds for n in debt_slice)
+    assert set(recheck_slice) == set(stale)
+
+
+def test_stale_ordering_oldest_clean_first_after_pins():
+    names = _names(30)
+    rounds = {n: i % 3 for i, n in enumerate(names)}  # clean rounds 0/1/2
+    stale = frozenset(names)
+    ordered = _ordered_names(names, rounds, _RECHECK_FROM_ARTIFACTS, set(names), stale)
+    rechecks = ordered[:RECHECKS]  # no debt at all -> rechecks lead
+    assert [rounds[n] for n in rechecks] == sorted(rounds[n] for n in rechecks)
+
+
+def test_fingerprint_ledger_current_with_working_tree():
+    """The latest FINGERPRINTS.json snapshot must match the working tree:
+    editing a query after the snapshot turns this red until
+    tools/fingerprint_snapshot.py is re-run — so the driver always tests
+    code whose fingerprints the next rotation can trust."""
+    import json
+    import pathlib
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries import (
+        REGISTRY,
+        query_fingerprint,
+    )
+
+    path = pathlib.Path(__file__).parents[1] / "FINGERPRINTS.json"
+    ledger = json.loads(path.read_text())
+    latest = ledger[max(ledger, key=int)]
+    current = {n: query_fingerprint(s) for n, s in REGISTRY.items()}
+    changed = {
+        n for n in set(latest) | set(current) if latest.get(n) != current.get(n)
+    }
+    assert not changed, (
+        f"queries edited since the last fingerprint snapshot: {sorted(changed)} "
+        "— run `python tools/fingerprint_snapshot.py`"
+    )
