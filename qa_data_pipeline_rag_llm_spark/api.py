@@ -156,13 +156,18 @@ def approx_distinct(
 
 
 def weighted_sample(
-    df: DataFrame, weight_col: str, k: int, by: str
+    df: DataFrame, weight_col: str, k: int, by: str, key_col: str | None = None
 ) -> DataFrame:
     """A-ExpJ weighted reservoir per group (the registry's
     weighted_reservoir_documents as a parameterized facade): top-k rows
-    by ln(u)/weight with u a deterministic md5 uniform of ``__key``,
-    which must exist as a unique row key column named by convention
-    'doc_id'-like; here the first df column is used as the key."""
+    by ln(u)/weight with u a deterministic md5 uniform of ``key_col``.
+
+    ``key_col`` must uniquely identify rows — duplicate keys share u, so
+    their selection probabilities would silently correlate (ADVICE r05).
+    Passing key_col explicitly asserts uniqueness (no extra scan); when
+    it is omitted and the first column is used by convention, that
+    column IS validated (one count-distinct pass) so a non-unique
+    positional key raises instead of silently distorting the sample."""
     from pyspark.sql import functions as F
 
     from qa_data_pipeline_rag_llm_spark.operators import hll
@@ -170,7 +175,20 @@ def weighted_sample(
         salted_top_k,
     )
 
-    key = df.columns[0]
+    key = key_col or df.columns[0]
+    if key not in df.columns:
+        raise ValueError(f"key_col {key!r} not in {df.columns}")
+    if key_col is None:
+        dup = (
+            df.groupBy(key).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"weighted_sample positional key {key!r} is not unique: "
+                "duplicate keys share the deterministic uniform u and "
+                "distort selection probabilities — pass a unique row id "
+                "as key_col"
+            )
     u_num = F.expr(hll.spark_w_sql(key)) + 1
     score = F.log(u_num.cast("double") / F.lit(float(1 << 60))) / F.col(
         weight_col

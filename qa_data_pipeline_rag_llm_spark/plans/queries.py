@@ -125,6 +125,58 @@ def o_limb_sum(scaled_expr: str, scale: int, limbs: int) -> str:
     return f"({' + '.join(terms)}) / {float(scale)}"
 
 
+# Exact-rational averages (ADVICE r05, queries.py:170): rounding the
+# DOUBLE quotient ties Spark's shortest-string BigDecimal HALF_UP against
+# DuckDB's scaled-float rounding near .00005 boundaries. Instead the limb
+# sums recombine as EXACT integers (DECIMAL(38,0) / HUGEINT) and
+# round(S/(SCALE·N), 4) with SCALE=10^4 becomes pure integer arithmetic:
+#   r4 = (2·S + N) div (2·N)   (half-up on a positive exact rational)
+# and the displayed double is r4/10^4 — both engines evaluate the same
+# integer polynomial, so the result is bit-identical at ANY scale.
+
+
+def s_limb_sum_int(scaled_expr: str, limbs: int) -> str:
+    """Spark-SQL exact integer limb recombination (DECIMAL(38,0))."""
+    terms = []
+    for i in range(limbs):
+        part = scaled_expr
+        if i > 0:
+            part = f"shiftright({part}, {23 * i})"
+        if i < limbs - 1:
+            part = f"(({part}) & {LIMB - 1})"
+        terms.append(f"CAST(SUM({part}) AS DECIMAL(38,0)) * {LIMB ** i}")
+    return f"({' + '.join(terms)})"
+
+
+def o_limb_sum_int(scaled_expr: str, limbs: int) -> str:
+    """Oracle twin of s_limb_sum_int (HUGEINT is DuckDB's exact int128)."""
+    terms = []
+    for i in range(limbs):
+        part = scaled_expr
+        if i > 0:
+            part = f"(({part}) >> {23 * i})"
+        if i < limbs - 1:
+            part = f"(({part}) & {LIMB - 1})"
+        terms.append(f"CAST(SUM({part}) AS HUGEINT) * {LIMB ** i}")
+    return f"({' + '.join(terms)})"
+
+
+def s_avg4(scaled_expr: str, limbs: int) -> str:
+    """round(avg, 4) of a SCALE-scaled term as exact integer math
+    (Spark side). Requires the term scale to equal SCALE=10^4 so the
+    rounding quantum cancels: round(S/(SCALE·N)·10^4 + 1/2) = (2S+N) div 2N."""
+    s = s_limb_sum_int(scaled_expr, limbs)
+    n = "CAST(COUNT(*) AS DECIMAL(38,0))"
+    return f"CAST((2 * {s} + {n}) div (2 * {n}) AS DOUBLE) / 10000.0"
+
+
+def o_avg4(scaled_expr: str, limbs: int) -> str:
+    """Oracle twin of s_avg4 (// is DuckDB integral division)."""
+    s = o_limb_sum_int(scaled_expr, limbs)
+    n = "CAST(COUNT(*) AS HUGEINT)"
+    return f"CAST((2 * {s} + {n}) // (2 * {n}) AS DOUBLE) / 10000.0"
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -160,6 +212,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # =====================================================================
 
 
+# Spark SQL shares o_sl's text — round()/CAST parse identically in both
+# dialects, so the avg4 expressions are built from ONE scaled-term string.
+_SL_QTY = o_sl("l_quantity")
+_SL_PRICE = o_sl("l_extendedprice")
+_SL_DISC = o_sl("l_discount")
+
+
 @register(
     "q1_pricing_summary",
     f"""
@@ -168,9 +227,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round({o_limb_sum(o_sl("l_extendedprice"), SCALE, 2)}, 2) AS sum_base_price,
            round({o_limb_sum(f"{o_sl('l_extendedprice')} * ({SCALE} - {o_sl('l_discount')})", SCALE * SCALE, 2)}, 2) AS sum_disc_price,
            round({o_limb_sum(f"{o_sl('l_extendedprice')} * ({SCALE} - {o_sl('l_discount')}) * ({SCALE} + {o_sl('l_tax')})", SCALE**3, 3)}, 2) AS sum_charge,
-           round({o_limb_sum(o_sl("l_quantity"), SCALE, 1)} / COUNT(*), 4) AS avg_qty,
-           round({o_limb_sum(o_sl("l_extendedprice"), SCALE, 2)} / COUNT(*), 4) AS avg_price,
-           round({o_limb_sum(o_sl("l_discount"), SCALE, 1)} / COUNT(*), 4) AS avg_disc,
+           {o_avg4(o_sl("l_quantity"), 1)} AS avg_qty,
+           {o_avg4(o_sl("l_extendedprice"), 2)} AS avg_price,
+           {o_avg4(o_sl("l_discount"), 1)} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -182,7 +241,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "sums on this profile, overflow-safe past 1e12 rows): qty/disc "
     "terms fit one limb, price and disc_price two, charge three; the "
     "oracle replays the identical limb polynomial so hashes stay "
-    "bit-identical at any scale.",
+    "bit-identical at any scale. The avg_* columns round on an EXACT "
+    "rational — r4 = (2S+N) div 2N on integer limb recombinations "
+    "(ADVICE r05: double-division rounding can tie-break differently "
+    "across engines near .00005 boundaries).",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -196,9 +258,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(price_sum, 2).alias("sum_base_price"),
         F.round(_limb_sum(disc_price, SCALE * SCALE, 2), 2).alias("sum_disc_price"),
         F.round(_limb_sum(charge, SCALE**3, 3), 2).alias("sum_charge"),
-        F.round(qty_sum / F.count("*"), 4).alias("avg_qty"),
-        F.round(price_sum / F.count("*"), 4).alias("avg_price"),
-        F.round(_limb_sum(_sl("l_discount"), SCALE, 1) / F.count("*"), 4).alias("avg_disc"),
+        F.expr(s_avg4(_SL_QTY, 1)).alias("avg_qty"),
+        F.expr(s_avg4(_SL_PRICE, 2)).alias("avg_price"),
+        F.expr(s_avg4(_SL_DISC, 1)).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 

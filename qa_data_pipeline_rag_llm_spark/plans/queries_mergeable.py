@@ -58,6 +58,9 @@ _DUCK_BUCKET = hll.duck_bucket_sql("user_id")
 _DUCK_W = hll.duck_w_sql("user_id")
 
 # Final projection shared by both HLL queries (engine + oracle shape).
+# {j} carries extra join conjuncts (e.g. the is_union disambiguator —
+# ADVICE r05: a REAL event_type named 'ALL' must not cross-match the
+# union scope's rows; label collision is fine, join fan-out is not).
 _HLL_FINAL_DUCK = """
     SELECT e.{g} AS scope, x.exact_users, e.v AS empty_registers,
            round(e.est, 4) AS est_users,
@@ -65,13 +68,18 @@ _HLL_FINAL_DUCK = """
              AS err_pct,
            (abs(e.est - x.exact_users) / x.exact_users <= 0.195)
              AS within_budget
-    FROM est e JOIN ex x ON e.{g} = x.{g}
+    FROM est e JOIN ex x ON e.{g} = x.{g}{j}
 """
 
 
-def _hll_final(est: DataFrame, ex: DataFrame, group_col: str) -> DataFrame:
+def _hll_final(
+    est: DataFrame,
+    ex: DataFrame,
+    group_col: str,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
     e = F.col("est")
-    return est.join(ex, group_col).select(
+    return est.join(ex, [group_col, *(extra_keys or [])]).select(
         F.col(group_col).alias("scope"),
         "exact_users",
         F.col("v").alias("empty_registers"),
@@ -103,15 +111,17 @@ def _hll_final(est: DataFrame, ex: DataFrame, group_col: str) -> DataFrame:
       SELECT 'ALL' AS event_type, bucket, MAX(m_reg) AS m_reg
       FROM regs GROUP BY bucket),
     est AS (
-      {hll.duck_estimate_sql("regs", "event_type")}
+      SELECT *, FALSE AS is_union FROM ({hll.duck_estimate_sql("regs", "event_type")})
       UNION ALL
-      {hll.duck_estimate_sql("mregs", "event_type")}),
+      SELECT *, TRUE AS is_union FROM ({hll.duck_estimate_sql("mregs", "event_type")})),
     ex AS (
-      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             FALSE AS is_union
       FROM raw GROUP BY event_type
       UNION ALL
-      SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) FROM raw)
-    {_HLL_FINAL_DUCK.format(g="event_type")}
+      SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id), TRUE AS is_union
+      FROM raw)
+    {_HLL_FINAL_DUCK.format(g="event_type", j=" AND e.is_union = x.is_union")}
     """,
     doc="From-scratch deterministic HyperLogLog (p=8, m=256; Flajolet "
     "et al. 2007 raw estimator + linear-counting small-range branch) "
@@ -145,19 +155,31 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("m_reg").alias("m_reg"))
         .select(F.lit("ALL").alias("event_type"), "bucket", "m_reg")
     )
-    est = hll.estimate(regs, ["event_type"]).unionByName(
-        hll.estimate(merged, ["event_type"])
+    est = (
+        hll.estimate(regs, ["event_type"])
+        .withColumn("is_union", F.lit(False))
+        .unionByName(
+            hll.estimate(merged, ["event_type"]).withColumn(
+                "is_union", F.lit(True)
+            )
+        )
     )
     ex = (
         ev.groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("exact_users"))
+        .withColumn("is_union", F.lit(False))
         .unionByName(
             ev.agg(F.count_distinct("user_id").alias("exact_users")).select(
-                F.lit("ALL").alias("event_type"), "exact_users"
+                F.lit("ALL").alias("event_type"),
+                "exact_users",
+                F.lit(True).alias("is_union"),
             )
         )
     )
-    return _hll_final(est, ex, "event_type")
+    # join keyed on (event_type, is_union): a real event_type 'ALL' may
+    # share the output label with the union scope but can never
+    # cross-match its est/ex rows (ADVICE r05)
+    return _hll_final(est, ex, "event_type", extra_keys=["is_union"])
 
 
 @register(
@@ -176,7 +198,7 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (
       SELECT 'stream' AS scope, COUNT(DISTINCT user_id) AS exact_users
       FROM raw)
-    {_HLL_FINAL_DUCK.format(g="scope")}
+    {_HLL_FINAL_DUCK.format(g="scope", j="")}
     """,
     doc="Streaming twin of hll_union_users_events: the register vector "
     "maintained as streaming state. The stateful complete-mode "
@@ -709,7 +731,7 @@ def _bloom_bit_sql(r: int, col: str, cast: str) -> str:
     probes AS (
       SELECT c_custkey AS k FROM customer
       UNION ALL
-      SELECT c_custkey + 900000000 AS k FROM customer),
+      SELECT -c_custkey - 1 AS k FROM customer),
     melted AS (
       {" UNION ALL ".join(
           f'''SELECT k, {_bloom_bit_sql(r, 'k', 'duck')} AS bit
@@ -782,12 +804,15 @@ def bloom_membership_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s.bit").alias("bit"))
         .distinct()
     )
-    # probe with every real customer PLUS an offset twin per customer —
-    # guaranteed non-members, so the measured FPR is never degenerate
-    # (at small SF every customer has orders and the non-member count
-    # would otherwise be zero -> NULL rate)
+    # probe with every real customer PLUS a NEGATED twin per customer —
+    # guaranteed non-members at ANY scale factor (custkeys are positive,
+    # so -k-1 <= -2 can never collide with a real key; an additive
+    # offset collides once SF grows past the offset — ADVICE r05), so
+    # the measured FPR is never degenerate (at small SF every customer
+    # has orders and the non-member count would otherwise be zero ->
+    # NULL rate)
     probes = cust.select(F.col("c_custkey").alias("k")).unionByName(
-        cust.select((F.col("c_custkey") + 900_000_000).alias("k"))
+        cust.select((-F.col("c_custkey") - 1).alias("k"))
     )
     melted = probes.select(
         "k", F.explode(F.array(*bit_structs)).alias("s")

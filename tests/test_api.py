@@ -107,3 +107,22 @@ def test_api_weighted_sample_matches_registry(spark, tables):
         .collect()
     )
     assert got == want
+
+
+def test_api_weighted_sample_rejects_non_unique_positional_key(spark, tables):
+    """ADVICE r05 (api.py:180): an unvalidated positional key with
+    duplicates silently correlates selection probabilities — the facade
+    must raise, and an explicit key_col must be accepted (and checked
+    for existence)."""
+    import pytest
+
+    from qa_data_pipeline_rag_llm_spark import api
+
+    docs = tables["documents"].select("source", "doc_id", "n_chars")
+    with pytest.raises(ValueError, match="not unique"):
+        api.weighted_sample(docs, "n_chars", 5, "source")
+    # explicit unique key: fine, even though column 0 is non-unique
+    out = api.weighted_sample(docs, "n_chars", 5, "source", key_col="doc_id")
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="not in"):
+        api.weighted_sample(docs, "n_chars", 5, "source", key_col="nope")

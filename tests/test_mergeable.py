@@ -333,3 +333,26 @@ def test_reservoir_prefers_heavy_documents(spark):
     m_sel = sel.agg(F.avg("weight")).first()[0]
     m_all = docs.agg(F.avg("n_chars")).first()[0]
     assert m_sel > m_all
+
+
+def test_hll_final_union_scope_cannot_cross_match_real_ALL_label(spark):
+    """ADVICE r05 (queries_mergeable.py:148): if a REAL group is
+    literally named 'ALL', the est/ex join must key on (label,
+    is_union) so the union scope's rows never fan out against it."""
+    from qa_data_pipeline_rag_llm_spark.plans.queries_mergeable import (
+        _hll_final,
+    )
+
+    est = spark.createDataFrame(
+        [("ALL", 10.0, 3, False), ("ALL", 99.0, 1, True)],
+        "event_type string, est double, v int, is_union boolean",
+    )
+    ex = spark.createDataFrame(
+        [("ALL", 10, False), ("ALL", 100, True)],
+        "event_type string, exact_users long, is_union boolean",
+    )
+    rows = _hll_final(est, ex, "event_type", extra_keys=["is_union"]).collect()
+    assert len(rows) == 2  # no 4-row fan-out
+    by_exact = {r.exact_users: r for r in rows}
+    assert by_exact[10].est_users == 10.0  # real 'ALL' paired with itself
+    assert by_exact[100].est_users == 99.0  # union scope with union exact
