@@ -124,3 +124,49 @@ def test_mmr_null_scores_are_dropped(spark):
     )
     got = mmr_rerank(cand, pairs, k=3).orderBy("rnk").collect()
     assert [r.doc_id for r in got] == [10, 12]
+
+
+def test_mmr_degenerate_cases_hash_match_oracle(spark, tmp_path):
+    """VERDICT r05 ask #6: the advice-r04 degenerate cases — a probe
+    with exactly ONE candidate and zero-norm-embedding candidates —
+    verified END-TO-END: the registry query and its DuckDB oracle run
+    on the same synthetic embeddings table and must agree exactly.
+
+    Construction: probes are vec_ids (0,1,2). Vectors 1 and 2 are
+    all-zero (zero norm -> NULL cosine on both engines), so probe 0's
+    candidate set is exactly {3} (single candidate, no pairs) and
+    probes 1/2 have NO candidates at all (they emit nothing)."""
+    import duckdb
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    dim = 8
+    rows = [
+        (0, [1.0] + [0.0] * (dim - 1), 0),
+        (1, [0.0] * dim, 0),  # zero-norm probe AND candidate
+        (2, [0.0] * dim, 0),  # zero-norm probe AND candidate
+        (3, [0.5] * dim, 1),  # the single real candidate
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    spec = REGISTRY["mmr_diversified_retrieval"]
+    got = sorted(
+        (r.probe_id, r.rnk, r.doc_id, r.mmr_s)
+        for r in spec.spark(spark, str(tmp_path)).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+
+    assert got == want
+    # the single-candidate probe emits exactly its rank-1 row; the
+    # zero-norm probes emit nothing
+    assert [t[:3] for t in got] == [(0, 1, 3)]
