@@ -123,6 +123,41 @@ PROBE = [
     "multimodal_audio_frames",
     "multimodal_resize_documents",
     "bloom_membership_customers",
+    # r06 (VERDICT r05 #5): complete the 17-query headline bench set so
+    # EVERY bench row has its own decade slope — a plan regression then
+    # shows up as a slope change, not bench noise. (The other nine
+    # headliners are already probed above.)
+    "q5_nation_revenue",
+    "order_line_ids",
+    "qa_pipeline_docs",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "asof_click_before_purchase",
+    "chunk_documents",
+]
+
+# The bench.py headline set (17 queries) — `--headline` probes exactly
+# these, at any sf dir, so the decade table in SCALING.md can be
+# regenerated in one command per scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "topk_orders_per_customer",
+    "order_line_ids",
+    "sessionize_events",
+    "text_stats_documents",
+    "minhash_signatures_documents",
+    "cosine_topk_embeddings",
+    "qa_pipeline_docs",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "asof_click_before_purchase",
+    "chunk_documents",
+    "corpus_prep_pipeline",
+    "hybrid_rrf_retrieval",
 ]
 
 # table -> columns to offset per replica
@@ -300,7 +335,8 @@ def main() -> None:
         for a in sys.argv[1:]
         if a.startswith("--only=")
     ]
-    probe = [n for n in PROBE if not only or n in only[0]]
+    pool = HEADLINE if "--headline" in sys.argv else PROBE
+    probe = [n for n in pool if not only or n in only[0]]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--gen" in sys.argv:
@@ -320,8 +356,10 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         print(name, timings[name], flush=True)
-    levers = physical_levers(spark, out_dir)
-    print(json.dumps({"sf": "synth1", "queries": timings,
+    levers = (
+        None if "--no-levers" in sys.argv else physical_levers(spark, out_dir)
+    )
+    print(json.dumps({"sf": out_dir, "queries": timings,
                       "physical_levers": levers,
                       "total": round(sum(timings.values()), 3)}))
 
