@@ -145,3 +145,54 @@ def test_normalize_strips_before_lower(spark):
     assert out[0] == ["a", "ba"]
     assert out[1] == [""]  # nothing but delimiters → normalized empty
     assert out[2] == ["abc", "def"]
+
+
+def test_avg4_integer_rounding_matches_decimal_half_up(duck):
+    """ADVICE r05 (queries.py:170): q1's round(avg, 4) must be exact
+    half-up on the true rational S/(SCALE·N) — including the .00005 tie
+    boundaries where double rounding diverges across engines. The
+    integer form r4 = (2S+N) div (2N) is checked against
+    decimal.Decimal ROUND_HALF_UP on adversarial tie cases and random
+    draws, and the DuckDB twin replays the same integer expression."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries import SCALE
+
+    rng = random.Random(6)
+    cases = []
+    # exact .00005 ties: S/(SCALE*N)*10^4 = m + 0.5  =>  2S = (2m+1)*N
+    for n in (1, 3, 7, 1000, 999_983):
+        for m in (0, 1, 249_999, 10**9):
+            if ((2 * m + 1) * n) % 2 == 0:
+                continue  # needs odd product to be a true half tie
+            s = (2 * m + 1) * n  # 2S = (2m+1)N may be odd -> skip
+            if s % 2:
+                continue
+            cases.append((s // 2, n))
+    # near-tie neighbours and random draws
+    for _ in range(500):
+        n = rng.randint(1, 10**7)
+        m = rng.randint(0, 10**8)
+        base = (2 * m + 1) * n
+        for delta in (-1, 0, 1):
+            s2 = base + delta
+            if s2 > 0 and s2 % 2 == 0:
+                cases.append((s2 // 2, n))
+        cases.append((rng.randint(1, 10**15), n))
+    assert len(cases) > 500
+
+    for s, n in cases:
+        want = int(
+            (Decimal(s) * 10**4 / (Decimal(SCALE) * n)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        got = (2 * s + n) // (2 * n)
+        assert got == want, (s, n, got, want)
+
+    # DuckDB replays the identical integer expression (HUGEINT path)
+    rows = duck.execute(
+        "SELECT (2*CAST(? AS HUGEINT) + ?) // (2*CAST(? AS HUGEINT))",
+        [cases[0][0], cases[0][1], cases[0][1]],
+    ).fetchone()
+    assert rows[0] == (2 * cases[0][0] + cases[0][1]) // (2 * cases[0][1])
