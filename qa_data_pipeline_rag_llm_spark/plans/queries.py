@@ -276,7 +276,7 @@ def _rev() -> F.Column:
     "q3_top_orders",
     f"""
     SELECT o.o_orderkey,
-           round({o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)}, 2) AS revenue,
+           round({o_limb_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE, 2)}, 2) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority AS priority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -287,7 +287,10 @@ def _rev() -> F.Column:
     LIMIT 10
     """,
     bench=True,
-    doc="TPC-H Q3 shape: 3-way join + agg + deterministic top-10 (J1/O-family).",
+    doc="TPC-H Q3 shape: 3-way join + agg + deterministic top-10 "
+    "(J1/O-family). Revenue sums ride the limb-split long fast path "
+    "(_limb_sum, 2 limbs — the q1 r5 rewrite): per-group decimal "
+    "buffers left codegen and dominated the post-join agg.",
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -297,7 +300,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("revenue"))
+        .agg(F.round(_limb_sum(_rev(), SCALE * SCALE, 2), 2).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -313,7 +316,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     f"""
     SELECT n.n_name AS nation,
-           round({o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)}, 2) AS revenue
+           round({o_limb_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE, 2)}, 2) AS revenue
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
                   JOIN orders o ON o.o_custkey = c.c_custkey
@@ -338,7 +341,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("revenue"))
+        .agg(F.round(_limb_sum(_rev(), SCALE * SCALE, 2), 2).alias("revenue"))
     )
 
 

@@ -20,10 +20,12 @@ from qa_data_pipeline_rag_llm_spark.operators.ranking import top_k_per_group
 from qa_data_pipeline_rag_llm_spark.plans.queries import (
     SCALE,
     _exact_sum,
+    _limb_sum,
     _money,
     _sl,
     _t,
     o_exact_sum,
+    o_limb_sum,
     o_money,
     o_sl,
     register,
@@ -328,7 +330,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     f"""
     SELECT c.c_custkey, c.c_name,
-           round({o_exact_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE)}, 2) AS revenue,
+           round({o_limb_sum(_O_REV.replace("l_", "l.l_"), SCALE * SCALE, 2)}, 2) AS revenue,
            n.n_name AS nation
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -359,7 +361,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.round(_exact_sum(_rev(), SCALE * SCALE), 2).alias("revenue"))
+        .agg(F.round(_limb_sum(_rev(), SCALE * SCALE, 2), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "nation")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
