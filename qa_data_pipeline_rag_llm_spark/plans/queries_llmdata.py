@@ -227,3 +227,143 @@ def tfidf_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(
         _t(spark, sf_dir, "documents"), list(TFIDF_TERMS), k=TFIDF_K
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016): the tokenizer-TRAINING step of
+# a corpus pipeline, as a deterministic iterative DataFrame computation with
+# a full-loop recursive-CTE oracle (the pagerank/kmeans discipline applied
+# to subword vocabulary induction). No counterpart exists in the reference
+# (its tokenization is whatever the SentenceTransformer ships —
+# PLATFORM-contextual-Chunking.py:52-77); a 100 TB pipeline trains its own.
+#
+# Symbol strings carry a '·' marker BEFORE every token ("·l·o·w·_"): a merge
+# is then plain `replace(sym, '·a·b', '·ab')`, which both engines apply
+# leftmost-non-overlapping over token boundaries — the marker makes a
+# cross-boundary match impossible (a pattern starts with '·' and symbols
+# never contain it) and the shared middle marker makes overlapping matches
+# consume correctly ("·a·a·a" + (a,a) -> "·aa·a", the BPE scan order).
+
+BPE_K = 8           # merges to learn
+BPE_MIN_FREQ = 5    # word-type frequency floor (both engines replay it)
+BPE_WLEN_LO, BPE_WLEN_HI = 2, 10
+
+# adjacent-pair extraction from a marker string, DuckDB dialect; {src} is
+# the state relation to count over
+_BPE_PAIRS_DUCK = """
+    SELECT s2.it, pr.a, pr.b, SUM(s2.freq) AS cnt
+    FROM {src} s2, LATERAL (
+      SELECT toks[i] AS a, toks[i+1] AS b
+      FROM (SELECT list_filter(string_split(s2.sym, '·'), x -> x <> '') AS toks),
+           LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i)
+    ) pr
+    GROUP BY s2.it, pr.a, pr.b
+"""
+
+
+def _o_bpe() -> str:
+    return f"""
+    WITH RECURSIVE
+    words AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+            FROM documents WHERE text IS NOT NULL) u
+      WHERE len(t) BETWEEN {BPE_WLEN_LO} AND {BPE_WLEN_HI}
+      GROUP BY t HAVING COUNT(*) >= {BPE_MIN_FREQ}),
+    state AS (
+      SELECT 0 AS it, word, freq,
+             '·' || list_aggr(string_split(word, ''), 'string_agg', '·')
+                 || '·_' AS sym
+      FROM words
+      UNION ALL
+      SELECT s.it + 1, s.word, s.freq,
+             replace(s.sym, '·' || p.a || '·' || p.b, '·' || p.a || p.b)
+      FROM state s
+      JOIN (
+        SELECT it, a, b FROM ({_BPE_PAIRS_DUCK.format(src='state')})
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY it
+                                   ORDER BY cnt DESC, a, b) = 1
+      ) p ON p.it = s.it
+      WHERE s.it < {BPE_K})
+    SELECT CAST(it + 1 AS INTEGER) AS merge_rank, a AS left_sym,
+           b AS right_sym, CAST(cnt AS BIGINT) AS pair_count
+    FROM ({_BPE_PAIRS_DUCK.format(src='state')})
+    WHERE it < {BPE_K}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY it ORDER BY cnt DESC, a, b) = 1
+    ORDER BY merge_rank
+    """
+
+
+# toks from a marker string; position filter keeps 1..size-1 ascending
+# (sequence(1, size) is always ascending; sequence(1, 0) would DESCEND)
+_BPE_TOKS = "filter(split(sym, '·'), x -> x != '')"
+_BPE_PAIRS_SPARK = (
+    "transform(filter(sequence(1, size(toks)), i -> i < size(toks)), "
+    "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"
+)
+
+
+@register(
+    "bpe_learn_merges_documents",
+    _o_bpe(),
+    doc=f"BPE merge learning (top-{BPE_K} merges, Sennrich et al. 2016) "
+    "over the documents corpus — tokenizer TRAINING as a deterministic "
+    "iterative plan, hash-matched against a DuckDB recursive CTE that "
+    "replays every round (argmax ties broken by (count desc, pair "
+    "lexicographic)). Corpus-sized work happens exactly once: one "
+    "map-side-combinable tokenize+groupBy(word) shuffle down to the "
+    "word-TYPE vocabulary (Heaps-law bounded — millions of types at "
+    "100 TB, not trillions of tokens); all iterations run on the "
+    "persisted vocab (pair counts are vocab-sized partial aggs, merge "
+    "application is a narrow replace projection), with one 1-row "
+    "bounded collect per merge. This is the standard distributed-BPE "
+    "shape: corpus pass for counts, vocabulary-resident training loop.",
+)
+def bpe_learn_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word").between(BPE_WLEN_LO, BPE_WLEN_HI))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= BPE_MIN_FREQ)
+        .select(
+            "freq",
+            F.expr("concat('·', concat_ws('·', split(word, '')), '·_')").alias(
+                "sym"
+            ),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    vocab = words
+    try:
+        for it in range(1, BPE_K + 1):
+            best = (
+                vocab.select("freq", F.expr(_BPE_TOKS).alias("toks"))
+                .select("freq", F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()[0]
+            )
+            a, b = best["a"], best["b"]
+            # symbols are [a-z_]+ by construction — safe to splice into
+            # the replace() literal (and fail loud if that ever changes)
+            assert a.replace("_", "").isalpha() or a == "_", a
+            assert b.replace("_", "").isalpha() or b == "_", b
+            merges.append((it, a, b, int(best["cnt"])))
+            vocab = vocab.withColumn(
+                "sym", F.expr(f"replace(sym, '·{a}·{b}', '·{a}{b}')")
+            )
+        return spark.createDataFrame(
+            merges,
+            "merge_rank int, left_sym string, right_sym string, pair_count long",
+        )
+    finally:
+        words.unpersist()

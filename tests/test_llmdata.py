@@ -65,3 +65,28 @@ def test_tfidf_rank_contract(spark, tables):
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
     assert len(out) == 10
+
+
+def test_bpe_merges_are_wellformed_and_monotone(spark):
+    """BPE invariants: (1) best-pair counts are non-increasing across
+    rounds — a merge can only create pairs bounded by the count it
+    consumed and never raises an existing pair's count; (2) every
+    merged symbol is buildable left-to-right from earlier vocabulary
+    (chars/end-marker or prior merges) — the defining property of a
+    valid merge table."""
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = (
+        REGISTRY["bpe_learn_merges_documents"]
+        .spark(spark, SF_DIR)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    known = set("abcdefghijklmnopqrstuvwxyz_")
+    for r in rows:
+        assert r.left_sym in known and r.right_sym in known, r
+        known.add(r.left_sym + r.right_sym)
