@@ -322,3 +322,91 @@ _R["cross_source_leakage"].oracle = f"""
            MAX(jaccard) AS max_jaccard
     FROM labeled GROUP BY source_x, source_y
 """
+
+
+@register(
+    "split_leakage_audit_documents",
+    None,  # injected below: composes the verified near-dup pair oracle
+    doc="Train/val/test near-duplicate LEAKAGE audit: verified MinHash "
+    "pairs labeled with each doc's deterministic hash-bucket split "
+    "(the split_assign_documents rule), aggregated per canonical split "
+    "pair with an is_leak flag on cross-split rows. This is the "
+    "dedup x split interaction every training pipeline must gate on — "
+    "a near-dup of a held-out doc inside train silently inflates "
+    "eval; same-split rows stay as the base rate. Reuses the banded "
+    "Jaccard-verified pair stream (never all-pairs); the split label "
+    "is a pure projection of doc_id, so labeling adds two key-only "
+    "joins of the tiny pair set back to documents.",
+)
+def split_leakage_audit_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+    from qa_data_pipeline_rag_llm_spark.plans.queries_sampling import (
+        _SPARK_BUCKET,
+    )
+
+    pairs = REGISTRY["minhash_near_dups"].spark(spark, sf_dir)
+    bucket = F.expr(_SPARK_BUCKET.format(key="doc_id"))
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    labeled = pairs.join(
+        d.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a")),
+        "doc_a",
+    ).join(
+        d.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b")),
+        "doc_b",
+    )
+    lo, hi = F.least("sp_a", "sp_b"), F.greatest("sp_a", "sp_b")
+    return (
+        labeled.select(lo.alias("split_x"), hi.alias("split_y"), "jaccard")
+        .groupBy("split_x", "split_y")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            # order-independent exact mean (the cross_source_leakage scheme)
+            F.round(
+                F.sum(
+                    F.round(F.col("jaccard") * 1000000)
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / 1000000.0
+                / F.count("*"),
+                6,
+            ).alias("avg_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumn("is_leak", F.col("split_x") != F.col("split_y"))
+    )
+
+
+from qa_data_pipeline_rag_llm_spark.plans.queries_sampling import (  # noqa: E402
+    _DUCK_BUCKET as _DB,
+)
+
+_R["split_leakage_audit_documents"].oracle = f"""
+    WITH pairs AS ({_R["minhash_near_dups"].oracle}),
+    lab AS (SELECT doc_id,
+                   CASE WHEN {_DB.format(key="doc_id")} < 204 THEN 'train'
+                        WHEN {_DB.format(key="doc_id")} < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents),
+    labeled AS (
+      SELECT least(la.split, lb.split) AS split_x,
+             greatest(la.split, lb.split) AS split_y,
+             p.jaccard
+      FROM pairs p
+      JOIN lab la ON p.doc_a = la.doc_id
+      JOIN lab lb ON p.doc_b = lb.doc_id)
+    SELECT split_x, split_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(round(jaccard * 1000000) AS DECIMAL(38,0)))
+                      AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_jaccard,
+           MAX(jaccard) AS max_jaccard,
+           (split_x <> split_y) AS is_leak
+    FROM labeled GROUP BY split_x, split_y
+"""

@@ -124,8 +124,10 @@ PROBE = [
     "multimodal_resize_documents",
     "bloom_membership_customers",
     # r06: tokenizer training — the corpus pass collapses to the word-type
-    # vocabulary, so the K-merge loop must be ~flat one decade up
+    # vocabulary, so the K-merge loop must be ~flat one decade up; the
+    # split-leakage audit must track its input pair stream, not exceed it
     "bpe_learn_merges_documents",
+    "split_leakage_audit_documents",
     # r06 (VERDICT r05 #5): complete the 17-query headline bench set so
     # EVERY bench row has its own decade slope — a plan regression then
     # shows up as a slope change, not bench noise. (The other nine
