@@ -296,3 +296,138 @@ def equidepth_bounds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_rank"),
         F.round(F.col("v").cast("double") / V_SCALE, 2).alias("boundary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin quantile sketch: completes the mergeable-summary
+# family (HLL=distinct, CMS=frequency, Bloom=membership, MG=heavy hitters,
+# A-ExpJ=sampling — and now quantiles). Two passes: a 1-row bounds agg
+# fixes the bin domain, then the histogram state is HIST_BINS longs whose
+# per-partition partials merge by plain addition — the KLL/t-digest ROLE
+# with deterministic, oracle-replayable arithmetic. The exact equi-depth
+# boundary table is the audit side: every estimate must land within one
+# bin width of the true boundary.
+
+HIST_BINS = 256
+
+
+@register(
+    "quantile_sketch_events",
+    None,  # injected below: composes the equidepth exact-boundary oracle
+    doc=f"Fixed-bin histogram quantile sketch ({HIST_BINS} bins over the "
+    "cent domain, bounds fixed by a broadcast 1-row min/max pass) "
+    "estimating every equi-depth boundary, audited against the EXACT "
+    "boundary table (equidepth_bounds_events) with a within-one-bin-"
+    "width verdict per row. The sketch state is {HIST_BINS} longs that "
+    "merge by addition across partitions/days/DCs — at 100 TB the "
+    "histogram answers any quantile from constant state while the "
+    "exact side costs a distinct-cent cumulative; bin assignment is "
+    "pure integer floor math ((v-lo)*B div span), the estimate the "
+    "bin midpoint, and every float derives from the same exact "
+    "integers in both engines so the verdict booleans hash-match. "
+    "Corpus-sized work: the min/max agg and one map-side-combinable "
+    f"groupBy(bin) shuffle of <= {HIST_BINS} rows per partition.",
+)
+def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum,
+    )
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        F.round(F.col("value") * V_SCALE).cast("long").alias("v")
+    )
+    stats = cents.agg(
+        F.min("v").alias("lo"),
+        (F.max("v") - F.min("v") + 1).cast("long").alias("span"),
+    )
+    bins = (
+        cents.crossJoin(F.broadcast(stats))
+        .select(F.expr(f"(v - lo) * {HIST_BINS} div span").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("bc"))
+    )
+    bcum = rank_cumsum(
+        bins, [F.asc("bin")], "bc", cumsum_col="bcm", bucket_col="bin"
+    ).withColumn("bcm", F.col("bcm").cast("long"))
+    exact = (
+        REGISTRY["equidepth_bounds_events"]
+        .spark(spark, sf_dir)
+        .select(
+            "bucket",
+            "target_rank",
+            "boundary",
+            F.round(F.col("boundary") * V_SCALE).cast("long").alias("ev_c"),
+        )
+    )
+    # covering bin of each target rank: 15 x HIST_BINS bounded range join
+    est = (
+        F.broadcast(exact)
+        .join(
+            bcum,
+            (F.col("bcm") >= F.col("target_rank"))
+            & (F.col("bcm") - F.col("bc") < F.col("target_rank")),
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    est_c = (
+        F.col("lo").cast("double")
+        + (F.col("bin").cast("double") + 0.5)
+        * F.col("span").cast("double")
+        / HIST_BINS
+    )
+    err_c = F.abs(est_c - F.col("ev_c").cast("double"))
+    return est.select(
+        "bucket",
+        "target_rank",
+        F.col("boundary").alias("exact_boundary"),
+        (est_c / V_SCALE).alias("est"),
+        (err_c / V_SCALE).alias("err"),
+        (err_c <= F.col("span").cast("double") / HIST_BINS).alias(
+            "within_one_bin"
+        ),
+    )
+
+
+from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY as _R  # noqa: E402
+
+_R["quantile_sketch_events"].oracle = f"""
+    WITH exact AS ({_R["equidepth_bounds_events"].oracle}),
+    vc AS (
+      SELECT CAST(round(value * {V_SCALE}) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY CAST(round(value * {V_SCALE}) AS BIGINT)),
+    stats AS (
+      SELECT MIN(v) AS lo, CAST(MAX(v) - MIN(v) + 1 AS BIGINT) AS span
+      FROM vc),
+    bins AS (
+      SELECT (v - lo) * {HIST_BINS} // span AS bin,
+             CAST(SUM(c) AS BIGINT) AS bc
+      FROM vc, stats GROUP BY 1),
+    bcum AS (
+      SELECT bin, bc, CAST(SUM(bc) OVER (ORDER BY bin) AS BIGINT) AS bcm
+      FROM bins),
+    joined AS (
+      SELECT e.bucket, e.target_rank, e.boundary,
+             CAST(round(e.boundary * {V_SCALE}) AS BIGINT) AS ev_c,
+             b.bin, b.bc, s.lo, s.span
+      FROM exact e
+      JOIN bcum b ON b.bcm >= e.target_rank
+                 AND b.bcm - b.bc < e.target_rank
+      CROSS JOIN stats s)
+    SELECT bucket, target_rank, boundary AS exact_boundary,
+           (CAST(lo AS DOUBLE)
+            + (CAST(bin AS DOUBLE) + 0.5) * CAST(span AS DOUBLE)
+              / {HIST_BINS}) / {V_SCALE} AS est,
+           abs(CAST(lo AS DOUBLE)
+               + (CAST(bin AS DOUBLE) + 0.5) * CAST(span AS DOUBLE)
+                 / {HIST_BINS}
+               - CAST(ev_c AS DOUBLE)) / {V_SCALE} AS err,
+           (abs(CAST(lo AS DOUBLE)
+                + (CAST(bin AS DOUBLE) + 0.5) * CAST(span AS DOUBLE)
+                  / {HIST_BINS}
+                - CAST(ev_c AS DOUBLE))
+            <= CAST(span AS DOUBLE) / {HIST_BINS}) AS within_one_bin
+    FROM joined
+"""
