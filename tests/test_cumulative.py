@@ -150,7 +150,12 @@ def test_rank_cumsum_null_bucket_key_fails_loud(spark):
     import pytest
     from pyspark.errors import PySparkException
 
-    df = spark.range(100).select(
+    # single input partition: with sibling tasks, the task that throws
+    # the assert races the stage-cancel of the others, and under suite
+    # load the driver occasionally surfaces the SPARK_JOB_CANCELLED
+    # wrapper instead of the assert message (observed flake r06); one
+    # task makes the propagated error deterministic
+    df = spark.range(0, 100, 1, 1).select(
         "id",
         F.when(F.col("id") != 7, (F.col("id") * 37) % 101 + 1).alias("v"),
     )
