@@ -329,18 +329,10 @@ HIST_BINS = 256
     f"groupBy(bin) shuffle of <= {HIST_BINS} rows per partition.",
 )
 def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
-        rank_cumsum,
-    )
-    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
-
-    ev = _t(spark, sf_dir, "events")
-    cents = ev.select(
-        F.round(F.col("value") * V_SCALE).cast("long").alias("v")
-    )
-    stats = cents.agg(
-        F.min("v").alias("lo"),
-        (F.max("v") - F.min("v") + 1).cast("long").alias("span"),
+    stats = _hist_stats(spark, sf_dir)
+    cents = (
+        _t(spark, sf_dir, "events")
+        .select(F.round(F.col("value") * V_SCALE).cast("long").alias("v"))
     )
     bins = (
         cents.crossJoin(F.broadcast(stats))
@@ -348,6 +340,33 @@ def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("bc"))
     )
+    return _quantile_report(spark, sf_dir, bins, stats)
+
+
+def _hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (lo, span) calibration frame fixing the bin domain."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.round(F.col("value") * V_SCALE).cast("long").alias("v"))
+        .agg(
+            F.min("v").alias("lo"),
+            (F.max("v") - F.min("v") + 1).cast("long").alias("span"),
+        )
+    )
+
+
+def _quantile_report(
+    spark: SparkSession, sf_dir: str, bins: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Shared estimate side: bin-cumulative -> covering bin per exact
+    equi-depth target rank -> midpoint estimate + one-bin-width verdict.
+    ``bins``: (bin, bc) histogram state, from the batch or the streaming
+    variant — the report is identical either way."""
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum,
+    )
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
     bcum = rank_cumsum(
         bins, [F.asc("bin")], "bc", cumsum_col="bcm", bucket_col="bin"
     ).withColumn("bcm", F.col("bcm").cast("long"))
@@ -431,3 +450,52 @@ _R["quantile_sketch_events"].oracle = f"""
             <= CAST(span AS DOUBLE) / {HIST_BINS}) AS within_one_bin
     FROM joined
 """
+
+
+@register(
+    "streaming_quantile_sketch_events",
+    None,  # injected below: identical oracle — streaming replay is a
+    # total function of the input files (the streaming_hll discipline)
+    doc=f"Streaming twin of quantile_sketch_events: the {HIST_BINS}-bin "
+    "histogram maintained AS the streaming state. The (lo, span) "
+    "calibration frame is a static 1-row table joined into the stream "
+    "(the standard stream-static calibration join — production fixes "
+    "bin bounds from a calibration pass, then the state never moves), "
+    "and the complete-mode groupBy(bin).count keeps exactly "
+    f"{HIST_BINS} longs in the state store; per-micro-batch partial "
+    "counts merge by ADDITION exactly as batch partitions do. "
+    "AvailableNow replay makes the result a total function of the "
+    "input, so the DuckDB oracle verifies the STREAMING path exactly — "
+    "batch plan, streaming plan, and oracle all hash-identical. At "
+    "100 TB/day the quantile dashboard costs constant state.",
+)
+def streaming_quantile_sketch_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        read_events_stream,
+        run_to_completion,
+    )
+
+    stats = _hist_stats(spark, sf_dir)
+    calib = stats.withColumn("_k", F.lit(1))
+    ev = read_events_stream(spark, sf_dir)
+    bins_stream = (
+        ev.select(
+            F.round(F.col("value") * V_SCALE).cast("long").alias("v"),
+            F.lit(1).alias("_k"),
+        )
+        .join(calib, "_k")  # stream-static calibration join
+        .select(F.expr(f"(v - lo) * {HIST_BINS} div span").alias("bin"))
+        .groupBy("bin")
+        .count()
+    )
+    bins = run_to_completion(bins_stream, "complete").select(
+        "bin", F.col("count").cast("long").alias("bc")
+    )
+    return _quantile_report(spark, sf_dir, bins, stats)
+
+
+_R["streaming_quantile_sketch_events"].oracle = _R[
+    "quantile_sketch_events"
+].oracle

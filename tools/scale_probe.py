@@ -131,6 +131,7 @@ PROBE = [
     # r06: the mergeable quantile sketch — 256-long state, so growth must
     # track the bounds/bin scans only
     "quantile_sketch_events",
+    "streaming_quantile_sketch_events",
     # r06 (VERDICT r05 #5): complete the 17-query headline bench set so
     # EVERY bench row has its own decade slope — a plan regression then
     # shows up as a slope change, not bench noise. (The other nine
