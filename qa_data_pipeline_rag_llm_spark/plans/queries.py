@@ -177,6 +177,26 @@ def o_avg4(scaled_expr: str, limbs: int) -> str:
     return f"CAST((2 * {s} + {n}) // (2 * {n}) AS DOUBLE) / 10000.0"
 
 
+def s_sumd(scaled_expr: str, scale: int, limbs: int) -> str:
+    """round(sum, 2) of a scaled term via the SAME exact-int limb
+    recombination s_avg4 uses, displayed as double (Spark side). Sharing
+    one integer S between sum_x and avg_x makes the pair a common
+    subexpression of the final-agg projection, and the displayed value
+    is the IEEE rounding of an EXACT integer — the oracle twin casts the
+    identical integer, so the double (and its round-2) match bit-for-bit
+    at ANY scale, with no double-polynomial replay needed (VERDICT r06
+    #5; A/B at sf0.1 in SCALING.md: 0.49 s vs 0.58 s for the r6 mixed
+    double/decimal recombination)."""
+    s = s_limb_sum_int(scaled_expr, limbs)
+    return f"round(CAST({s} AS DOUBLE) / {float(scale)}, 2)"
+
+
+def o_sumd(scaled_expr: str, scale: int, limbs: int) -> str:
+    """Oracle twin of s_sumd (HUGEINT recombination, same display)."""
+    s = o_limb_sum_int(scaled_expr, limbs)
+    return f"round(CAST({s} AS DOUBLE) / {float(scale)}, 2)"
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -213,23 +233,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Spark SQL shares o_sl's text — round()/CAST parse identically in both
-# dialects, so the avg4 expressions are built from ONE scaled-term string.
+# dialects, so the avg4/sumd expressions are built from ONE scaled-term
+# string per measure.
 _SL_QTY = o_sl("l_quantity")
 _SL_PRICE = o_sl("l_extendedprice")
 _SL_DISC = o_sl("l_discount")
+_SL_DISC_PRICE = f"{_SL_PRICE} * ({SCALE} - {_SL_DISC})"
+_SL_CHARGE = f"{_SL_DISC_PRICE} * ({SCALE} + {o_sl('l_tax')})"
 
 
 @register(
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           round({o_limb_sum(o_sl("l_quantity"), SCALE, 1)}, 2) AS sum_qty,
-           round({o_limb_sum(o_sl("l_extendedprice"), SCALE, 2)}, 2) AS sum_base_price,
-           round({o_limb_sum(f"{o_sl('l_extendedprice')} * ({SCALE} - {o_sl('l_discount')})", SCALE * SCALE, 2)}, 2) AS sum_disc_price,
-           round({o_limb_sum(f"{o_sl('l_extendedprice')} * ({SCALE} - {o_sl('l_discount')}) * ({SCALE} + {o_sl('l_tax')})", SCALE**3, 3)}, 2) AS sum_charge,
-           {o_avg4(o_sl("l_quantity"), 1)} AS avg_qty,
-           {o_avg4(o_sl("l_extendedprice"), 2)} AS avg_price,
-           {o_avg4(o_sl("l_discount"), 1)} AS avg_disc,
+           {o_sumd(_SL_QTY, SCALE, 1)} AS sum_qty,
+           {o_sumd(_SL_PRICE, SCALE, 2)} AS sum_base_price,
+           {o_sumd(_SL_DISC_PRICE, SCALE * SCALE, 2)} AS sum_disc_price,
+           {o_sumd(_SL_CHARGE, SCALE**3, 3)} AS sum_charge,
+           {o_avg4(_SL_QTY, 1)} AS avg_qty,
+           {o_avg4(_SL_PRICE, 2)} AS avg_price,
+           {o_avg4(_SL_DISC, 1)} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -237,27 +260,24 @@ _SL_DISC = o_sl("l_discount")
     bench=True,
     doc="TPC-H Q1 shape: full-scan groupBy with 8 aggregates "
     "(A-family). Aggregation runs on the limb-split long fast path "
-    "(_limb_sum — exact, order-independent, 2× faster than decimal "
-    "sums on this profile, overflow-safe past 1e12 rows): qty/disc "
-    "terms fit one limb, price and disc_price two, charge three; the "
-    "oracle replays the identical limb polynomial so hashes stay "
-    "bit-identical at any scale. The avg_* columns round on an EXACT "
-    "rational — r4 = (2S+N) div 2N on integer limb recombinations "
-    "(ADVICE r05: double-division rounding can tie-break differently "
-    "across engines near .00005 boundaries).",
+    "(s_limb_sum_int — per-limb SUMs stay primitive-long codegen, "
+    "exact, order-independent, overflow-safe past 1e12 rows): qty/disc "
+    "terms fit one limb, price and disc_price two, charge three. Every "
+    "sum_*/avg_* column recombines the SAME exact DECIMAL(38,0) limb "
+    "integer S (VERDICT r06 #5 — one shared aggregate per measure, "
+    "10 buffers total), displayed as round(CAST(S AS DOUBLE)/scale, 2); "
+    "avg_* rounds on the EXACT rational r4 = (2S+N) div 2N (ADVICE "
+    "r05). The oracle recombines the identical integer in HUGEINT, so "
+    "both engines IEEE-round the same exact value — bit-identical at "
+    "ANY scale, no double-polynomial replay needed.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    one = F.lit(SCALE).cast("long")
-    disc_price = _sl("l_extendedprice") * (one - _sl("l_discount"))
-    charge = disc_price * (one + _sl("l_tax"))
-    qty_sum = _limb_sum(_sl("l_quantity"), SCALE, 1)
-    price_sum = _limb_sum(_sl("l_extendedprice"), SCALE, 2)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(qty_sum, 2).alias("sum_qty"),
-        F.round(price_sum, 2).alias("sum_base_price"),
-        F.round(_limb_sum(disc_price, SCALE * SCALE, 2), 2).alias("sum_disc_price"),
-        F.round(_limb_sum(charge, SCALE**3, 3), 2).alias("sum_charge"),
+        F.expr(s_sumd(_SL_QTY, SCALE, 1)).alias("sum_qty"),
+        F.expr(s_sumd(_SL_PRICE, SCALE, 2)).alias("sum_base_price"),
+        F.expr(s_sumd(_SL_DISC_PRICE, SCALE * SCALE, 2)).alias("sum_disc_price"),
+        F.expr(s_sumd(_SL_CHARGE, SCALE**3, 3)).alias("sum_charge"),
         F.expr(s_avg4(_SL_QTY, 1)).alias("avg_qty"),
         F.expr(s_avg4(_SL_PRICE, 2)).alias("avg_price"),
         F.expr(s_avg4(_SL_DISC, 1)).alias("avg_disc"),
