@@ -831,27 +831,243 @@ def _load_artifacts() -> list[dict]:
     return out
 
 
-def query_fingerprint(spec: QuerySpec) -> str:
-    """Identity of what the driver actually verifies: the Spark builder's
-    source + the oracle text. A clean artifact row certifies THIS pair —
-    change either and the row is evidence about code that no longer
-    exists (VERDICT r05 #2: q1 was rewritten in r5 but its last clean
-    row was r2-vintage)."""
+def _builder_source_hash(fn) -> str:
+    """v1 fingerprint component: the builder's own source + nothing else."""
     import hashlib
     import inspect
 
     try:
-        src = inspect.getsource(spec.spark)
+        src = inspect.getsource(fn)
         # getsource on a decorated function includes the @register(...)
         # call — whose doc= text changes for editorial reasons; hash from
         # the def line so only BEHAVIOR (body + oracle) invalidates.
-        at = src.find(f"def {spec.spark.__name__}")
+        at = src.find(f"def {fn.__name__}")
         if at >= 0:
             src = src[at:]
     except (OSError, TypeError):  # builtins/partials — fall back to name
-        src = getattr(spec.spark, "__qualname__", repr(spec.spark))
-    body = src + "\x00" + (spec.oracle or "")
-    return hashlib.sha256(body.encode()).hexdigest()[:16]
+        src = getattr(fn, "__qualname__", repr(fn))
+    return src
+
+
+# ---------------------------------------------------------------------------
+# Transitive dependency fingerprinting (VERDICT r06 ask #2): v1 hashed only
+# the builder's source + oracle, so rewriting a shared engine helper
+# (operators/dedup.py, functions/text.py, a limb-sum helper in this file)
+# left every dependent query's driver green standing even though the
+# verified behavior changed. v2 folds in the code the builder actually
+# REACHES: every package-defined function/class/module/constant resolvable
+# from the builder's (recursively nested) code objects, followed through
+# helper chains. Function-level granularity — editing an UNRELATED function
+# in the same operator file does not stale dependents; editing anything on
+# the call path does.
+
+_PKG_PREFIX = __name__.split(".")[0]  # "qa_data_pipeline_rag_llm_spark"
+_MODULE_FILE_HASH_CACHE: dict[str, str] = {}
+# keyed by the function OBJECT (not id(fn): ids recycle after GC and an
+# aliased entry would hand one builder another builder's dep hash; the
+# strong key also pins the fn alive so the id stays unique)
+_DEP_HASH_CACHE: dict[object, str] = {}
+
+
+def _code_names(code) -> set[str]:
+    """co_names of a code object INCLUDING nested lambdas/comprehensions
+    (their names live in the nested code objects' co_names, not the
+    outer one's)."""
+    import types
+
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _code_strings(code) -> set[str]:
+    """String constants of a code object including nested code objects —
+    how `REGISTRY["sibling_name"]` composition sites name their deps."""
+    import types
+
+    out = {c for c in code.co_consts if isinstance(c, str)}
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            out |= _code_strings(const)
+    return out
+
+
+def _module_file_hash(mod) -> str:
+    import hashlib
+    from pathlib import Path
+
+    name = getattr(mod, "__name__", "")
+    cached = _MODULE_FILE_HASH_CACHE.get(name)
+    if cached is not None:
+        return cached
+    path = getattr(mod, "__file__", None)
+    try:
+        h = hashlib.sha256(Path(path).read_bytes()).hexdigest()[:12]
+    except (OSError, TypeError):
+        h = "nofile"
+    _MODULE_FILE_HASH_CACHE[name] = h
+    return h
+
+
+def _const_repr(v) -> str | None:
+    """Deterministic repr for simple module-level constants (template
+    strings, scales, tuples of those). None for anything whose repr could
+    carry addresses or hash-seed-dependent ordering."""
+    if isinstance(v, (str, bytes, int, float, bool, type(None))):
+        return repr(v)
+    if isinstance(v, tuple):
+        parts = [_const_repr(x) for x in v]
+        return None if None in parts else "(" + ",".join(parts) + ")"
+    return None
+
+
+def _dep_items(fn, visited: set, out: dict[str, str]) -> None:
+    """Walk fn's reachable package-defined dependencies into out
+    ({qualified-name: hash}). Functions/classes hash by source (and
+    recurse); modules by file content; simple constants by repr."""
+    import inspect
+    import types
+
+    code = getattr(fn, "__code__", None)
+    gl = getattr(fn, "__globals__", None)
+    if code is None or gl is None or id(code) in visited:
+        return
+    visited.add(id(code))
+    for name in sorted(_code_names(code)):
+        if name not in gl:
+            # function-local `from qa_...mod import x` leaves only the
+            # dotted module path in co_names — pin the module FILE
+            # (coarser than per-function, but local imports are rare and
+            # the file hash subsumes every attr the builder could pull)
+            if name.startswith(_PKG_PREFIX + "."):
+                import importlib
+
+                try:
+                    out[f"mod:{name}"] = _module_file_hash(
+                        importlib.import_module(name)
+                    )
+                except ImportError:
+                    out[f"mod:{name}"] = "noimport"
+            continue
+        obj = gl[name]
+        if isinstance(obj, types.ModuleType):
+            if getattr(obj, "__name__", "").startswith(_PKG_PREFIX):
+                out[f"mod:{obj.__name__}"] = _module_file_hash(obj)
+            continue
+        mod = getattr(obj, "__module__", None)
+        if isinstance(obj, types.FunctionType) and (mod or "").startswith(
+            _PKG_PREFIX
+        ):
+            key = f"fn:{mod}.{obj.__qualname__}"
+            if key not in out:
+                try:
+                    out[key] = _src_hash(inspect.getsource(obj))
+                except (OSError, TypeError):
+                    out[key] = "nosrc"
+                _dep_items(obj, visited, out)
+            continue
+        if isinstance(obj, type) and (mod or "").startswith(_PKG_PREFIX):
+            key = f"cls:{mod}.{obj.__qualname__}"
+            if key not in out:
+                try:
+                    out[key] = _src_hash(inspect.getsource(obj))
+                except (OSError, TypeError):
+                    out[key] = "nosrc"
+                for meth in vars(obj).values():
+                    if isinstance(meth, types.FunctionType):
+                        _dep_items(meth, visited, out)
+            continue
+        # wrapped callables (pandas_udf objects, functools.wraps chains)
+        # carry the package function inside — hash that, not the wrapper
+        inner = getattr(obj, "func", None) or getattr(obj, "__wrapped__", None)
+        if isinstance(inner, types.FunctionType) and (
+            getattr(inner, "__module__", "") or ""
+        ).startswith(_PKG_PREFIX):
+            key = f"fn:{inner.__module__}.{inner.__qualname__}"
+            if key not in out:
+                try:
+                    out[key] = _src_hash(inspect.getsource(inner))
+                except (OSError, TypeError):
+                    out[key] = "nosrc"
+                _dep_items(inner, visited, out)
+            continue
+        if isinstance(obj, (types.BuiltinFunctionType, type)):
+            continue
+        r = _const_repr(obj)
+        if r is not None and not callable(obj):
+            # module-level constant the builder reads (e.g. a shared SQL
+            # template or scale) — its VALUE is part of the behavior
+            out[f"const:{name}"] = _src_hash(r)
+    # Dynamic composition: builders that call sibling queries through
+    # `REGISTRY["name"].spark(...)` name their dep as a string literal,
+    # invisible to co_names. Resolve every string constant that is a
+    # registry key and fold in that sibling's builder (recursively) —
+    # this is how curation_decisions/leakage-audit/streaming-twin
+    # composition stays fingerprint-covered.
+    # (a function-local `from ...queries import REGISTRY` leaves the name
+    # out of __globals__ — fall back to the canonical registry then)
+    reg = gl.get("REGISTRY")
+    if reg is None and "REGISTRY" in _code_names(code):
+        reg = REGISTRY
+    if isinstance(reg, dict) and reg is REGISTRY:
+        for lit in sorted(_code_strings(code) & set(reg)):
+            sib = reg[lit].spark
+            if sib is fn:
+                continue
+            key = f"sib:{lit}"
+            if key not in out:
+                out[key] = _src_hash(_builder_source_hash(sib))
+                _dep_items(sib, visited, out)
+
+
+def _src_hash(text: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(text.encode()).hexdigest()[:12]
+
+
+def query_dep_hash(fn) -> str:
+    """Hash of everything the builder reaches beyond its own source."""
+    import hashlib
+
+    cached = _DEP_HASH_CACHE.get(fn)
+    if cached is not None:
+        return cached
+    deps: dict[str, str] = {}
+    _dep_items(fn, set(), deps)
+    blob = "\n".join(f"{k}={v}" for k, v in sorted(deps.items()))
+    h = hashlib.sha256(blob.encode()).hexdigest()[:8]
+    _DEP_HASH_CACHE[fn] = h
+    return h
+
+
+def query_fingerprint(spec: QuerySpec) -> str:
+    """Identity of what the driver actually verifies: the Spark builder's
+    source + the oracle text (v1 prefix), plus the transitive hash of
+    every package helper/constant the builder reaches (v2 suffix,
+    VERDICT r06 ask #2). A clean artifact row certifies THIS triple —
+    change any part and the row is evidence about code that no longer
+    exists. Ledger rounds 1-6 predate the suffix; `_fp_matches` compares
+    them on the v1 prefix only (they honestly certified just that)."""
+    import hashlib
+
+    body = _builder_source_hash(spec.spark) + "\x00" + (spec.oracle or "")
+    v1 = hashlib.sha256(body.encode()).hexdigest()[:16]
+    return v1 + "." + query_dep_hash(spec.spark)
+
+
+def _fp_matches(stored: str | None, current: str) -> bool:
+    """Compare a ledger fingerprint against the working tree's. v1-format
+    snapshots (rounds 1-6, no dep suffix) certified only builder+oracle,
+    so they compare against the current v1 prefix; v2 snapshots compare
+    in full."""
+    if stored is None:
+        return True
+    if "." in stored:
+        return stored == current
+    return stored == current.split(".", 1)[0]
 
 
 def _load_fingerprint_ledger() -> dict[str, dict[str, str]]:
@@ -882,10 +1098,27 @@ def _drop_stale_verifications(
     out: dict[str, int] = {}
     for name, rnd in rounds.items():
         snap = ledger.get(str(rnd + 1), {})
-        fp_then = snap.get(name)
-        if fp_then is not None and fp_then != current_fp.get(name):
+        if not _fp_matches(snap.get(name), current_fp.get(name, "")):
             continue  # rewritten since its clean row — back to debt
         out[name] = rnd
+    return out
+
+
+def _rewrite_rounds(
+    ledger: dict[str, dict[str, str]], current_fp: dict[str, str]
+) -> dict[str, int]:
+    """name -> latest ledger round whose snapshot DISAGREES with the
+    working tree (0 when every snapshot agrees). Higher = more recently
+    rewritten; the stale ordering rechecks those first (VERDICT r06 ask
+    #1: a query rewritten THIS round should re-row before one whose
+    rewrite has already survived several rounds of local oracling)."""
+    out: dict[str, int] = {}
+    for rnd_str, snap in ledger.items():
+        rnd = int(rnd_str)
+        for name, fp_then in snap.items():
+            cur = current_fp.get(name)
+            if cur is not None and not _fp_matches(fp_then, cur):
+                out[name] = max(out.get(name, 0), rnd)
     return out
 
 
@@ -921,27 +1154,26 @@ def _verified_rounds(artifacts: list[dict]) -> dict[str, int]:
     }
 
 
-# Stale queries the next recheck window must cover first, regardless of
-# their rank in the stale queue (VERDICT r05 ask #2 names q1's limb-split
-# rewrite as the live example to re-row).
-_PINNED_RECHECK = ["q1_pricing_summary"]
-
-
 def _ordered_names(
     names: list[str],
     rounds: dict[str, int],
     n_artifacts: int,
     oracled: set[str],
     stale: frozenset[str] | set[str] = frozenset(),
+    rewritten: dict[str, int] | None = None,
 ) -> list[str]:
     """Pure ordering kernel (testable without touching REGISTRY/disk).
 
     `rounds` maps every name with a clean artifact row to its last clean
     round; `stale` is the subset whose fingerprint changed since that row
-    (change-aware rotation, VERDICT r05 ask #2). Never-rowed debt keeps
-    all DEBT_SLOTS (the cumulative-coverage burn); stale queries take the
-    RECHECKS window ahead of merely-old verifications — their green is
-    evidence about code that no longer exists, the most urgent recheck."""
+    (change-aware rotation, VERDICT r05 ask #2); `rewritten` maps names to
+    their latest fingerprint-mismatch round (recency of rewrite). Never-
+    rowed debt keeps all DEBT_SLOTS (the cumulative-coverage burn); stale
+    queries take the RECHECKS window ahead of merely-old verifications —
+    their green is evidence about code that no longer exists, the most
+    urgent recheck — most recently rewritten first (VERDICT r06 ask #1).
+    When debt underfills its slots the recheck queue extends into them,
+    so the driver's 50-query prefix is always fully productive."""
     seen = set(rounds)
 
     def bucket(n: str) -> int:
@@ -960,14 +1192,16 @@ def _ordered_names(
 
     ordered = sorted(names, key=lambda n: (bucket(n), names.index(n)))
     if n_artifacts >= _RECHECK_FROM_ARTIFACTS:
+        rewritten = rewritten or {}
         debt = [n for n in ordered if n not in seen]
         done = [n for n in ordered if n in seen]
-        # stale first (pinned, then oldest clean row); then oldest
-        # verification (most time to have rotted)
+        # stale first — most recently rewritten leading (VERDICT r06 ask
+        # #1), then oldest clean row; then oldest verification (most
+        # time to have rotted)
         done.sort(
             key=lambda n: (
                 n not in stale,
-                n not in _PINNED_RECHECK,
+                -rewritten.get(n, 0) if n in stale else 0,
                 rounds[n],
                 names.index(n),
             )
@@ -984,15 +1218,20 @@ def _ordered_names(
 def _reorder_registry() -> None:
     artifacts = _load_artifacts()
     rounds = _verified_rounds(artifacts)
-    kept = _drop_stale_verifications(
-        rounds,
-        _load_fingerprint_ledger(),
-        {n: query_fingerprint(s) for n, s in REGISTRY.items()},
-    )
+    ledger = _load_fingerprint_ledger()
+    current_fp = {n: query_fingerprint(s) for n, s in REGISTRY.items()}
+    kept = _drop_stale_verifications(rounds, ledger, current_fp)
     stale = frozenset(rounds) - set(kept)
     names = list(REGISTRY)
     oracled = {n for n in names if REGISTRY[n].oracle}
-    ordered = _ordered_names(names, rounds, len(artifacts), oracled, stale)
+    ordered = _ordered_names(
+        names,
+        rounds,
+        len(artifacts),
+        oracled,
+        stale,
+        _rewrite_rounds(ledger, current_fp),
+    )
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for n in ordered:
