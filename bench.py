@@ -83,16 +83,8 @@ def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm up JVM + FS cache so timed runs measure the plans.
-    for df in load_all(spark, sf_dir, register_views=False).values():
-        df.count()
-
+def run_once(spark, sf_dir: str, sf: str) -> dict:
+    """One full bench pass; returns the artifact dict (not printed)."""
     # Machine-speed anchor (see module docstring).
     cal_samples = []
     for _ in range(3):
@@ -171,9 +163,7 @@ def main() -> None:
     inflated = sum(
         1 for n in timings if minima[n] > 0 and timings[n] / minima[n] > 1.5
     )
-    print(
-        json.dumps(
-            {
+    return {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
@@ -204,9 +194,39 @@ def main() -> None:
                 "value_sched_adjusted": round(total - sched_excess, 3),
                 "scheduler_inflated": sched_probe > 1.5 * SCHED_ANCHOR_SEC,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM + FS cache so timed runs measure the plans.
+    for df in load_all(spark, sf_dir, register_views=False).values():
+        df.count()
+
+    art = run_once(spark, sf_dir, sf)
+    # Drift policy (VERDICT r06 #4): a run whose start/end calibration
+    # probes disagree straddled a host-speed change — its medians mix two
+    # regimes, so don't record it unchallenged. Re-run once; if the host
+    # is STILL drifting, report the second run with value_min as the
+    # headline (per-sample minima are the samples least inflated by the
+    # slow regime) and keep both calibration pairs in the artifact.
+    if art["speed_drifted"]:
+        first = {
+            k: art[k]
+            for k in ("value", "value_min", "calibration_sec", "calibration_end_sec")
+        }
+        art = run_once(spark, sf_dir, sf)
+        art["drift_rerun"] = True
+        art["first_run"] = first
+        if art["speed_drifted"]:
+            art["value_median"] = art["value"]
+            art["value"] = art["value_min"]
+            art["headline_is_min_due_to_drift"] = True
+    print(json.dumps(art))
 
 
 if __name__ == "__main__":

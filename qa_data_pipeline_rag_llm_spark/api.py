@@ -156,7 +156,12 @@ def approx_distinct(
 
 
 def weighted_sample(
-    df: DataFrame, weight_col: str, k: int, by: str, key_col: str | None = None
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    by: str,
+    key_col: str | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """A-ExpJ weighted reservoir per group (the registry's
     weighted_reservoir_documents as a parameterized facade): top-k rows
@@ -167,7 +172,11 @@ def weighted_sample(
     Passing key_col explicitly asserts uniqueness (no extra scan); when
     it is omitted and the first column is used by convention, that
     column IS validated (one count-distinct pass) so a non-unique
-    positional key raises instead of silently distorting the sample."""
+    positional key raises instead of silently distorting the sample.
+    That safety pass runs an EAGER Spark job at call time; callers who
+    need the pre-r6 single-scan laziness can pass ``validate=False``
+    (or, better, an explicit unique ``key_col`` — no extra scan either
+    way) and own the uniqueness guarantee themselves (ADVICE r06)."""
     from pyspark.sql import functions as F
 
     from qa_data_pipeline_rag_llm_spark.operators import hll
@@ -178,7 +187,7 @@ def weighted_sample(
     key = key_col or df.columns[0]
     if key not in df.columns:
         raise ValueError(f"key_col {key!r} not in {df.columns}")
-    if key_col is None:
+    if key_col is None and validate:
         dup = (
             df.groupBy(key).count().where(F.col("count") > 1).limit(1).count()
         )

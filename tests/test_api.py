@@ -126,3 +126,18 @@ def test_api_weighted_sample_rejects_non_unique_positional_key(spark, tables):
     assert out.count() > 0
     with pytest.raises(ValueError, match="not in"):
         api.weighted_sample(docs, "n_chars", 5, "source", key_col="nope")
+
+
+def test_api_weighted_sample_validate_false_stays_lazy(spark, tables):
+    """ADVICE r06 (api.py): validate=False restores single-scan laziness —
+    the call must not run any Spark job (the uniqueness check is the only
+    eager step) and must not raise on a non-unique positional key."""
+    from qa_data_pipeline_rag_llm_spark import api
+
+    docs = tables["documents"].select("source", "doc_id", "n_chars")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = api.weighted_sample(docs, "n_chars", 5, "source", validate=False)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "validate=False still launched an eager job"
+    assert out.count() > 0  # plan executes fine when finally acted on

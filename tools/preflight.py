@@ -24,14 +24,19 @@ ROOT = Path(__file__).resolve().parents[1]
 
 
 def run(cmd: list[str], timeout: int) -> tuple[int, str]:
-    p = subprocess.run(
-        cmd,
-        cwd=ROOT,
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-        check=False,
-    )
+    try:
+        p = subprocess.run(
+            cmd,
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            check=False,
+        )
+    except subprocess.TimeoutExpired:
+        # a hung gate must report as a per-gate FAIL, not crash the
+        # checklist before the summary line (ADVICE r06)
+        return 1, f"timeout after {timeout}s: {' '.join(cmd)}"
     return p.returncode, (p.stdout + p.stderr)
 
 
