@@ -196,3 +196,52 @@ def test_avg4_integer_rounding_matches_decimal_half_up(duck):
         [cases[0][0], cases[0][1], cases[0][1]],
     ).fetchone()
     assert rows[0] == (2 * cases[0][0] + cases[0][1]) // (2 * cases[0][1])
+
+
+def test_sumd_limb_recombination_parity_beyond_2_53(spark, duck):
+    """q1's r7 display contract (s_sumd/o_sumd): every sum_* column is
+    round(CAST(S AS DOUBLE)/scale, 2) where S is the exact integer limb
+    recombination — DECIMAL(38,0) in Spark, HUGEINT in DuckDB. Both
+    engines must IEEE-round the SAME exact integer, so results are
+    bit-identical even when S exceeds 2^53 (where the r6 double-
+    polynomial recombination could diverge by an ulp). Random scaled
+    longs up to 2^60 force 3-limb splits and >2^53 sums."""
+    from qa_data_pipeline_rag_llm_spark.plans.queries import (
+        SCALE,
+        o_avg4,
+        o_limb_sum_int,
+        o_sumd,
+        s_avg4,
+        s_limb_sum_int,
+        s_sumd,
+    )
+
+    rng = random.Random(7)
+    vals = (
+        [rng.randrange(0, 1 << 60) for _ in range(400)]
+        + [0, 1, (1 << 60) - 1, (1 << 53) + 1, (1 << 23) - 1, 1 << 23]
+        + [rng.randrange(0, SCALE * SCALE) for _ in range(100)]
+    )
+    total = sum(vals)
+    assert total > (1 << 53)  # the regime double sums cannot represent
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    got_spark = sdf.selectExpr(
+        f"{s_sumd('v', SCALE, 3)} AS s",
+        f"{s_avg4('v', 3)} AS a" if SCALE == 10_000 else "0.0 AS a",
+        f"CAST({s_limb_sum_int('v', 3)} AS STRING) AS exact_s",
+    ).collect()[0]
+    duck.execute("CREATE OR REPLACE TABLE _sumd(v BIGINT)")
+    duck.executemany("INSERT INTO _sumd VALUES (?)", [(v,) for v in vals])
+    got_duck = duck.execute(
+        f"SELECT {o_sumd('v', SCALE, 3)} AS s, {o_avg4('v', 3)} AS a, "
+        f"CAST({o_limb_sum_int('v', 3)} AS VARCHAR) AS exact_s "
+        "FROM _sumd"
+    ).fetchone()
+
+    # the recombined integer itself is exact and equal in both engines
+    assert int(got_spark.exact_s) == total
+    assert int(got_duck[2]) == total
+    # displayed doubles bit-identical across engines
+    assert repr(got_spark.s) == repr(got_duck[0]), (got_spark.s, got_duck[0])
+    assert repr(got_spark.a) == repr(got_duck[1]), (got_spark.a, got_duck[1])

@@ -133,6 +133,42 @@ def test_stale_ordering_oldest_clean_first_after_pins():
     assert [rounds[n] for n in rechecks] == sorted(rounds[n] for n in rechecks)
 
 
+def test_post_debt_regime_window_drains_remaining_stale():
+    """The r8 regime (VERDICT r06 #1): once never-rowed debt hits zero,
+    the driver's 50-query prefix must absorb EVERY remaining stale query
+    plus the oldest verifications — no stale green should outlive the
+    round after debt clears."""
+    names = _names(100)
+    rounds = {n: i % 5 for i, n in enumerate(names)}  # all verified
+    stale = frozenset(names[40:57])  # 17 stale, like the real r8 start
+    ordered = _ordered_names(
+        names, rounds, _RECHECK_FROM_ARTIFACTS, set(names), stale
+    )
+    prefix = ordered[:50]
+    assert set(stale) <= set(prefix), "a stale query missed the window"
+    # the rest of the window is the oldest verifications
+    rest = [n for n in prefix if n not in stale]
+    cutoff = max(rounds[n] for n in rest)
+    outside = [n for n in ordered[50:] if n not in stale]
+    assert all(rounds[n] >= cutoff for n in outside)
+
+
+def test_underfilled_debt_extends_recheck_queue_into_window():
+    """The r7 regime: 36 debt + 31 stale must yield a 50-prefix of
+    36 debt + 14 stale — the recheck queue extends past RECHECKS when
+    debt underfills its slots (emergent from the interleave, pinned
+    here so a refactor can't regress it)."""
+    names = _names(120)
+    rounds = {n: 0 for n in names[36:]}  # first 36 never rowed
+    stale = frozenset(names[36:67])  # 31 stale
+    ordered = _ordered_names(
+        names, rounds, _RECHECK_FROM_ARTIFACTS, set(names), stale
+    )
+    prefix = ordered[:50]
+    assert sum(1 for n in prefix if n not in rounds) == 36
+    assert sum(1 for n in prefix if n in stale) == 14
+
+
 def test_fingerprint_ledger_current_with_working_tree():
     """The latest FINGERPRINTS.json snapshot must match the working tree:
     editing a query after the snapshot turns this red until
