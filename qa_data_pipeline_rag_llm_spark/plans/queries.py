@@ -914,8 +914,13 @@ def _module_file_hash(mod) -> str:
 def _const_repr(v) -> str | None:
     """Deterministic repr for simple module-level constants (template
     strings, scales, tuples of those). None for anything whose repr could
-    carry addresses or hash-seed-dependent ordering."""
-    if isinstance(v, (str, bytes, int, float, bool, type(None))):
+    carry addresses or hash-seed-dependent ordering — and for bools/None,
+    the typical RUNTIME-TOGGLE types (e.g. catalog._PERSIST, flipped by
+    enable_table_persist mid-process): a mutable flag's value at
+    fingerprint time is an accident of call order, not code identity."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (str, bytes, int, float)):
         return repr(v)
     if isinstance(v, tuple):
         parts = [_const_repr(x) for x in v]
@@ -923,83 +928,130 @@ def _const_repr(v) -> str | None:
     return None
 
 
-def _dep_items(fn, visited: set, out: dict[str, str]) -> None:
-    """Walk fn's reachable package-defined dependencies into out
-    ({qualified-name: hash}). Functions/classes hash by source (and
-    recurse); modules by file content; simple constants by repr."""
+def _dep_add(obj, name: str, visited: set, out: dict[str, str]) -> bool:
+    """Record one reachable object's identity into out ({qualified-name:
+    hash}): package functions/classes by source (recursing into their own
+    reach), package modules by file content, wrapped callables by their
+    inner function, simple constants by repr. Returns True when the
+    object produced a dep entry (or is REGISTRY, covered by the sibling
+    scan) — False for foreign/opaque objects."""
     import inspect
     import types
+
+    if obj is REGISTRY:
+        return True  # composition handled by the string-literal sib scan
+    if isinstance(obj, types.ModuleType):
+        if getattr(obj, "__name__", "").startswith(_PKG_PREFIX):
+            out[f"mod:{obj.__name__}"] = _module_file_hash(obj)
+            return True
+        return False
+    mod = getattr(obj, "__module__", None)
+    if isinstance(obj, types.FunctionType) and (mod or "").startswith(
+        _PKG_PREFIX
+    ):
+        key = f"fn:{mod}.{obj.__qualname__}"
+        if key not in out:
+            try:
+                out[key] = _src_hash(inspect.getsource(obj))
+            except (OSError, TypeError):
+                out[key] = "nosrc"
+            _dep_items(obj, visited, out)
+        return True
+    if isinstance(obj, type) and (mod or "").startswith(_PKG_PREFIX):
+        key = f"cls:{mod}.{obj.__qualname__}"
+        if key not in out:
+            try:
+                out[key] = _src_hash(inspect.getsource(obj))
+            except (OSError, TypeError):
+                out[key] = "nosrc"
+            for meth in vars(obj).values():
+                if isinstance(meth, types.FunctionType):
+                    _dep_items(meth, visited, out)
+        return True
+    # wrapped callables (pandas_udf objects, functools.wraps chains)
+    # carry the package function inside — hash that, not the wrapper
+    inner = getattr(obj, "func", None) or getattr(obj, "__wrapped__", None)
+    if isinstance(inner, types.FunctionType) and (
+        getattr(inner, "__module__", "") or ""
+    ).startswith(_PKG_PREFIX):
+        key = f"fn:{inner.__module__}.{inner.__qualname__}"
+        if key not in out:
+            try:
+                out[key] = _src_hash(inspect.getsource(inner))
+            except (OSError, TypeError):
+                out[key] = "nosrc"
+            _dep_items(inner, visited, out)
+        return True
+    if isinstance(obj, (types.BuiltinFunctionType, type)):
+        return False
+    r = _const_repr(obj)
+    if r is not None and not callable(obj):
+        # module-level constant the builder reads (e.g. a shared SQL
+        # template or scale) — its VALUE is part of the behavior
+        out[f"const:{name}"] = _src_hash(r)
+        return True
+    return False
+
+
+_MISSING = object()
+
+
+def _dep_items(fn, visited: set, out: dict[str, str]) -> None:
+    """Walk fn's reachable package-defined dependencies into out."""
+    import importlib
 
     code = getattr(fn, "__code__", None)
     gl = getattr(fn, "__globals__", None)
     if code is None or gl is None or id(code) in visited:
         return
     visited.add(id(code))
-    for name in sorted(_code_names(code)):
-        if name not in gl:
-            # function-local `from qa_...mod import x` leaves only the
-            # dotted module path in co_names — pin the module FILE
-            # (coarser than per-function, but local imports are rare and
-            # the file hash subsumes every attr the builder could pull)
-            if name.startswith(_PKG_PREFIX + "."):
-                import importlib
+    import types
 
-                try:
-                    out[f"mod:{name}"] = _module_file_hash(
-                        importlib.import_module(name)
-                    )
-                except ImportError:
-                    out[f"mod:{name}"] = "noimport"
-            continue
-        obj = gl[name]
-        if isinstance(obj, types.ModuleType):
-            if getattr(obj, "__name__", "").startswith(_PKG_PREFIX):
-                out[f"mod:{obj.__name__}"] = _module_file_hash(obj)
-            continue
-        mod = getattr(obj, "__module__", None)
-        if isinstance(obj, types.FunctionType) and (mod or "").startswith(
-            _PKG_PREFIX
-        ):
-            key = f"fn:{mod}.{obj.__qualname__}"
-            if key not in out:
-                try:
-                    out[key] = _src_hash(inspect.getsource(obj))
-                except (OSError, TypeError):
-                    out[key] = "nosrc"
-                _dep_items(obj, visited, out)
-            continue
-        if isinstance(obj, type) and (mod or "").startswith(_PKG_PREFIX):
-            key = f"cls:{mod}.{obj.__qualname__}"
-            if key not in out:
-                try:
-                    out[key] = _src_hash(inspect.getsource(obj))
-                except (OSError, TypeError):
-                    out[key] = "nosrc"
-                for meth in vars(obj).values():
-                    if isinstance(meth, types.FunctionType):
-                        _dep_items(meth, visited, out)
-            continue
-        # wrapped callables (pandas_udf objects, functools.wraps chains)
-        # carry the package function inside — hash that, not the wrapper
-        inner = getattr(obj, "func", None) or getattr(obj, "__wrapped__", None)
-        if isinstance(inner, types.FunctionType) and (
-            getattr(inner, "__module__", "") or ""
-        ).startswith(_PKG_PREFIX):
-            key = f"fn:{inner.__module__}.{inner.__qualname__}"
-            if key not in out:
-                try:
-                    out[key] = _src_hash(inspect.getsource(inner))
-                except (OSError, TypeError):
-                    out[key] = "nosrc"
-                _dep_items(inner, visited, out)
-            continue
-        if isinstance(obj, (types.BuiltinFunctionType, type)):
-            continue
-        r = _const_repr(obj)
-        if r is not None and not callable(obj):
-            # module-level constant the builder reads (e.g. a shared SQL
-            # template or scale) — its VALUE is part of the behavior
-            out[f"const:{name}"] = _src_hash(r)
+    names = sorted(_code_names(code))
+    local_mods = []
+    unresolved: list[str] = []
+    for name in names:
+        if name in gl:
+            obj = gl[name]
+            if isinstance(obj, types.ModuleType) and getattr(
+                obj, "__name__", ""
+            ).startswith(_PKG_PREFIX):
+                # `from pkg.operators import hll; hll.estimate(...)` —
+                # the used attr names are in co_names; resolve them at
+                # function granularity below, same as local imports
+                local_mods.append(obj)
+            else:
+                _dep_add(obj, name, visited, out)
+        elif name.startswith(_PKG_PREFIX + "."):
+            # function-local `from qa_...mod import x`: only the dotted
+            # module path reaches co_names — resolve the imported attrs
+            # at FUNCTION granularity below (a file hash here would make
+            # every edit to a 1000-line plans module stale all its
+            # local importers, e.g. registering one new query)
+            try:
+                local_mods.append(importlib.import_module(name))
+            except ImportError:
+                out[f"mod:{name}"] = "noimport"
+        else:
+            unresolved.append(name)
+    for mod in local_mods:
+        hits = 0
+        for name in unresolved:
+            obj = getattr(mod, name, _MISSING)
+            if obj is not _MISSING and _dep_add(obj, name, visited, out):
+                hits += 1
+        if hits == 0:
+            # the import's targets may have been attributed through
+            # module-top globals already (same object identity) — only
+            # an import with NO attributable name anywhere falls back to
+            # pinning the file, so exotic patterns can't escape
+            hits = sum(
+                1
+                for name in names
+                if name in gl and getattr(mod, name, _MISSING) is gl[name]
+            )
+        if hits == 0:
+            out[f"mod:{mod.__name__}"] = _module_file_hash(mod)
     # Dynamic composition: builders that call sibling queries through
     # `REGISTRY["name"].spark(...)` name their dep as a string literal,
     # invisible to co_names. Resolve every string constant that is a
