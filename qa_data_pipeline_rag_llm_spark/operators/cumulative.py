@@ -150,3 +150,89 @@ def rank_cumsum(
         .withColumn(cumsum_col, F.col(_LSUM) + F.col(_OFF_SUM))
         .drop(_BID, _LRANK, _LSUM, _OFF_ROWS, _OFF_SUM)
     )
+
+
+def rank_cumsum_multi(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_cols: Sequence[str],
+    rank_col: str = "rank",
+    cumsum_prefix: str = "cum_",
+    bucket_col: str | None = None,
+    descending: bool = False,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """``rank_cumsum`` for SEVERAL value columns in one pass: appends a
+    global ``row_number`` (``rank_col``) and, for each name in
+    ``value_cols``, its running sum as ``{cumsum_prefix}{name}`` — the
+    shape a two-sample ECDF comparison needs (both groups' cumulative
+    counts over one shared value ordering), at the cost of ONE bucketed
+    sort instead of one per column.
+
+    Same contract as ``rank_cumsum``: ``order_by`` must totally order
+    the frame, ``bucket_col`` is the non-NULL leading numeric sort key
+    (fail-loud assert), buckets derive from data-quantile boundaries
+    only — never the physical partition layout."""
+    if bucket_col is None:
+        raise ValueError("bucket_col (the leading numeric sort key) is required")
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    if num_buckets is None:
+        num_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    bvals = (
+        df.agg(
+            F.percentile_approx(
+                F.col(bucket_col).cast("double"),
+                F.array(*[F.lit(q) for q in qs]),
+                F.lit(10_000),
+            ).alias(_BOUNDS)
+        ).collect()[0][0]
+        or []
+    )
+    key = F.col(bucket_col).cast("double")
+    before = (lambda b: b > key) if descending else (lambda b: b < key)
+    bid = F.coalesce(
+        F.assert_true(
+            key.isNotNull(),
+            F.lit(
+                f"rank_cumsum_multi: bucket_col {bucket_col!r} must be non-null"
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    for b in bvals:
+        bid = bid + F.when(before(F.lit(float(b))), 1).otherwise(0)
+    parts = df.withColumn(_BID, bid)
+    w_local = Window.partitionBy(_BID).orderBy(*order_by)
+    w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lsums = [f"{_LSUM}{i}" for i in range(len(value_cols))]
+    local = parts.select(
+        "*",
+        F.row_number().over(w_local).alias(_LRANK),
+        *[F.sum(v).over(w_cum).alias(ls) for v, ls in zip(value_cols, lsums)],
+    )
+    psum = parts.groupBy(_BID).agg(
+        F.count("*").alias("_rows"),
+        *[F.sum(v).alias(f"_sum{i}") for i, v in enumerate(value_cols)],
+    )
+    w_off = Window.orderBy(_BID).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    osums = [f"{_OFF_SUM}{i}" for i in range(len(value_cols))]
+    offsets = psum.select(
+        _BID,
+        F.coalesce(F.sum("_rows").over(w_off), F.lit(0)).alias(_OFF_ROWS),
+        *[
+            F.coalesce(F.sum(f"_sum{i}").over(w_off), F.lit(0)).alias(os)
+            for i, os in enumerate(osums)
+        ],
+    )
+    out = local.join(F.broadcast(offsets), _BID).withColumn(
+        rank_col, F.col(_LRANK) + F.col(_OFF_ROWS)
+    )
+    for v, ls, os in zip(value_cols, lsums, osums):
+        out = out.withColumn(f"{cumsum_prefix}{v}", F.col(ls) + F.col(os))
+    return out.drop(_BID, _LRANK, _OFF_ROWS, *lsums, *osums)

@@ -707,6 +707,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_linalg  # noqa: E402,F4
 from qa_data_pipeline_rag_llm_spark.plans import queries_scoring  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_robust  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_mergeable  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_monitoring  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

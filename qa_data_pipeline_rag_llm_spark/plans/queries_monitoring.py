@@ -1,0 +1,416 @@
+"""Registry entries: pipeline OBSERVABILITY — drift tests, collocation
+mining, storage-encoding audits, cross-source score calibration.
+
+The robust-stats family (queries_robust.py) detects level shifts (CUSUM)
+and bucket drift (PSI); the maintenance family audits layout. This module
+adds the four health checks a production corpus/stream still needs:
+
+  * ``ks_drift_events`` — the exact two-sample Kolmogorov–Smirnov test
+    between the first and second half-month of ``events.value``: the
+    distribution-free drift detector that catches shape changes PSI's
+    fixed buckets smear out. The ECDF comparison is the textbook
+    integer-exact form: D·n1·n2 = max |n2·cum1(v) − n1·cum2(v)| over the
+    distinct-value frame, so the statistic is a pure integer until the
+    final fixed-rounding projection and hashes identically cross-engine.
+  * ``pmi_bigrams_documents`` — collocation mining: top bigrams by
+    pointwise mutual information with a min-support floor. PMI is the
+    classic "is this phrase real or chance" signal used for tokenizer
+    vocabulary seeding and boilerplate detection; computed with the
+    scaled-integer-ln-term trick (one round per term, integer sums) so
+    ranking is deterministic cross-engine.
+  * ``dict_encoding_audit`` — per string column of the star schema:
+    would dictionary encoding beat plain? Exact NDV + payload bytes →
+    code-width bits = ⌈log₂ ndv⌉ via length(bin(ndv−1)) (pure integer,
+    no float log), verdicts as data. The parquet-writer tuning decision
+    the compaction planner (queries_maintenance.py) leaves implicit.
+  * ``quantile_normalize_sources`` — map every document's ``n_chars``
+    onto the POOLED distribution's value at the same within-source
+    quantile. The standard cross-source calibration for heterogeneous
+    quality scores before a single global threshold is applied (a
+    per-source classifier's 0.8 is not another's 0.8). Pure integer
+    rank arithmetic; no floats anywhere.
+
+Scale notes (100 TB): the KS cumulative counts ride
+``rank_cumsum_multi`` (operators/cumulative.py) — BOTH groups' running
+sums in one bucket-offset pass, no single-task global window; the final
+argmax is a TakeOrdered(1). PMI is two token-keyed aggregations (Heaps-
+bounded frames) + key joins; top-k is TakeOrdered. The encoding audit is
+one column-pruned scan + two 1-row aggs per column. Quantile
+normalization's pooled rank is a ``rank_cumsum`` pass (distributed); the
+per-source window partitions by source. Reference anchor: the pipeline's
+only distribution check is the manual pandas ``describe`` in
+``/root/reference/RAG-Data-Exploration.ipynb``; these are its
+engine-grade replacements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+    rank_cumsum,
+    rank_cumsum_multi,
+)
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+_LN9 = 1_000_000_000  # ln() terms → 1e-9-scaled longs (zipf/bigram frame)
+PMI_MIN = 5           # min bigram support before PMI ranking
+PMI_TOP = 30
+KS_SPLIT_DAY = 15     # ECDF sample 1 = day-of-month ≤ 15, sample 2 = rest
+# KS rejection at alpha=0.05: D > 1.3581·sqrt((n1+n2)/(n1·n2)); both
+# sides scaled ×1e9 and rounded so the verdict compares two BIGINTs.
+KS_C9 = 1_358_100_000
+
+# (table, column) audit targets: every low-to-mid-cardinality VARCHAR in
+# the star schema plus the deliberately dictionary-hostile ones (names,
+# full text) so both verdicts appear.
+DICT_AUDIT_COLS = [
+    ("customer", "c_mktsegment"),
+    ("customer", "c_name"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("documents", "text"),
+    ("events", "event_type"),
+    ("lineitem", "l_returnflag"),
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("part", "p_brand"),
+    ("part", "p_name"),
+    ("part", "p_type"),
+]
+
+
+def _ln9(c: F.Column) -> F.Column:
+    return F.round(F.log(c.cast("double")) * _LN9).cast("long")
+
+
+def _o_ln9(expr: str) -> str:
+    return f"CAST(round(ln(CAST({expr} AS DOUBLE)) * {_LN9}) AS BIGINT)"
+
+
+@register(
+    "ks_drift_events",
+    f"""
+    WITH per_value AS (
+      SELECT value,
+             SUM(CASE WHEN day(ts) <= {KS_SPLIT_DAY} THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN day(ts) <= {KS_SPLIT_DAY} THEN 0 ELSE 1 END) AS c2
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ), cum AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value) AS cum_c1,
+             SUM(c2) OVER (ORDER BY value) AS cum_c2
+      FROM per_value
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM per_value
+    ),
+    gap AS (
+      SELECT t.n1, t.n2, c.value,
+             CAST(abs(t.n2 * c.cum_c1 - t.n1 * c.cum_c2) AS BIGINT) AS d_num
+      FROM cum c CROSS JOIN tot t
+      WHERE t.n1 > 0 AND t.n2 > 0
+    ), top AS (
+      SELECT * FROM gap ORDER BY d_num DESC, value LIMIT 1
+    ), scaled AS (
+      SELECT n1, n2, d_num, value AS at_value,
+             CAST(round({_LN9}.0 * CAST(d_num AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                  AS BIGINT) AS d9,
+             CAST(round({KS_C9}.0
+                        * sqrt(CAST(n1 + n2 AS DOUBLE)
+                               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))))
+                  AS BIGINT) AS t9
+      FROM top)
+    SELECT n1, n2, d_num, at_value, d9, t9, d9 > t9 AS drift
+    FROM scaled
+    """,
+    doc="Exact two-sample Kolmogorov–Smirnov drift test: value "
+    f"distribution of days 1-{KS_SPLIT_DAY} vs the rest of the month. "
+    "D·n1·n2 stays integer (max |n2·cum1 − n1·cum2| over distinct "
+    "values); the alpha=0.05 verdict compares 1e9-scaled projections. "
+    "Cumulative counts for BOTH samples come from one "
+    "rank_cumsum_multi bucket-offset pass — no single-task global "
+    "window — and the argmax is a TakeOrdered(1).",
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    in1 = F.dayofmonth("ts") <= KS_SPLIT_DAY
+    per_value = ev.groupBy("value").agg(
+        F.sum(F.when(in1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(in1, 0).otherwise(1)).alias("c2"),
+    )
+    cum = rank_cumsum_multi(
+        per_value,
+        order_by=[F.col("value")],
+        value_cols=["c1", "c2"],
+        bucket_col="value",
+    )
+    tot = per_value.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    gap = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "n1",
+            "n2",
+            "value",
+            F.abs(
+                F.col("n2") * F.col("cum_c1") - F.col("n1") * F.col("cum_c2")
+            ).alias("d_num"),
+        )
+    )
+    top = gap.orderBy(F.desc("d_num"), "value").limit(1)
+    dd = F.col("d_num").cast("double")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return top.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.col("value").alias("at_value"),
+        F.round(F.lit(float(_LN9)) * dd / (n1d * n2d))
+        .cast("long")
+        .alias("d9"),
+        F.round(
+            F.lit(float(KS_C9)) * F.sqrt((n1d + n2d) / (n1d * n2d))
+        )
+        .cast("long")
+        .alias("t9"),
+    ).withColumn("drift", F.col("d9") > F.col("t9"))
+
+
+@register(
+    "pmi_bigrams_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id,
+               unnest(string_split(coalesce(text, ''), ' ')) AS w,
+               unnest(generate_series(1,
+                 len(string_split(coalesce(text, ''), ' ')))) AS ord
+        FROM documents)
+      WHERE w <> ''
+    ), big AS (
+      SELECT w AS w1,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM tok
+    ), pairs AS (
+      SELECT w1, w2, COUNT(*) AS n_pair
+      FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), uni AS (SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
+    tot AS (
+      SELECT (SELECT SUM(n_w) FROM uni) AS u,
+             (SELECT SUM(n_pair) FROM pairs) AS b
+    ), scored AS (
+      SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+             {_o_ln9('p.n_pair')} + 2 * {_o_ln9('t.u')}
+             - {_o_ln9('t.b')} - {_o_ln9('u1.n_w')} - {_o_ln9('u2.n_w')}
+               AS pmi9
+      FROM pairs p
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN tot t
+      WHERE p.n_pair >= {PMI_MIN}
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi9 DESC, w1, w2) AS rnk
+      FROM scored)
+    SELECT w1, w2, n_pair, n_w1, n_w2, pmi9,
+           round(CAST(pmi9 AS DOUBLE) / {_LN9}.0, 6) AS pmi
+    FROM ranked WHERE rnk <= {PMI_TOP}
+    """,
+    doc=f"Collocation mining: top-{PMI_TOP} bigrams by pointwise mutual "
+    f"information (support ≥ {PMI_MIN}) — PMI = ln(p(ab)/(p(a)p(b))) "
+    "from exact pair/unigram counts, each ln term rounded to a "
+    "1e-9-scaled long BEFORE the sum so the ranking is order-free and "
+    "hash-stable cross-engine. Two Heaps-bounded token-keyed "
+    "aggregations + key joins; corpus totals ride a broadcast 1-row "
+    "frame; top-k is TakeOrdered.",
+)
+def pmi_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("ord", "w"),
+    ).filter(F.col("w") != "")
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    big = tok.select("w", F.lead("w").over(w).alias("w2")).filter(
+        F.col("w2").isNotNull()
+    )
+    pairs = big.groupBy(F.col("w").alias("w1"), "w2").agg(
+        F.count("*").alias("n_pair")
+    )
+    uni = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    tot = uni.agg(F.sum("n_w").alias("u")).crossJoin(
+        pairs.agg(F.sum("n_pair").alias("b"))
+    )
+    scored = (
+        pairs.filter(F.col("n_pair") >= PMI_MIN)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                _ln9(F.col("n_pair"))
+                + F.lit(2) * _ln9(F.col("u"))
+                - _ln9(F.col("b"))
+                - _ln9(F.col("n_w1"))
+                - _ln9(F.col("n_w2"))
+            ).alias("pmi9"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi9"), "w1", "w2").limit(PMI_TOP)
+    return top.withColumn(
+        "pmi", F.round(F.col("pmi9").cast("double") / float(_LN9), 6)
+    )
+
+
+def _o_dict_audit_one(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{col}' AS col_name,
+           COUNT(v) AS n_rows, COUNT(DISTINCT v) AS ndv,
+           CAST(coalesce(SUM(strlen(v)), 0) AS BIGINT) AS raw_bytes,
+           CAST(coalesce((SELECT SUM(strlen(dv))
+                          FROM (SELECT DISTINCT {col} AS dv FROM {table})), 0)
+                AS BIGINT) AS dict_payload_bytes
+    FROM (SELECT {col} AS v FROM {table})"""
+
+
+@register(
+    "dict_encoding_audit",
+    "WITH per_col AS ("
+    + "\n    UNION ALL".join(_o_dict_audit_one(t, c) for t, c in DICT_AUDIT_COLS)
+    + """
+    )
+    SELECT table_name, col_name, n_rows, ndv, raw_bytes, code_bits,
+           plain_bits, dict_bits,
+           CASE WHEN dict_bits < plain_bits THEN 'dict' ELSE 'plain' END
+             AS verdict
+    FROM (
+      SELECT *,
+             CASE WHEN ndv <= 1 THEN 1
+                  ELSE length(bin(ndv - 1)) END AS code_bits,
+             8 * raw_bytes AS plain_bits,
+             8 * dict_payload_bytes
+               + n_rows * (CASE WHEN ndv <= 1 THEN 1
+                                ELSE length(bin(ndv - 1)) END) AS dict_bits
+      FROM per_col)
+    """,
+    doc="Storage-encoding advisor: for every VARCHAR column of the star "
+    "schema, exact NDV + payload bytes decide dictionary vs plain "
+    "encoding (dict cost = distinct payload + n·⌈log₂ ndv⌉ bits; code "
+    "width from length(bin(ndv−1)) — pure integer, no float log). One "
+    "column-pruned scan + two 1-row aggs per column; the verdict column "
+    "is what a 100 TB parquet-writer config derives from.",
+)
+def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: DataFrame | None = None
+    for table, col in DICT_AUDIT_COLS:
+        base = _t(spark, sf_dir, table).select(F.col(col).alias("v"))
+        stats = base.agg(
+            F.count("v").alias("n_rows"),
+            F.countDistinct("v").alias("ndv"),
+            F.coalesce(F.sum(F.octet_length("v")), F.lit(0)).alias(
+                "raw_bytes"
+            ),
+        )
+        dist = base.distinct().agg(
+            F.coalesce(F.sum(F.octet_length("v")), F.lit(0)).alias(
+                "dict_payload_bytes"
+            )
+        )
+        row = stats.crossJoin(dist).select(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("col_name"),
+            "n_rows",
+            "ndv",
+            "raw_bytes",
+            "dict_payload_bytes",
+        )
+        out = row if out is None else out.unionByName(row)
+    code_bits = F.when(F.col("ndv") <= 1, F.lit(1)).otherwise(
+        F.length(F.bin(F.col("ndv") - 1))
+    )
+    return (
+        out.withColumn("code_bits", code_bits.cast("long"))
+        .withColumn("plain_bits", F.lit(8) * F.col("raw_bytes"))
+        .withColumn(
+            "dict_bits",
+            F.lit(8) * F.col("dict_payload_bytes")
+            + F.col("n_rows") * F.col("code_bits"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("dict_bits") < F.col("plain_bits"), "dict").otherwise(
+                "plain"
+            ),
+        )
+        .drop("dict_payload_bytes")
+    )
+
+
+@register(
+    "quantile_normalize_sources",
+    """
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM d),
+    pooled AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS p,
+             n_chars AS q_norm
+      FROM d
+    ), src AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS m
+      FROM d
+    ), mapped AS (
+      SELECT s.doc_id, s.source, s.n_chars,
+             CASE WHEN s.m = 1 THEN (t.n + 1) // 2
+                  ELSE 1 + ((s.r - 1) * (t.n - 1)) // (s.m - 1) END AS p
+      FROM src s CROSS JOIN tot t)
+    SELECT m.doc_id, m.source, m.n_chars, q.q_norm
+    FROM mapped m JOIN pooled q USING (p)
+    """,
+    doc="Cross-source score calibration by quantile normalization: each "
+    "document's n_chars maps to the POOLED distribution's value at the "
+    "same within-source quantile — the standard fix before one global "
+    "threshold is applied to per-source quality scores. Integer rank "
+    "arithmetic only (position = 1 + (r−1)(N−1) div (m−1)); the pooled "
+    "rank is a distributed rank_cumsum pass, the per-source window "
+    "partitions by source, and the final lookup is a key join on rank.",
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pooled = rank_cumsum(
+        d,
+        order_by=[F.col("n_chars"), F.col("doc_id")],
+        value_col="n_chars",
+        rank_col="p",
+        cumsum_col="_cum_ignore",
+        bucket_col="n_chars",
+    ).select("p", F.col("n_chars").alias("q_norm"))
+    tot = d.agg(F.count("*").alias("n"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = d.select(
+        "*",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("m"),
+    )
+    mapped = src.crossJoin(F.broadcast(tot)).withColumn(
+        "p",
+        F.when(
+            F.col("m") == 1, F.expr("(n + 1) div 2")
+        ).otherwise(F.expr("1 + ((r - 1) * (n - 1)) div (m - 1)")),
+    )
+    return mapped.join(pooled, "p").select(
+        "doc_id", "source", "n_chars", "q_norm"
+    )

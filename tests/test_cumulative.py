@@ -164,3 +164,49 @@ def test_rank_cumsum_null_bucket_key_fails_loud(spark):
     )
     with pytest.raises(PySparkException, match="must be non-null"):
         res.collect()
+
+
+def test_rank_cumsum_multi_matches_per_column_windows(spark):
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum_multi,
+    )
+
+    df = _frame(spark).withColumn("v2", (F.col("id") * 13) % 53)
+    got = (
+        rank_cumsum_multi(
+            df,
+            [F.col("v"), F.col("id")],
+            ["v", "v2"],
+            bucket_col="v",
+            num_buckets=16,
+        )
+        .select("id", "rank", "cum_v", "cum_v2")
+        .collect()
+    )
+    w = Window.orderBy("v", "id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rank"),
+        F.sum("v").over(wc).alias("cum_v"),
+        F.sum("v2").over(wc).alias("cum_v2"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_rank_cumsum_multi_null_bucket_key_fails_loud(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum_multi,
+    )
+
+    df = spark.range(0, 50, 1, 1).select(
+        "id",
+        F.when(F.col("id") != 3, (F.col("id") * 37) % 101 + 1).alias("v"),
+    )
+    with pytest.raises(PySparkException, match="must be non-null"):
+        rank_cumsum_multi(
+            df, [F.col("v"), F.col("id")], ["v"], bucket_col="v"
+        ).collect()

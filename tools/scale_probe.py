@@ -144,6 +144,15 @@ PROBE = [
     "q13_customer_distribution",
     "asof_click_before_purchase",
     "chunk_documents",
+    # r07: monitoring family — the KS cumulative counts must stay
+    # bucket-offset (no single-task window) over the distinct-value
+    # frame; PMI is two token-keyed aggs; the encoding audit is one
+    # column-pruned scan per column; quantile normalization is one
+    # rank_cumsum pass + a rank-keyed join
+    "ks_drift_events",
+    "pmi_bigrams_documents",
+    "dict_encoding_audit",
+    "quantile_normalize_sources",
 ]
 
 # The bench.py headline set (17 queries) — `--headline` probes exactly
