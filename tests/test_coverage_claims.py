@@ -25,6 +25,8 @@ _NON_QUERY = {
     "posts_similaires",
     "qa_api",
     "qa_vector",
+    "rank_cumsum",
+    "rank_cumsum_multi",
     "row_number",
     "t3_",
     "top_k_per_group",
