@@ -197,36 +197,40 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
       FROM tok
     ), pairs AS (
-      SELECT w1, w2, COUNT(*) AS n_pair
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
       FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
-    ), uni AS (SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
-    tot AS (
-      SELECT (SELECT SUM(n_w) FROM uni) AS u,
-             (SELECT SUM(n_pair) FROM pairs) AS b
-    ), scored AS (
-      SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
-             {_o_ln9('p.n_pair')} + 2 * {_o_ln9('t.u')}
-             - {_o_ln9('t.b')} - {_o_ln9('u1.n_w')} - {_o_ln9('u2.n_w')}
-               AS pmi9
+    ), outc AS (
+      SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_out
+      FROM pairs GROUP BY w1
+    ), inc AS (
+      SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_in
+      FROM pairs GROUP BY w2
+    ), tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b FROM pairs),
+    scored AS (
+      SELECT p.w1, p.w2, p.n_pair, o.n_out, i.n_in,
+             {_o_ln9('p.n_pair')} + {_o_ln9('t.b')}
+             - {_o_ln9('o.n_out')} - {_o_ln9('i.n_in')} AS pmi9
       FROM pairs p
-      JOIN uni u1 ON u1.w = p.w1
-      JOIN uni u2 ON u2.w = p.w2
+      JOIN outc o ON o.w1 = p.w1
+      JOIN inc i ON i.w2 = p.w2
       CROSS JOIN tot t
       WHERE p.n_pair >= {PMI_MIN}
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (ORDER BY pmi9 DESC, w1, w2) AS rnk
       FROM scored)
-    SELECT w1, w2, n_pair, n_w1, n_w2, pmi9,
+    SELECT w1, w2, n_pair, n_out, n_in, pmi9,
            round(CAST(pmi9 AS DOUBLE) / {_LN9}.0, 6) AS pmi
     FROM ranked WHERE rnk <= {PMI_TOP}
     """,
     doc=f"Collocation mining: top-{PMI_TOP} bigrams by pointwise mutual "
-    f"information (support ≥ {PMI_MIN}) — PMI = ln(p(ab)/(p(a)p(b))) "
-    "from exact pair/unigram counts, each ln term rounded to a "
-    "1e-9-scaled long BEFORE the sum so the ranking is order-free and "
-    "hash-stable cross-engine. Two Heaps-bounded token-keyed "
-    "aggregations + key joins; corpus totals ride a broadcast 1-row "
-    "frame; top-k is TakeOrdered.",
+    f"information over the bigram contingency table (support ≥ "
+    f"{PMI_MIN}) — PMI = ln(c_ab·B / (out_a·in_b)) with the marginals "
+    "DERIVED from the pair-counts frame (bigram_stats' trick), so the "
+    "corpus text is tokenized exactly once; each ln term is rounded to "
+    "a 1e-9-scaled long BEFORE the sum so the ranking is order-free "
+    "and hash-stable cross-engine. One token-keyed aggregation plus "
+    "two Heaps-bounded marginal re-aggs and key joins; the corpus "
+    "total rides a broadcast 1-row frame; top-k is TakeOrdered.",
 )
 def pmi_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -243,27 +247,25 @@ def pmi_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = big.groupBy(F.col("w").alias("w1"), "w2").agg(
         F.count("*").alias("n_pair")
     )
-    uni = tok.groupBy("w").agg(F.count("*").alias("n_w"))
-    tot = uni.agg(F.sum("n_w").alias("u")).crossJoin(
-        pairs.agg(F.sum("n_pair").alias("b"))
-    )
+    outc = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_out"))
+    inc = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n_in"))
+    tot = pairs.agg(F.sum("n_pair").alias("b"))
     scored = (
         pairs.filter(F.col("n_pair") >= PMI_MIN)
-        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
-        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .join(outc, "w1")
+        .join(inc, "w2")
         .crossJoin(F.broadcast(tot))
         .select(
             "w1",
             "w2",
             "n_pair",
-            "n_w1",
-            "n_w2",
+            "n_out",
+            "n_in",
             (
                 _ln9(F.col("n_pair"))
-                + F.lit(2) * _ln9(F.col("u"))
-                - _ln9(F.col("b"))
-                - _ln9(F.col("n_w1"))
-                - _ln9(F.col("n_w2"))
+                + _ln9(F.col("b"))
+                - _ln9(F.col("n_out"))
+                - _ln9(F.col("n_in"))
             ).alias("pmi9"),
         )
     )

@@ -115,13 +115,13 @@ def test_pmi_planted_collocation_ranks_first(spark, patched_loader):
     out = pmi_bigrams_documents(spark, "unused").collect()
     top = out[0]
     assert (top.w1, top.w2) == ("zq", "xv")
-    # exact expected pmi9 from the per-term rounded-ln construction
-    u = 6 * 10  # tokens
+    # exact expected pmi9 from the per-term rounded-ln construction:
+    # PMI = ln(c_ab * B / (out_a * in_b)) over the bigram table
     b = 6 * 9  # bigrams
     ln9 = lambda x: round(math.log(x) * 10**9)  # noqa: E731
-    want = ln9(6) + 2 * ln9(u) - ln9(b) - ln9(6) - ln9(6)
+    want = ln9(6) + ln9(b) - ln9(6) - ln9(6)
     assert top.pmi9 == want
-    assert top.n_pair == 6 and top.n_w1 == 6 and top.n_w2 == 6
+    assert top.n_pair == 6 and top.n_out == 6 and top.n_in == 6
 
 
 def test_pmi_below_min_support_excluded(spark, patched_loader):
