@@ -37,10 +37,12 @@ argmax is a TakeOrdered(1). PMI is two token-keyed aggregations (Heaps-
 bounded frames) + key joins; top-k is TakeOrdered. The encoding audit is
 one column-pruned scan + two 1-row aggs per column. Quantile
 normalization's pooled rank is a ``rank_cumsum`` pass (distributed); the
-per-source window partitions by source. Reference anchor: the pipeline's
-only distribution check is the manual pandas ``describe`` in
-``/root/reference/RAG-Data-Exploration.ipynb``; these are its
-engine-grade replacements.
+per-source window partitions by source. Reference anchor: the pipeline
+has NO distribution checks — its only quality gating is fixed scalar
+thresholds (``STACK-Ingestion.py:30`` ``min_score``,
+``REDDIT-Nettoyage-Posts.py:37-53`` regex/NOT-IN drops), applied
+identically across heterogeneous sources; these queries are the
+engine-grade monitoring/calibration layer that decides such thresholds.
 """
 
 from __future__ import annotations

@@ -19,9 +19,14 @@ PACKAGE = pathlib.Path(__file__).parents[1] / "qa_data_pipeline_rag_llm_spark"
 # A cited token is reference-style if it could only name a reference
 # file: dashes are illegal in python module names (so every local module
 # is dash-free), and the reference's dash-free files all match the
-# app*/main*/config_* prefixes.
-_TOKEN = re.compile(r"[A-Za-z0-9_*?-]+\.py\b")
-_REF_STYLE = re.compile(r"(-)|(^app\d*\.py$)|(^main)|(^config_)")
+# app*/main*/config_* prefixes. Non-.py extensions (ipynb/yml/txt) are
+# ALWAYS reference-style — the package has no such files, so any cited
+# one must resolve (an .ipynb fabrication slipped past the .py-only
+# pattern in r7).
+_TOKEN = re.compile(r"[A-Za-z0-9_*?-]+\.(?:py|ipynb|yml|yaml|txt|md)\b")
+_REF_STYLE = re.compile(
+    r"(-)|(^app\d*\.py$)|(^main)|(^config_)|(\.(?:ipynb|yml|yaml|txt)$)"
+)
 
 
 def _reference_names() -> list[str]:
