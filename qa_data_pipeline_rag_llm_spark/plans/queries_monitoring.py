@@ -283,9 +283,11 @@ def _o_dict_audit_one(table: str, col: str) -> str:
            COUNT(v) AS n_rows, COUNT(DISTINCT v) AS ndv,
            CAST(coalesce(SUM(strlen(v)), 0) AS BIGINT) AS raw_bytes,
            CAST(coalesce((SELECT SUM(strlen(dv))
-                          FROM (SELECT DISTINCT {col} AS dv FROM {table})), 0)
+                          FROM (SELECT DISTINCT {col} AS dv FROM {table}
+                                WHERE {col} IS NOT NULL)), 0)
                 AS BIGINT) AS dict_payload_bytes
-    FROM (SELECT {col} AS v FROM {table})"""
+    FROM (SELECT {col} AS v FROM {table})
+    HAVING COUNT(v) > 0"""
 
 
 @register(
@@ -311,29 +313,59 @@ def _o_dict_audit_one(table: str, col: str) -> str:
     doc="Storage-encoding advisor: for every VARCHAR column of the star "
     "schema, exact NDV + payload bytes decide dictionary vs plain "
     "encoding (dict cost = distinct payload + n·⌈log₂ ndv⌉ bits; code "
-    "width from length(bin(ndv−1)) — pure integer, no float log). One "
-    "column-pruned scan + two 1-row aggs per column; the verdict column "
-    "is what a 100 TB parquet-writer config derives from.",
+    "width from length(bin(ndv−1)) — pure integer, no float log). ONE "
+    "scan per table melts its audit columns into (col, value); a single "
+    "(col, value) aggregation collapses to the per-value frame, from "
+    "which all four stats derive — no per-column scan pairs, no "
+    "separate distinct pass. Columns with zero non-null values are "
+    "omitted (both engines). The verdict column is what a 100 TB "
+    "parquet-writer config derives from.",
 )
 def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out: DataFrame | None = None
+    # melt-once-per-table: ONE scan per table explodes its audit columns
+    # into (col_name, v); one (col_name, v) aggregation collapses to the
+    # per-value frame (map-side combine absorbs the rows), from which ALL
+    # four stats derive — no per-column scan pairs, no separate distinct
+    # pass. NULL values are dropped post-melt, matching COUNT(v) /
+    # COUNT(DISTINCT v) / SUM-skips-NULL semantics column-wise.
+    by_table: dict[str, list[str]] = {}
     for table, col in DICT_AUDIT_COLS:
-        base = _t(spark, sf_dir, table).select(F.col(col).alias("v"))
-        stats = base.agg(
-            F.count("v").alias("n_rows"),
-            F.countDistinct("v").alias("ndv"),
-            F.coalesce(F.sum(F.octet_length("v")), F.lit(0)).alias(
-                "raw_bytes"
-            ),
+        by_table.setdefault(table, []).append(col)
+    out: DataFrame | None = None
+    for table, cols in by_table.items():
+        melted = (
+            _t(spark, sf_dir, table)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("col_name"),
+                                F.col(c).alias("v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("cv")
+            )
+            .select("cv.col_name", "cv.v")
+            .filter(F.col("v").isNotNull())
         )
-        dist = base.distinct().agg(
+        per_value = melted.groupBy("col_name", "v").agg(
+            F.count("*").alias("cnt")
+        )
+        row = per_value.groupBy("col_name").agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count("*").alias("ndv"),
+            F.coalesce(
+                F.sum(F.col("cnt") * F.octet_length("v")), F.lit(0)
+            ).alias("raw_bytes"),
             F.coalesce(F.sum(F.octet_length("v")), F.lit(0)).alias(
                 "dict_payload_bytes"
-            )
-        )
-        row = stats.crossJoin(dist).select(
+            ),
+        ).select(
             F.lit(table).alias("table_name"),
-            F.lit(col).alias("col_name"),
+            "col_name",
             "n_rows",
             "ndv",
             "raw_bytes",
