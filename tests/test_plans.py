@@ -672,3 +672,63 @@ def test_cusum_windows_are_type_partitioned(spark):
             r"\b(ASC|DESC) NULLS", second
         )
         assert not unpartitioned, m.group(0)
+
+
+def test_pmi_tokenizes_corpus_once(spark):
+    """pmi_bigrams_documents: the pair-counts stage must be built once
+    and reused by all four consumers (scored, out/in marginals, total)
+    — the corpus text is tokenized in exactly one pass."""
+    plan = _final_plan(spark, "pmi_bigrams_documents")
+    assert "ReusedExchange" in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_ks_drift_scans_events_once(spark):
+    """ks_drift_events: the per-value count stage is shared between the
+    cumulative path and the totals path via exchange reuse — one events
+    scan; the 1-row totals crossJoin broadcasts; both data-sized windows
+    partition by the derived bucket id (no single-task global window
+    over the distinct-value frame)."""
+    plan = _final_plan(spark, "ks_drift_events")
+    assert "ReusedExchange" in plan
+    assert plan.count("events.parquet") == 1
+    assert "CartesianProduct" not in plan
+    # every window over the distinct-value frame is bucket-partitioned;
+    # the only partitionless windows run on the <=P-row offsets summary
+    for spec in _window_specs(plan):
+        assert "__cum_bid" in spec, spec
+
+
+def test_dict_audit_scans_each_table_once(spark):
+    """dict_encoding_audit: melt-once-per-table — every audited table's
+    parquet appears exactly once in the final plan."""
+    plan = _final_plan(spark, "dict_encoding_audit")
+    for t in ("customer", "documents", "events", "lineitem", "orders", "part"):
+        assert plan.count(f"{t}.parquet") == 1, t
+
+
+def test_qnorm_prunes_text_column(spark):
+    """quantile_normalize_sources: only (doc_id, source, n_chars) reach
+    the scan — the wide text column must never be read — and the pooled
+    rank rides the bucket-offset pattern, not a global window."""
+    plan = _final_plan(spark, "quantile_normalize_sources")
+    assert "text:string" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def _window_specs(plan: str) -> list[str]:
+    """windowspecdefinition(...) argument lists for DATA-SIZED windows:
+    frames partitioned by the bounded bucket id are included; the
+    partitionless offsets window over the <=P-row summary is excluded by
+    its leading order-only signature (__cum_bid ASC as FIRST arg means
+    orderBy-only over the summary frame)."""
+    import re
+
+    specs = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        if args.lstrip().startswith("__cum_bid"):
+            # order-only window over the bucket summary (bounded <=P)
+            continue
+        specs.append(args)
+    return specs
