@@ -36,14 +36,14 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
         WHERE {O.token_count("text")} BETWEEN 5 AND 2000
           AND n_chars >= 60) WHERE rn = 1),
     ch AS (
-      SELECT k.doc_id, k.source,
+      SELECT k.doc_id, k.source, i,
              substr(k.text, CAST(1 + i * 90 AS INT), 120) AS chunk_text
       FROM (SELECT doc_id, source, text,
                    CAST(greatest(1, (length(text) - 30 + 89) // 90) AS INT) AS nc
             FROM kept) k,
            LATERAL unnest(range(k.nc)) AS t(i))
     SELECT source,
-           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
            COUNT(*) AS n_chunks,
            CAST(SUM({O.token_count("chunk_text")}) AS BIGINT) AS total_tokens
     FROM ch GROUP BY source
@@ -78,8 +78,12 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
     )
     chunks = chunk_text(kept, "text", chunk_size=120, stride=90)
+    # every kept doc emits exactly one chunk_id=0 row, so the doc count
+    # is a plain conditional SUM — count_distinct(doc_id) planned a
+    # second aggregate pass (partial distinct on (source, doc_id) before
+    # the final agg) for the same number
     return chunks.groupBy("source").agg(
-        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("chunk_id") == 0, 1).otherwise(0)).alias("n_docs"),
         F.count("*").alias("n_chunks"),
         F.sum(token_count("chunk_text")).alias("total_tokens"),
     )
