@@ -33,11 +33,15 @@ adds the four health checks a production corpus/stream still needs:
 Scale notes (100 TB): the KS cumulative counts ride
 ``rank_cumsum_multi`` (operators/cumulative.py) — BOTH groups' running
 sums in one bucket-offset pass, no single-task global window; the final
-argmax is a TakeOrdered(1). PMI is two token-keyed aggregations (Heaps-
-bounded frames) + key joins; top-k is TakeOrdered. The encoding audit is
-one column-pruned scan + two 1-row aggs per column. Quantile
-normalization's pooled rank is a ``rank_cumsum`` pass (distributed); the
-per-source window partitions by source. Reference anchor: the pipeline
+argmax is a TakeOrdered(1), and the totals reuse the per-value stage
+(one events scan in the final plan). PMI derives its marginals FROM the
+pair-counts frame, so the corpus is tokenized once; the re-aggs are
+Heaps-bounded and top-k is TakeOrdered. The encoding audit melts each
+table's audit columns in ONE scan and derives all four stats from the
+per-value frame. Quantile normalization's pooled rank is a
+``rank_cumsum`` pass (distributed); the per-source window partitions by
+source, and the text column never reaches its scans. All four claims
+are plan-gated in tests/test_plans.py. Reference anchor: the pipeline
 has NO distribution checks — its only quality gating is fixed scalar
 thresholds (``STACK-Ingestion.py:30`` ``min_score``,
 ``REDDIT-Nettoyage-Posts.py:37-53`` regex/NOT-IN drops), applied
