@@ -289,10 +289,13 @@ def containment_pairs(
     wrapper pages in a training corpus. Same shared-rare-shingle blocking
     as :func:`ngram_jaccard_pairs` (df ≤ max_df), so candidates stay
     near-linear; both directions of each surviving pair are emitted
-    because containment is not symmetric.
+    because containment is not symmetric — but the INTERSECTION is, so
+    the expensive verification join runs once per unordered pair and the
+    two directed rows are a projection of its result (halves the
+    dominant per-candidate shingle join vs verifying each direction).
     """
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
-    cand = _blocked_candidates(sh, max_df, directed=True)
+    cand = _blocked_candidates(sh, max_df, directed=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc"))
@@ -304,8 +307,25 @@ def containment_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("d"),
+        "n_inter",
+    ).select(
+        F.col("d.src").alias("doc_a"),
+        F.col("d.dst").alias("doc_b"),
+        "n_inter",
+    )
     return (
-        inter.join(sizes.alias("na"), inter.doc_a == F.col("na.doc"))
+        both.join(sizes.alias("na"), both.doc_a == F.col("na.doc"))
         .select(
             "doc_a",
             "doc_b",
