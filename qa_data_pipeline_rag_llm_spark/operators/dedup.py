@@ -241,17 +241,16 @@ def ngram_jaccard_pairs(
     candidate set near-linear at corpus scale.
     """
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
-    cand = _blocked_candidates(sh, max_df, directed=False)
+    cand = _blocked_candidates(sh, max_df)
     return _verify_jaccard(cand, sh, threshold)
 
 
-def _blocked_candidates(
-    sh: DataFrame, max_df: int, directed: bool
-) -> DataFrame:
-    """Candidate (doc_a, doc_b) pairs sharing a rare shingle (df in
-    (1, max_df]): unordered ``a < b`` pairs, or both directions when
-    ``directed``. Shared by the Jaccard and containment families so the
-    blocking policy cannot silently diverge between them."""
+def _blocked_candidates(sh: DataFrame, max_df: int) -> DataFrame:
+    """Candidate unordered (doc_a < doc_b) pairs sharing a rare shingle
+    (df in (1, max_df]). Shared by the Jaccard and containment families
+    so the blocking policy cannot silently diverge between them; the
+    containment caller projects its directed rows AFTER the symmetric
+    verification."""
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -259,15 +258,10 @@ def _blocked_candidates(
         .select("shingle")
     )
     blocked = sh.join(rare, "shingle")
-    pair_pred = (
-        F.col("a.doc") != F.col("b.doc")
-        if directed
-        else F.col("a.doc") < F.col("b.doc")
-    )
     return (
         blocked.alias("a")
         .join(blocked.alias("b"), "shingle")
-        .filter(pair_pred)
+        .filter(F.col("a.doc") < F.col("b.doc"))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
@@ -295,7 +289,7 @@ def containment_pairs(
     dominant per-candidate shingle join vs verifying each direction).
     """
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
-    cand = _blocked_candidates(sh, max_df, directed=False)
+    cand = _blocked_candidates(sh, max_df)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc"))

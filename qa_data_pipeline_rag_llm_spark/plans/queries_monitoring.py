@@ -114,14 +114,15 @@ def _o_ln9(expr: str) -> str:
     ),
     gap AS (
       SELECT t.n1, t.n2, c.value,
-             CAST(abs(t.n2 * c.cum_c1 - t.n1 * c.cum_c2) AS BIGINT) AS d_num
+             abs(CAST(t.n2 AS HUGEINT) * c.cum_c1
+                 - CAST(t.n1 AS HUGEINT) * c.cum_c2) AS d_exact
       FROM cum c CROSS JOIN tot t
       WHERE t.n1 > 0 AND t.n2 > 0
     ), top AS (
-      SELECT * FROM gap ORDER BY d_num DESC, value LIMIT 1
+      SELECT * FROM gap ORDER BY d_exact DESC, value LIMIT 1
     ), scaled AS (
-      SELECT n1, n2, d_num, value AS at_value,
-             CAST(round({_LN9}.0 * CAST(d_num AS DOUBLE)
+      SELECT n1, n2, CAST(d_exact AS DOUBLE) AS d_num, value AS at_value,
+             CAST(round({_LN9}.0 * CAST(d_exact AS DOUBLE)
                         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
                   AS BIGINT) AS d9,
              CAST(round({KS_C9}.0
@@ -163,18 +164,24 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n2",
             "value",
+            # widen BEFORE the product: n·cum products exceed int64 past
+            # ~3e9 rows per sample, and Spark would wrap silently while
+            # the oracle errors (decimal here ≡ HUGEINT in the oracle —
+            # the time_weighted_avg convention). The argmax orders by the
+            # EXACT value; only the displayed column downcasts to double.
             F.abs(
-                F.col("n2") * F.col("cum_c1") - F.col("n1") * F.col("cum_c2")
-            ).alias("d_num"),
+                F.col("n2").cast("decimal(38,0)") * F.col("cum_c1")
+                - F.col("n1").cast("decimal(38,0)") * F.col("cum_c2")
+            ).alias("d_exact"),
         )
     )
-    top = gap.orderBy(F.desc("d_num"), "value").limit(1)
-    dd = F.col("d_num").cast("double")
+    top = gap.orderBy(F.desc("d_exact"), "value").limit(1)
+    dd = F.col("d_exact").cast("double")
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     return top.select(
         "n1",
         "n2",
-        "d_num",
+        dd.alias("d_num"),
         F.col("value").alias("at_value"),
         F.round(F.lit(float(_LN9)) * dd / (n1d * n2d))
         .cast("long")
@@ -400,7 +407,8 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quantile_normalize_sources",
     """
-    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
     tot AS (SELECT COUNT(*) AS n FROM d),
     pooled AS (
       SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS p,
@@ -415,7 +423,8 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mapped AS (
       SELECT s.doc_id, s.source, s.n_chars,
              CASE WHEN s.m = 1 THEN (t.n + 1) // 2
-                  ELSE 1 + ((s.r - 1) * (t.n - 1)) // (s.m - 1) END AS p
+                  ELSE 1 + (CAST(s.r - 1 AS HUGEINT) * (t.n - 1))
+                           // (s.m - 1) END AS p
       FROM src s CROSS JOIN tot t)
     SELECT m.doc_id, m.source, m.n_chars, q.q_norm
     FROM mapped m JOIN pooled q USING (p)
@@ -429,7 +438,14 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitions by source, and the final lookup is a key join on rank.",
 )
 def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # NULL n_chars is excluded EXPLICITLY: rank_cumsum's bucket key is
+    # fail-loud on NULL, and the oracle would otherwise rank NULLs by
+    # its session null ordering — crash vs rows, the worst divergence
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
     pooled = rank_cumsum(
         d,
         order_by=[F.col("n_chars"), F.col("doc_id")],
@@ -447,9 +463,16 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mapped = src.crossJoin(F.broadcast(tot)).withColumn(
         "p",
+        # decimal-widened product: (r-1)·(n-1) ~ n²/sources exceeds
+        # int64 past ~1e10 docs; Spark would wrap silently (decimal ≡
+        # HUGEINT in the oracle), and div on decimals is exact integral
         F.when(
             F.col("m") == 1, F.expr("(n + 1) div 2")
-        ).otherwise(F.expr("1 + ((r - 1) * (n - 1)) div (m - 1)")),
+        ).otherwise(
+            F.expr(
+                "1 + (CAST(r - 1 AS DECIMAL(38,0)) * (n - 1)) div (m - 1)"
+            )
+        ),
     )
     return mapped.join(pooled, "p").select(
         "doc_id", "source", "n_chars", "q_norm"

@@ -693,10 +693,18 @@ def test_ks_drift_scans_events_once(spark):
     assert "ReusedExchange" in plan
     assert plan.count("events.parquet") == 1
     assert "CartesianProduct" not in plan
-    # every window over the distinct-value frame is bucket-partitioned;
-    # the only partitionless windows run on the <=P-row offsets summary
-    for spec in _window_specs(plan):
-        assert "__cum_bid" in spec, spec
+    # every window over the distinct-value frame is bucket-PARTITIONED;
+    # the only unpartitioned window is the <=P-row offsets summary,
+    # recognizable by ordering on the bucket id ALONE — an unpartitioned
+    # window ordering on anything else would be the corpus-sized
+    # single-task regression this gate exists for
+    for partition, order in _window_groups(plan):
+        if partition:
+            continue
+        assert order.startswith("__cum_bid") and "," not in order, (
+            partition,
+            order,
+        )
 
 
 def test_dict_audit_scans_each_table_once(spark):
@@ -716,19 +724,23 @@ def test_qnorm_prunes_text_column(spark):
     assert "CartesianProduct" not in plan
 
 
-def _window_specs(plan: str) -> list[str]:
-    """windowspecdefinition(...) argument lists for DATA-SIZED windows:
-    frames partitioned by the bounded bucket id are included; the
-    partitionless offsets window over the <=P-row summary is excluded by
-    its leading order-only signature (__cum_bid ASC as FIRST arg means
-    orderBy-only over the summary frame)."""
+def _window_groups(plan: str) -> list[tuple[str, str]]:
+    """(partitionBy, orderBy) bracket groups of every Window node.
+
+    A Window exec line prints as ``Window [functions], [partition],
+    [order]`` — or ``Window [functions], [order]`` when unpartitioned
+    (the spec alone can't distinguish the two: a PARTITIONED window's
+    windowspecdefinition also leads with its partition columns)."""
     import re
 
-    specs = []
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        args = m.group(1)
-        if args.lstrip().startswith("__cum_bid"):
-            # order-only window over the bucket summary (bounded <=P)
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow \[.*?windowspecdefinition.*\]$", line)
+        if not m:
             continue
-        specs.append(args)
-    return specs
+        groups = re.findall(r"\[([^\[\]]*)\]", m.group(0))
+        if len(groups) >= 3:
+            out.append((groups[-2], groups[-1]))
+        elif len(groups) == 2:
+            out.append(("", groups[-1]))
+    return out
