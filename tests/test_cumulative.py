@@ -210,3 +210,48 @@ def test_rank_cumsum_multi_null_bucket_key_fails_loud(spark):
         rank_cumsum_multi(
             df, [F.col("v"), F.col("id")], ["v"], bucket_col="v"
         ).collect()
+
+
+def test_rank_cumsum_multi_property_random_frames(spark):
+    """Same hypothesis-style sweep for the multi-column variant: every
+    random shape's ranks AND both running sums must match the naive
+    single-window reference, at hostile bucket counts."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from qa_data_pipeline_rag_llm_spark.operators.cumulative import (
+        rank_cumsum_multi,
+    )
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n = rng.choice([1, 2, 17, 251, 1024])
+        heavy = rng.random() < 0.5
+        rows = [
+            (
+                i,
+                rng.choice([1, 1, 1, 7]) if heavy else rng.randint(-500, 500),
+                rng.randint(-9, 9),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, v long, u long")
+        got = rank_cumsum_multi(
+            df,
+            [F.col("v"), F.col("id")],
+            ["v", "u"],
+            bucket_col="v",
+            num_buckets=rng.choice([1, 2, 8, 64]),
+        ).select("id", "rank", "cum_v", "cum_u")
+        w = W.orderBy("v", "id")
+        wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        want = df.select(
+            "id",
+            F.row_number().over(w).alias("rank"),
+            F.sum("v").over(wc).alias("cum_v"),
+            F.sum("u").over(wc).alias("cum_u"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"trial {trial} n={n} heavy={heavy}"
