@@ -50,12 +50,20 @@ def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
     """(id, shingle) pairs, distinct — the set representation used by both
-    MinHash and exact Jaccard."""
+    MinHash and exact Jaccard.
+
+    Dedup happens per-doc with ``array_distinct`` BEFORE the explode:
+    duplicate (doc, shingle) pairs can only come from repeats WITHIN one
+    document (callers pass one row per doc), so the global ``.distinct()``
+    this replaces was a full-corpus shuffle spent re-proving a map-side
+    fact. Zero shuffles now — the set representation materializes inside
+    the scan stage of every downstream verification join."""
     df = ensure_parallelism(df)
-    return (
-        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
-        .select("doc", F.explode("sh").alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias(
+            "shingle"
+        ),
     )
 
 
