@@ -895,6 +895,53 @@ def _code_strings(code) -> set[str]:
     return out
 
 
+def _code_import_from(code) -> set[str]:
+    """Names loaded via IMPORT_FROM (function-local ``from mod import x``)
+    including nested code objects — the ONLY names a local module import
+    legitimately binds at function granularity (advice r07: blanket
+    getattr of every unresolved co_name against every local module folded
+    coincidental method names like ``filter`` into the dep hash)."""
+    import dis
+    import types
+
+    out = {
+        ins.argval
+        for ins in dis.get_instructions(code)
+        if ins.opname == "IMPORT_FROM"
+    }
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            out |= _code_import_from(const)
+    return out
+
+
+def _code_attr_pairs(code) -> set[tuple[str, str]]:
+    """(base-name, attr-name) pairs for direct attribute access on a
+    named load (``hll.estimate`` → ("hll", "estimate")), including nested
+    code objects. Restricts which attr names get getattr-resolved against
+    a locally imported package module: only attrs accessed ON that
+    module's alias, never arbitrary method names (advice r07)."""
+    import dis
+    import types
+
+    out: set[tuple[str, str]] = set()
+    prev = None
+    for ins in dis.get_instructions(code):
+        if ins.opname in ("LOAD_ATTR", "LOAD_METHOD") and prev is not None:
+            if prev.opname in (
+                "LOAD_GLOBAL",
+                "LOAD_NAME",
+                "LOAD_FAST",
+                "LOAD_DEREF",
+            ):
+                out.add((prev.argval, ins.argval))
+        prev = ins
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            out |= _code_attr_pairs(const)
+    return out
+
+
 def _module_file_hash(mod) -> str:
     import hashlib
     from pathlib import Path
@@ -929,13 +976,20 @@ def _const_repr(v) -> str | None:
     return None
 
 
-def _dep_add(obj, name: str, visited: set, out: dict[str, str]) -> bool:
+def _dep_add(
+    obj, name: str, visited: set, out: dict[str, str], module: str = ""
+) -> bool:
     """Record one reachable object's identity into out ({qualified-name:
     hash}): package functions/classes by source (recursing into their own
     reach), package modules by file content, wrapped callables by their
-    inner function, simple constants by repr. Returns True when the
-    object produced a dep entry (or is REGISTRY, covered by the sibling
-    scan) — False for foreign/opaque objects."""
+    inner function, simple constants by repr. ``module`` is the module the
+    lookup resolved through — functions/classes carry their own
+    ``__module__``, but constants don't, so it qualifies their key
+    (advice r07: two same-named constants in different modules must not
+    collide into one ``const:`` entry, or an edit to the shadowed one
+    keeps a stale verification valid). Returns True when the object
+    produced a dep entry (or is REGISTRY, covered by the sibling scan) —
+    False for foreign/opaque objects."""
     import inspect
     import types
 
@@ -988,8 +1042,12 @@ def _dep_add(obj, name: str, visited: set, out: dict[str, str]) -> bool:
     r = _const_repr(obj)
     if r is not None and not callable(obj):
         # module-level constant the builder reads (e.g. a shared SQL
-        # template or scale) — its VALUE is part of the behavior
-        out[f"const:{name}"] = _src_hash(r)
+        # template or scale) — its VALUE is part of the behavior. Keyed
+        # by qualified name and first-write-wins like the fn/cls
+        # branches (advice r07).
+        key = f"const:{module}.{name}" if module else f"const:{name}"
+        if key not in out:
+            out[key] = _src_hash(r)
         return True
     return False
 
@@ -1009,8 +1067,8 @@ def _dep_items(fn, visited: set, out: dict[str, str]) -> None:
     import types
 
     names = sorted(_code_names(code))
+    own_module = gl.get("__name__", "")
     local_mods = []
-    unresolved: list[str] = []
     for name in names:
         if name in gl:
             obj = gl[name]
@@ -1022,7 +1080,7 @@ def _dep_items(fn, visited: set, out: dict[str, str]) -> None:
                 # function granularity below, same as local imports
                 local_mods.append(obj)
             else:
-                _dep_add(obj, name, visited, out)
+                _dep_add(obj, name, visited, out, own_module)
         elif name.startswith(_PKG_PREFIX + "."):
             # function-local `from qa_...mod import x`: only the dotted
             # module path reaches co_names — resolve the imported attrs
@@ -1033,13 +1091,24 @@ def _dep_items(fn, visited: set, out: dict[str, str]) -> None:
                 local_mods.append(importlib.import_module(name))
             except ImportError:
                 out[f"mod:{name}"] = "noimport"
-        else:
-            unresolved.append(name)
+    # Names attributable to a local module: IMPORT_FROM targets (the
+    # function-local `from mod import x` shape) plus attributes accessed
+    # on a global alias of that exact module object. NOT every unresolved
+    # co_name (advice r07): `df.filter(...)`'s method name must not fold
+    # a coincidentally same-named attribute of an imported package module
+    # into the dep hash, churning fingerprints on unrelated edits.
+    imported = _code_import_from(code)
+    attr_pairs = _code_attr_pairs(code)
     for mod in local_mods:
+        candidates = imported | {
+            attr for base, attr in attr_pairs if gl.get(base) is mod
+        }
         hits = 0
-        for name in unresolved:
+        for name in sorted(candidates):
             obj = getattr(mod, name, _MISSING)
-            if obj is not _MISSING and _dep_add(obj, name, visited, out):
+            if obj is not _MISSING and _dep_add(
+                obj, name, visited, out, mod.__name__
+            ):
                 hits += 1
         if hits == 0:
             # the import's targets may have been attributed through

@@ -230,3 +230,73 @@ def test_const_repr_rejects_address_bearing_values():
     assert Q._const_repr(object()) is None
     assert Q._const_repr({"k": 1}) is None  # dicts excluded by design
     assert Q._const_repr(("a", 1, 2.0)) == "('a',1,2.0)"
+
+
+# --------------------------------------------------------------------------
+# Qualified constant keys + attr-restricted module resolution (advice r07)
+
+
+def _exec_fn(src, gl, name="fake_builder"):
+    exec(compile(textwrap.dedent(src), f"<{name}>", "exec"), gl)
+    return gl[name]
+
+
+def test_same_named_constants_in_two_modules_get_distinct_keys(
+    tmp_path, monkeypatch
+):
+    """Two modules each define LIMIT; a builder reaching both must record
+    two const entries — the unqualified `const:LIMIT` key let the later
+    write shadow the earlier, so an edit to the shadowed constant kept a
+    stale verification valid (advice r07)."""
+    monkeypatch.setattr(Q, "_PKG_PREFIX", "fpdep2")
+    (tmp_path / "fpdep2_b.py").write_text(
+        "LIMIT = 3\n\ndef helper_b():\n    return LIMIT\n"
+    )
+    mod_b = _load_module(str(tmp_path / "fpdep2_b.py"), "fpdep2_b")
+    try:
+        fn = _exec_fn(
+            """
+            def fake_builder(spark, sf_dir):
+                return LIMIT + helper_b()
+            """,
+            {"__name__": "fpdep2_a", "LIMIT": 9, "helper_b": mod_b.helper_b},
+        )
+        deps: dict[str, str] = {}
+        Q._dep_items(fn, set(), deps)
+        assert "const:fpdep2_a.LIMIT" in deps, sorted(deps)
+        assert "const:fpdep2_b.LIMIT" in deps, sorted(deps)
+        assert deps["const:fpdep2_a.LIMIT"] != deps["const:fpdep2_b.LIMIT"]
+    finally:
+        sys.modules.pop("fpdep2_b", None)
+
+
+def test_method_names_not_resolved_against_local_modules(
+    tmp_path, monkeypatch
+):
+    """`df.filter(...)`'s attribute name must not fold a coincidentally
+    same-named attribute of an imported package module into the dep hash
+    (advice r07: spurious fingerprint churn re-debts verified rows);
+    attributes accessed ON the module alias still resolve at function
+    granularity."""
+    monkeypatch.setattr(Q, "_PKG_PREFIX", "fpdep3")
+    (tmp_path / "fpdep3_mod.py").write_text(
+        "def filter(x):\n    return x\n\ndef wanted(x):\n    return x\n"
+    )
+    mod = _load_module(str(tmp_path / "fpdep3_mod.py"), "fpdep3_mod")
+    try:
+        fn = _exec_fn(
+            """
+            def fake_builder(spark, sf_dir):
+                m.wanted(1)
+                return df.filter(2)
+            """,
+            {"__name__": "fpdep3_caller", "m": mod, "df": None},
+        )
+        deps: dict[str, str] = {}
+        Q._dep_items(fn, set(), deps)
+        assert "fn:fpdep3_mod.wanted" in deps, sorted(deps)
+        assert not any(k.endswith(".filter") for k in deps), sorted(deps)
+        # and the module did NOT degrade to a whole-file pin
+        assert "mod:fpdep3_mod" not in deps
+    finally:
+        sys.modules.pop("fpdep3_mod", None)
