@@ -80,76 +80,22 @@ def rank_cumsum(
     a value divergence, not a crash (advice r03). Callers with nullable
     keys must filter or coalesce first, choosing their null semantics
     explicitly.
+
+    Thin wrapper over :func:`rank_cumsum_multi` with one value column
+    (advice r07: the two bodies were ~60 duplicated lines carrying the
+    subtle eager-boundary-collection logic — one place to fix now).
     """
-    if bucket_col is None:
-        raise ValueError("bucket_col (the leading numeric sort key) is required")
-    if num_buckets is None:
-        num_buckets = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    qs = [i / num_buckets for i in range(1, num_buckets)]
-    # Bounds are collected ONCE driver-side (bounded: ≤ num_buckets-1
-    # doubles — same class as the ivf centroid fetch) and inlined as
-    # literals. Keeping them as a lazy broadcast branch would let the
-    # local-window and bucket-summary consumers observe DIFFERENT bounds
-    # if the exchange is ever recomputed instead of reused:
-    # ApproximatePercentile's partial-sketch merge is fetch-order
-    # dependent, and a boundary-adjacent key landing in bucket k on one
-    # branch and k+1 on the other silently corrupts the offsets — the
-    # same bug class as the rejected spark_partition_id design
-    # (review r03). Cost: one extra evaluation of the input plan at
-    # build time; the main job's two branches still share their scan
-    # through exchange reuse.
-    bvals = (
-        df.agg(
-            F.percentile_approx(
-                F.col(bucket_col).cast("double"),
-                F.array(*[F.lit(q) for q in qs]),
-                F.lit(10_000),
-            ).alias(_BOUNDS)
-        ).collect()[0][0]
-        or []
+    out = rank_cumsum_multi(
+        df,
+        order_by,
+        [value_col],
+        rank_col=rank_col,
+        cumsum_prefix="__cum1_",
+        bucket_col=bucket_col,
+        descending=descending,
+        num_buckets=num_buckets,
     )
-    key = F.col(bucket_col).cast("double")
-    before = (lambda b: b > key) if descending else (lambda b: b < key)
-    # fail-loud NULL-key guard: assert_true passes (→ NULL → +0) on
-    # every non-null key, throws with a diagnosable message otherwise
-    bid = F.coalesce(
-        F.assert_true(
-            key.isNotNull(),
-            F.lit(f"rank_cumsum: bucket_col {bucket_col!r} must be non-null"),
-        ).cast("int"),
-        F.lit(0),
-    )
-    for b in bvals:
-        bid = bid + F.when(before(F.lit(float(b))), 1).otherwise(0)
-    parts = df.withColumn(_BID, bid)
-    w_local = Window.partitionBy(_BID).orderBy(*order_by)
-    w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = parts.select(
-        "*",
-        F.row_number().over(w_local).alias(_LRANK),
-        F.sum(value_col).over(w_cum).alias(_LSUM),
-    )
-    # ≤P-row summary frame: cumulative offsets over bucket ids. The
-    # window here is global but bounded by the bucket count.
-    psum = parts.groupBy(_BID).agg(
-        F.count("*").alias("_rows"), F.sum(value_col).alias("_sum")
-    )
-    w_off = Window.orderBy(_BID).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    offsets = psum.select(
-        _BID,
-        F.coalesce(F.sum("_rows").over(w_off), F.lit(0)).alias(_OFF_ROWS),
-        F.coalesce(F.sum("_sum").over(w_off), F.lit(0)).alias(_OFF_SUM),
-    )
-    out = local.join(F.broadcast(offsets), _BID)
-    return (
-        out.withColumn(rank_col, (F.col(_LRANK) + F.col(_OFF_ROWS)))
-        .withColumn(cumsum_col, F.col(_LSUM) + F.col(_OFF_SUM))
-        .drop(_BID, _LRANK, _LSUM, _OFF_ROWS, _OFF_SUM)
-    )
+    return out.withColumnRenamed(f"__cum1_{value_col}", cumsum_col)
 
 
 def rank_cumsum_multi(
@@ -182,6 +128,18 @@ def rank_cumsum_multi(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     qs = [i / num_buckets for i in range(1, num_buckets)]
+    # Bounds are collected ONCE driver-side (bounded: ≤ num_buckets-1
+    # doubles — same class as the ivf centroid fetch) and inlined as
+    # literals. Keeping them as a lazy broadcast branch would let the
+    # local-window and bucket-summary consumers observe DIFFERENT bounds
+    # if the exchange is ever recomputed instead of reused:
+    # ApproximatePercentile's partial-sketch merge is fetch-order
+    # dependent, and a boundary-adjacent key landing in bucket k on one
+    # branch and k+1 on the other silently corrupts the offsets — the
+    # same bug class as the rejected spark_partition_id design
+    # (review r03). Cost: one extra evaluation of the input plan at
+    # build time; the main job's two branches still share their scan
+    # through exchange reuse.
     bvals = (
         df.agg(
             F.percentile_approx(
@@ -194,6 +152,8 @@ def rank_cumsum_multi(
     )
     key = F.col(bucket_col).cast("double")
     before = (lambda b: b > key) if descending else (lambda b: b < key)
+    # fail-loud NULL-key guard: assert_true passes (→ NULL → +0) on
+    # every non-null key, throws with a diagnosable message otherwise
     bid = F.coalesce(
         F.assert_true(
             key.isNotNull(),

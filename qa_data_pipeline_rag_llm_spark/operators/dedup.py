@@ -46,6 +46,33 @@ def dedup_exact(
     )
 
 
+def _assert_unique_ids(df: DataFrame, id_col: str) -> None:
+    """Fail-loud one-row-per-doc precondition check (advice r07).
+
+    ``_doc_shingles``' zero-shuffle form dedups shingles WITHIN a row via
+    ``array_distinct``; a caller passing duplicate ``id_col`` rows (e.g.
+    a history+batch union that forgot to key) would silently inflate
+    shingle multiplicities — and with them intersection counts, Jaccard,
+    and containment — where the removed global ``.distinct()`` was
+    immune. One eager aggregate (groupBy-count-limit-1), opt-in via the
+    entry points' ``validate=True`` so the hot path stays job-free, same
+    contract shape as ``api.weighted_sample``."""
+    dup = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"dedup: id column {id_col!r} has duplicate rows — shingle "
+            "sets are built per-row (array_distinct), so duplicated ids "
+            "inflate intersection/Jaccard/containment counts. Reduce to "
+            "one row per document id first."
+        )
+
+
 def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
@@ -143,9 +170,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    validate: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH banding, verified with exact
-    Jaccard over the shingle sets: (doc_a, doc_b, jaccard)."""
+    Jaccard over the shingle sets: (doc_a, doc_b, jaccard).
+
+    ``df`` must carry ONE row per ``id_col`` (shingle sets are per-row;
+    duplicate ids inflate Jaccard — see ``_assert_unique_ids``). Pass
+    ``validate=True`` to enforce it with one eager aggregate."""
+    if validate:
+        _assert_unique_ids(df, id_col)
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     banded = minhash_bands(sig, num_perm, bands)
     cand = (
@@ -169,6 +203,7 @@ def minhash_incremental_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    validate: bool = False,
 ) -> DataFrame:
     """Incremental dedup: NEW-batch docs (rows where ``new_pred``) checked
     against the HISTORICAL corpus (the rest) — the production shape where
@@ -181,7 +216,14 @@ def minhash_incremental_pairs(
     historical banded table is a bucketed/partitioned-by-band_key table
     the small new-batch side shuffles into. Returns verified
     (doc_a=new, doc_b=historical, jaccard) pairs.
+
+    ``df`` must carry ONE row per ``id_col`` across history AND batch
+    combined — the exact union-without-keying shape this function
+    invites is the one that breaks the precondition, so
+    ``validate=True`` is the recommended first-run setting.
     """
+    if validate:
+        _assert_unique_ids(df, id_col)
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     flags = df.select(F.col(id_col).alias("doc"), new_pred.alias("__new"))
     banded = (
@@ -241,13 +283,17 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_df: int = 20,
     threshold: float = 0.2,
+    validate: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs, blocked through shared shingles.
 
     Docs are only compared if they share a shingle whose document frequency
     is ≤ ``max_df`` — the standard stopword-shingle pruning that keeps the
-    candidate set near-linear at corpus scale.
+    candidate set near-linear at corpus scale. ``df`` must carry ONE row
+    per ``id_col`` (``validate=True`` enforces it, one eager aggregate).
     """
+    if validate:
+        _assert_unique_ids(df, id_col)
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     cand = _blocked_candidates(sh, max_df)
     return _verify_jaccard(cand, sh, threshold)
@@ -282,6 +328,7 @@ def containment_pairs(
     shingle_n: int = 3,
     max_df: int = 20,
     threshold: float = 0.5,
+    validate: bool = False,
 ) -> DataFrame:
     """DIRECTED containment near-dups: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|.
 
@@ -295,7 +342,11 @@ def containment_pairs(
     the expensive verification join runs once per unordered pair and the
     two directed rows are a projection of its result (halves the
     dominant per-candidate shingle join vs verifying each direction).
+    ``df`` must carry ONE row per ``id_col`` (``validate=True`` enforces
+    it, one eager aggregate).
     """
+    if validate:
+        _assert_unique_ids(df, id_col)
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     cand = _blocked_candidates(sh, max_df)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
@@ -380,9 +431,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     max_hamming: int = 3,
+    validate: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``,
     candidate-blocked by collision on any of four 8-bit bands.
+
+    ``df`` must carry ONE row per ``id_col`` (duplicate ids double bit
+    votes AND produce self-colliding band rows; ``validate=True``
+    enforces the precondition with one eager aggregate).
 
     Pigeonhole recall contract: 4 bands guarantee a collision only for
     pairs within hamming 3 (d differing bits can straddle at most d
@@ -391,6 +447,8 @@ def simhash_pairs(
     deliver — pairs differing by 4-6 bits spread one-per-band were
     silently absent. Callers wanting a larger radius must raise the band
     count, not just this threshold."""
+    if validate:
+        _assert_unique_ids(df, id_col)
     fp = simhash_fingerprints(df, text_col, id_col, shingle_n)
     banded = fp.select(
         "doc",
