@@ -816,6 +816,16 @@ _PINNED_NEW = [
 DEBT_SLOTS = 40
 RECHECKS = 10
 _RECHECK_FROM_ARTIFACTS = 4
+# Post-debt regime (VERDICT r07 ask #6): these constants do NOT idle the
+# window when debt/stale drain — the interleave in `_ordered_names`
+# (debt[:DEBT_SLOTS] + done[:RECHECKS] + debt[DEBT_SLOTS:] + done[RECHECKS:])
+# degenerates to `debt + done-sorted` whenever |debt| ≤ DEBT_SLOTS, so
+# every unused debt slot is a recheck slot automatically: with debt and
+# stale at 0 the driver's 50-query prefix is the 50 OLDEST verifications
+# and the full 279-query registry re-rows on a ⌈279/50⌉ = 6-round cycle,
+# not a 10/round (~28-round) one. DEBT_SLOTS only binds under heavy debt
+# (>40, keeping 10 guaranteed recheck slots); RECHECKS only binds there
+# too. Pinned by tests/test_recheck_rotation.py's post-debt tests.
 
 
 def _load_artifacts() -> list[dict]:

@@ -169,6 +169,25 @@ def test_underfilled_debt_extends_recheck_queue_into_window():
     assert sum(1 for n in prefix if n in stale) == 14
 
 
+def test_zero_debt_zero_stale_cycles_whole_registry_oldest_first():
+    """VERDICT r07 ask #6: with debt AND stale at zero, the 50-query
+    driver prefix must be the 50 oldest verifications — the constants
+    must not strand the window at 10 rechecks/round (a ~28-round cycle
+    over 279 queries). The interleave degenerates to all-done-sorted, so
+    the registry re-rows on a ⌈N/50⌉ cycle."""
+    names = _names(279)
+    rounds = {n: i % 6 for i, n in enumerate(names)}  # all verified
+    ordered = _ordered_names(
+        names, rounds, _RECHECK_FROM_ARTIFACTS, set(names), frozenset()
+    )
+    ages = [rounds[n] for n in ordered]
+    assert ages == sorted(ages), "window is not oldest-first"
+    # every window slot is a productive recheck — nothing is reserved
+    # for (empty) debt
+    assert len(ordered[:50]) == 50
+    assert all(n in rounds for n in ordered[:50])
+
+
 def test_fingerprint_ledger_current_with_working_tree():
     """The latest FINGERPRINTS.json snapshot must match the working tree:
     editing a query after the snapshot turns this red until
