@@ -169,11 +169,14 @@ def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_verdict(_t(spark, sf_dir, "documents"))
 
 
-def gopher_verdict(d: DataFrame) -> DataFrame:
+def gopher_verdict(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The Gopher rule projection on any (doc_id, text) frame — a pure
     per-row expression (no shuffle, no state), so it is equally legal on
     a batch table and MID-STREAM (streaming_quality_gate reuses it
-    verbatim as admission control)."""
+    verbatim as admission control). ``carry`` names extra input columns
+    to pass through unchanged (e.g. ``("source",)`` for per-source
+    agreement audits) so callers never need a doc_id re-join to recover
+    attributes the projection dropped."""
     t = tokens("text")
     n = token_count("text")
     raw_len = F.length(F.coalesce(F.col("text"), F.lit("")))
@@ -188,6 +191,7 @@ def gopher_verdict(d: DataFrame) -> DataFrame:
     alpha_words = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
     m = d.select(
         "doc_id",
+        *carry,
         n.alias("n_tokens"),
         sum_len.alias("sum_len"),
         raw_len.alias("raw_len"),
@@ -196,6 +200,7 @@ def gopher_verdict(d: DataFrame) -> DataFrame:
         stopword_hits("text", "en").alias("stop_hits"),
     ).select(
         "doc_id",
+        *carry,
         "n_tokens",
         "stop_hits",
         F.when(
@@ -227,6 +232,7 @@ def gopher_verdict(d: DataFrame) -> DataFrame:
     pass_stop = F.col("stop_hits") >= G_MIN_STOP_HITS
     return m.select(
         "doc_id",
+        *carry,
         "n_tokens",
         "mean_word_len",
         "symbol_frac",

@@ -1,0 +1,519 @@
+"""Registry entries: label & preference QUALITY over ``documents``.
+
+SFT/RLHF data prep produces labels (keep/drop verdicts) and preferences
+(chosen/rejected pairs); this module audits whether those signals are
+trustworthy BEFORE a reward model trains on them — the step the
+reference pipeline lacks entirely (its quality gating is fixed scalar
+thresholds applied blind, ``/root/reference/STACK-Ingestion.py:30``):
+
+  * Cohen's kappa between the two independent quality raters the engine
+    already ships (Gopher hard rules vs the weighted quality score) —
+    agreement beyond chance, overall and per source. Low kappa on a
+    source means the filters disagree there and a human should look.
+  * Bradley–Terry strength per source from stratified pairwise duels —
+    the principled aggregation of "which source wins head-to-heads",
+    in exact fixed-point arithmetic so the MM iteration is
+    bit-reproducible and replayable as unrolled DuckDB CTEs.
+  * Preference-cycle audit: the rate of intransitive triples
+    (A≻B≻C≻A) in the majority-win tournament — cyclic preference data
+    puts a ceiling on any reward model fit to it.
+
+Scale notes (100 TB): the ONLY corpus-sized work is one shuffle-free
+rater projection + one partial-agg shuffle to (lang, source) or
+(source) grain; everything downstream — duels, win matrix, MM
+iterations, triangle joins — operates on model-sized frames bounded by
+|sources|² and runs as broadcast joins. Kappa's counts are exact longs
+(n² fits a double's 53-bit mantissa far past this corpus; the 100 TB
+upgrade is DECIMAL(38,0) for the pe product, same expression shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.functions.text import quality_score
+from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+from qa_data_pipeline_rag_llm_spark.plans.queries_curation import (
+    G_MAX_MEAN_LEN,
+    G_MAX_SYMBOL_FRAC,
+    G_MAX_WORDS,
+    G_MIN_ALPHA_FRAC,
+    G_MIN_MEAN_LEN,
+    G_MIN_STOP_HITS,
+    G_MIN_WORDS,
+    gopher_verdict,
+)
+from qa_data_pipeline_rag_llm_spark.plans.queries_text import _quality_sql
+
+# Rater B threshold on the weighted quality score. NOT the SFT gate's
+# 0.5: this corpus' scores sit in [0.75, 0.90] (5th-95th pct), so 0.5
+# keeps 100% and a constant rater makes kappa degenerate-zero by
+# construction. 0.8 splits near the median (~49% keep, vs the Gopher
+# rules' ~45%) — the regime where chance-corrected agreement is
+# informative.
+K_QUAL_T = 0.8
+
+# Bradley–Terry fixed point: strength 1.0 ≡ 10^6; every MM step is
+# integer floor-div so Spark and DuckDB replay identical iterates
+# (the pagerank_cust_supp discipline, queries_graph_profile.py).
+BT_S = 1_000_000
+BT_S2 = BT_S * BT_S
+BT_ITERS = 3
+
+
+def _gopher_keep_sql() -> str:
+    """DuckDB twin of queries_curation.gopher_verdict's ``keep`` column
+    (same fragments/thresholds as the gopher_quality_documents oracle):
+    ``SELECT doc_id, keep FROM ...`` over ``documents``."""
+    return f"""
+    SELECT doc_id,
+           (n_tokens BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS})
+             AND (mean_word_len BETWEEN {G_MIN_MEAN_LEN} AND {G_MAX_MEAN_LEN})
+             AND symbol_frac < {G_MAX_SYMBOL_FRAC}
+             AND alpha_word_frac >= {G_MIN_ALPHA_FRAC}
+             AND stop_hits >= {G_MIN_STOP_HITS} AS keep
+    FROM (
+      SELECT doc_id, n_tokens, stop_hits,
+             CASE WHEN n_tokens > 0
+                  THEN round(sum_len * 1.0 / n_tokens, 6) ELSE 0.0 END
+               AS mean_word_len,
+             CASE WHEN raw_len > 0
+                  THEN round((raw_len - kept_len) * 1.0 / raw_len, 6)
+                  ELSE 0.0 END AS symbol_frac,
+             CASE WHEN n_tokens > 0
+                  THEN round(alpha_words * 1.0 / n_tokens, 6) ELSE 0.0 END
+               AS alpha_word_frac
+      FROM (
+        SELECT doc_id,
+               {O.token_count("text")} AS n_tokens,
+               coalesce(list_aggregate(
+                 list_transform({O.toks("text")}, x -> len(x)), 'sum'), 0)
+                 AS sum_len,
+               len(coalesce(text, '')) AS raw_len,
+               len(regexp_replace(lower(coalesce(text, '')),
+                                  '[^a-z0-9 ]', '', 'g')) AS kept_len,
+               len(list_filter({O.toks("text")},
+                               x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+               {O.stopword_hits("text", "en")} AS stop_hits
+        FROM documents))
+    """
+
+
+# Shared CTE prefix: per-doc rater verdicts (a = Gopher rules,
+# b = quality >= threshold) with source carried through.
+_RATERS_SQL = f"""
+    raters AS (
+      SELECT q.source, g.keep AS ra, q.quality >= {K_QUAL_T} AS rb
+      FROM ({_gopher_keep_sql()}) g
+      JOIN (SELECT doc_id, source, quality
+            FROM ({_quality_sql("doc_id, source")})) q USING (doc_id))
+"""
+
+_KAPPA_SQL = """
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS gopher_keep,
+      CAST(SUM(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS quality_keep,
+      CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+      CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+        AS both_drop
+"""
+
+# kappa from the five exact counts; NULL when chance agreement is total
+# (pe = 1 makes the denominator 0 — a degenerate slice, not agreement).
+_KAPPA_EXPR = """
+      CASE WHEN n_docs * n_docs
+                - (gopher_keep * quality_keep
+                   + (n_docs - gopher_keep) * (n_docs - quality_keep)) = 0
+           THEN NULL
+           ELSE round(
+             ((both_keep + both_drop) * n_docs
+              - (gopher_keep * quality_keep
+                 + (n_docs - gopher_keep) * (n_docs - quality_keep))) * 1.0
+             / (n_docs * n_docs
+                - (gopher_keep * quality_keep
+                   + (n_docs - gopher_keep) * (n_docs - quality_keep))), 6)
+      END AS kappa
+"""
+
+
+def _rater_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, ra, rb) per document in ONE shuffle-free projection:
+    gopher_verdict carries source and the quality score through, so no
+    doc_id re-join touches the corpus twice."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", quality_score("text").alias("__q")
+    )
+    v = gopher_verdict(d, carry=("source", "__q"))
+    return v.select(
+        "source",
+        F.col("keep").alias("ra"),
+        (F.col("__q") >= K_QUAL_T).alias("rb"),
+    )
+
+
+def _kappa_agg(g) -> DataFrame:
+    counts = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ra").cast("long")).alias("gopher_keep"),
+        F.sum(F.col("rb").cast("long")).alias("quality_keep"),
+        F.sum((F.col("ra") & F.col("rb")).cast("long")).alias("both_keep"),
+        F.sum((~F.col("ra") & ~F.col("rb")).cast("long")).alias("both_drop"),
+    )
+    pe_num = F.col("gopher_keep") * F.col("quality_keep") + (
+        F.col("n_docs") - F.col("gopher_keep")
+    ) * (F.col("n_docs") - F.col("quality_keep"))
+    denom = F.col("n_docs") * F.col("n_docs") - pe_num
+    po_num = (F.col("both_keep") + F.col("both_drop")) * F.col("n_docs")
+    return counts.withColumn(
+        "kappa",
+        F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+            F.round((po_num - pe_num) * 1.0 / denom, 6)
+        ),
+    )
+
+
+@register(
+    "filter_agreement_kappa",
+    f"""
+    WITH {_RATERS_SQL}
+    SELECT n_docs, gopher_keep, quality_keep, both_keep, both_drop,
+           {_KAPPA_EXPR}
+    FROM (SELECT {_KAPPA_SQL} FROM raters)
+    """,
+    doc="Cohen's kappa between the engine's two independent quality "
+    "raters (Gopher hard rules vs weighted quality score >= "
+    f"{K_QUAL_T}) over the whole corpus: chance-corrected agreement "
+    "from five exact long counts, one chance-division at the end. "
+    "Kappa near 0 means the cheap score is NOT a proxy for the rule "
+    "filter and curation verdicts built on either are rater-specific. "
+    "One shuffle-free dual-rater projection (gopher_verdict carries "
+    "the score through — the corpus is scanned ONCE) + a single "
+    "map-side-combined global aggregate.",
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kappa_agg(_rater_frame(spark, sf_dir).groupBy())
+
+
+@register(
+    "filter_agreement_by_source",
+    f"""
+    WITH {_RATERS_SQL}
+    SELECT source, n_docs, gopher_keep, quality_keep, both_keep, both_drop,
+           {_KAPPA_EXPR}
+    FROM (SELECT source, {_KAPPA_SQL} FROM raters GROUP BY source)
+    """,
+    doc="filter_agreement_kappa at source grain: the slice view that "
+    "localizes WHERE the two quality raters disagree (kappa is NULL "
+    "for a degenerate slice where chance agreement is total). A "
+    "curator reads this as a triage list — sources with low kappa get "
+    "human review before their verdicts feed training. Same "
+    "single-scan projection, one partial-agg shuffle to source grain.",
+)
+def filter_agreement_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kappa_agg(_rater_frame(spark, sf_dir).groupBy("source"))
+
+
+# Shared duel CTEs: per-(lang, source) exact integer quality mass, then
+# head-to-head duels per language stratum decided by cross-multiplied
+# mean comparison (q6_a * n_b vs q6_b * n_a — no division, no ties kept).
+_DUELS_SQL = f"""
+    q AS (SELECT doc_id, source, lang, quality
+          FROM ({_quality_sql("doc_id, source, lang")})),
+    agg AS (
+      SELECT lang, source,
+             CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+               AS q6,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY lang, source),
+    duels AS (
+      SELECT CASE WHEN a.q6 * b.n > b.q6 * a.n
+                  THEN a.source ELSE b.source END AS win_s,
+             CASE WHEN a.q6 * b.n > b.q6 * a.n
+                  THEN b.source ELSE a.source END AS lose_s
+      FROM agg a JOIN agg b ON a.lang = b.lang AND a.source < b.source
+      WHERE a.q6 * b.n <> b.q6 * a.n),
+    pw AS (SELECT win_s, lose_s, CAST(COUNT(*) AS BIGINT) AS w
+           FROM duels GROUP BY win_s, lose_s)
+"""
+
+
+def _duel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(win_s, lose_s, w) directed duel counts between sources; one
+    corpus pass to (lang, source) grain, then a |sources|²-bounded
+    self-join per language stratum."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("lang", "source", quality_score("text").alias("q"))
+    agg = q.groupBy("lang", "source").agg(
+        F.expr("CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT)").alias(
+            "q6"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = agg.select(
+        F.col("lang"),
+        F.col("source").alias("sa"),
+        F.col("q6").alias("qa"),
+        F.col("n").alias("na"),
+    )
+    b = agg.select(
+        F.col("lang"),
+        F.col("source").alias("sb"),
+        F.col("q6").alias("qb"),
+        F.col("n").alias("nb"),
+    )
+    a_wins = F.col("qa") * F.col("nb") > F.col("qb") * F.col("na")
+    duels = (
+        a.join(b, "lang")
+        .where(F.col("sa") < F.col("sb"))
+        .where(F.col("qa") * F.col("nb") != F.col("qb") * F.col("na"))
+        .select(
+            F.when(a_wins, F.col("sa")).otherwise(F.col("sb")).alias("win_s"),
+            F.when(a_wins, F.col("sb")).otherwise(F.col("sa")).alias("lose_s"),
+        )
+    )
+    # The duel table is model-sized (≤ |sources|² rows). Eagerly
+    # materialize it so the corpus pass runs ONCE and every downstream
+    # reference (BT iterations reference it 3×; the cycle audit's
+    # triangle joins 6×) reads the tiny materialized frame instead of
+    # replicating the scan subtree — without this the MM loop's nested
+    # self-references compounded to a 204-scan physical plan (the
+    # pagerank_cust_supp lineage-truncation discipline).
+    return (
+        duels.groupBy("win_s", "lose_s")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bt_iter_sql(prev: str, out: str) -> str:
+    """One unrolled MM iteration as a CTE (the recursive-CTE form is
+    unavailable: the update references the strength table TWICE)."""
+    return f"""
+    {out} AS (
+      SELECT pl.source,
+             CAST((pl.wins * {BT_S2}) //
+                  greatest(SUM((pr.n * {BT_S2}) // (pa.p + pb.p)), 1)
+                  AS BIGINT) AS p
+      FROM players pl
+      JOIN pairs pr ON pr.s = pl.source
+      JOIN {prev} pa ON pa.source = pr.s
+      JOIN {prev} pb ON pb.source = pr.o
+      GROUP BY pl.source, pl.wins)
+"""
+
+
+@register(
+    "bradley_terry_source_strengths",
+    f"""
+    WITH {_DUELS_SQL},
+    wl AS (SELECT s AS source, SUM(w_cnt) AS wins, SUM(l_cnt) AS losses
+           FROM (SELECT win_s AS s, w AS w_cnt, 0 AS l_cnt FROM pw
+                 UNION ALL
+                 SELECT lose_s AS s, 0 AS w_cnt, w AS l_cnt FROM pw)
+           GROUP BY s),
+    players AS (SELECT source, CAST(wins AS BIGINT) AS wins,
+                       CAST(losses AS BIGINT) AS losses
+                FROM wl WHERE wins > 0 AND losses > 0),
+    pairs AS (
+      SELECT s, o, CAST(SUM(w) AS BIGINT) AS n FROM (
+        SELECT win_s AS s, lose_s AS o, w FROM pw
+        UNION ALL SELECT lose_s AS s, win_s AS o, w FROM pw)
+      WHERE s IN (SELECT source FROM players)
+        AND o IN (SELECT source FROM players)
+      GROUP BY s, o),
+    p0 AS (SELECT source, CAST({BT_S} AS BIGINT) AS p FROM players),
+    {_bt_iter_sql("p0", "p1")},
+    {_bt_iter_sql("p1", "p2")},
+    {_bt_iter_sql("p2", "p3")}
+    SELECT pl.source, pl.wins, pl.losses, p3.p AS strength_e6
+    FROM players pl JOIN p3 USING (source)
+    """,
+    doc=f"Bradley–Terry strength per source ({BT_ITERS} MM iterations, "
+    f"1.0 ≡ 10^{len(str(BT_S)) - 1} fixed-point) over head-to-head "
+    "duels: within each language stratum every source pair is decided "
+    "by cross-multiplied exact mean quality (no division, ties "
+    "dropped), and the win matrix is aggregated across strata. The "
+    "principled version of source_temperature_weights' heuristic: "
+    "strengths are the MLE of P(i beats j) = p_i/(p_i+p_j), the model "
+    "reward-data mixing actually assumes. Every MM step is integer "
+    "floor-div (the pagerank_cust_supp discipline) so DuckDB replays "
+    "identical iterates as unrolled CTEs. One corpus pass to (lang, "
+    "source) grain; duels, win matrix and iterations are "
+    "|sources|²-bounded broadcast joins — model-sized at any corpus "
+    "scale. Sources without both a win and a loss are excluded (their "
+    "MLE diverges to 0/∞).",
+)
+def bradley_terry_source_strengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pw = _duel_counts(spark, sf_dir)
+    wl = (
+        pw.select(
+            F.col("win_s").alias("s"),
+            F.col("w").alias("w_cnt"),
+            F.lit(0).cast("long").alias("l_cnt"),
+        )
+        .unionByName(
+            pw.select(
+                F.col("lose_s").alias("s"),
+                F.lit(0).cast("long").alias("w_cnt"),
+                F.col("w").alias("l_cnt"),
+            )
+        )
+        .groupBy("s")
+        .agg(F.sum("w_cnt").alias("wins"), F.sum("l_cnt").alias("losses"))
+    )
+    players = (
+        wl.where((F.col("wins") > 0) & (F.col("losses") > 0))
+        .select(F.col("s").alias("source"), "wins", "losses")
+    )
+    sym = pw.select(
+        F.col("win_s").alias("s"), F.col("lose_s").alias("o"), "w"
+    ).unionByName(
+        pw.select(F.col("lose_s").alias("s"), F.col("win_s").alias("o"), "w")
+    )
+    keys = players.select(F.col("source"))
+    pairs = (
+        sym.join(keys.withColumnRenamed("source", "s"), "s", "leftsemi")
+        .join(keys.withColumnRenamed("source", "o"), "o", "leftsemi")
+        .groupBy("s", "o")
+        .agg(F.sum("w").alias("n"))
+    )
+    p = players.select("source", F.lit(BT_S).cast("long").alias("p"))
+    for _ in range(BT_ITERS):
+        terms = (
+            pairs.join(
+                p.select(F.col("source").alias("s"), F.col("p").alias("p_s")),
+                "s",
+            )
+            .join(
+                p.select(F.col("source").alias("o"), F.col("p").alias("p_o")),
+                "o",
+            )
+            .select(
+                "s", F.expr(f"(n * {BT_S2}) div (p_s + p_o)").alias("t")
+            )
+        )
+        denom = terms.groupBy("s").agg(F.sum("t").alias("d"))
+        p = (
+            players.join(denom, players.source == denom.s)
+            .select(
+                players.source,
+                F.expr(
+                    f"CAST((wins * {BT_S2}) div "
+                    "greatest(d, CAST(1 AS BIGINT)) AS BIGINT)"
+                ).alias("p"),
+            )
+            # strength table is |players| rows; truncating lineage per
+            # iteration keeps the plan flat (pagerank discipline)
+            .localCheckpoint(eager=True)
+        )
+    return players.join(p, "source").select(
+        "source", "wins", "losses", F.col("p").alias("strength_e6")
+    )
+
+
+@register(
+    "preference_cycle_audit",
+    f"""
+    WITH {_DUELS_SQL},
+    net AS (
+      SELECT least(win_s, lose_s) AS x, greatest(win_s, lose_s) AS y,
+             SUM(CASE WHEN win_s < lose_s THEN w ELSE -w END) AS net
+      FROM pw GROUP BY least(win_s, lose_s), greatest(win_s, lose_s)),
+    edges AS (
+      SELECT CASE WHEN net > 0 THEN x ELSE y END AS src,
+             CASE WHEN net > 0 THEN y ELSE x END AS dst
+      FROM net WHERE net <> 0),
+    und AS (SELECT x AS a, y AS b FROM net WHERE net <> 0),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM und u1 JOIN und u2 ON u2.a = u1.b
+      JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b),
+    cyc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cycles
+      FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+      WHERE e1.src < e2.src AND e1.src < e3.src)
+    SELECT (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+            FROM (SELECT a AS s FROM und
+                  UNION ALL SELECT b AS s FROM und)) AS n_nodes_raw,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           tri.n_triangles, cyc.n_cycles,
+           CASE WHEN tri.n_triangles = 0 THEN NULL
+                ELSE round(cyc.n_cycles * 1.0 / tri.n_triangles, 6)
+           END AS cycle_rate
+    FROM tri, cyc
+    """,
+    doc="Intransitivity audit of the majority-win source tournament: "
+    "the fraction of decided triangles (all three pairs have a net "
+    "majority direction) that form a preference CYCLE (A≻B≻C≻A). "
+    "Cyclic preference data has no consistent total order — a reward "
+    "model fit to it trades off contradictions, so this rate is the "
+    "ceiling check to run BEFORE bradley_terry_source_strengths is "
+    "trusted. Each directed 3-cycle is counted once (anchored at its "
+    "least-named source). All joins run on the |sources|²-bounded edge "
+    "frame — broadcast-sized at any corpus scale; the corpus is "
+    "touched once, in the shared duel pass.",
+)
+def preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pw = _duel_counts(spark, sf_dir)
+    x = F.least("win_s", "lose_s")
+    y = F.greatest("win_s", "lose_s")
+    net = (
+        pw.select(
+            x.alias("x"),
+            y.alias("y"),
+            F.when(F.col("win_s") < F.col("lose_s"), F.col("w"))
+            .otherwise(-F.col("w"))
+            .alias("signed"),
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("signed").alias("net"))
+        .where(F.col("net") != 0)
+    )
+    edges = net.select(
+        F.when(F.col("net") > 0, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(F.col("net") > 0, F.col("y")).otherwise(F.col("x")).alias("dst"),
+    )
+    und = net.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    tri = (
+        und.alias("u1")
+        .join(und.alias("u2"), F.col("u2.a") == F.col("u1.b"))
+        .join(
+            und.alias("u3"),
+            (F.col("u3.a") == F.col("u1.a")) & (F.col("u3.b") == F.col("u2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    cyc = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.src") == F.col("e2.dst"))
+            & (F.col("e3.dst") == F.col("e1.src")),
+        )
+        .where(
+            (F.col("e1.src") < F.col("e2.src"))
+            & (F.col("e1.src") < F.col("e3.src"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_cycles"))
+    )
+    nodes = und.select(F.col("a").alias("s")).unionByName(
+        und.select(F.col("b").alias("s"))
+    )
+    n_nodes = nodes.distinct().agg(F.count(F.lit(1)).alias("n_nodes_raw"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = n_nodes.crossJoin(n_edges).crossJoin(tri).crossJoin(cyc)
+    return out.select(
+        "n_nodes_raw",
+        "n_edges",
+        "n_triangles",
+        "n_cycles",
+        F.when(F.col("n_triangles") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_cycles") * 1.0 / F.col("n_triangles"), 6))
+        .alias("cycle_rate"),
+    )

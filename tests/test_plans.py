@@ -724,6 +724,34 @@ def test_qnorm_prunes_text_column(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["filter_agreement_kappa", "filter_agreement_by_source"]
+)
+def test_kappa_dual_rater_single_scan(spark, name):
+    """Both quality raters (Gopher rules + weighted score) evaluate in
+    ONE corpus projection — gopher_verdict carries the score through, so
+    the documents scan appears exactly once and no doc_id re-join
+    touches the corpus twice."""
+    plan = _final_plan(spark, name)
+    assert plan.count("documents.parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["bradley_terry_source_strengths", "preference_cycle_audit"],
+)
+def test_tournament_plans_are_model_sized(spark, name):
+    """The duel table is eagerly materialized (pagerank lineage
+    discipline): the FINAL plan must contain no parquet scan at all —
+    everything downstream of the single corpus pass operates on the
+    |sources|²-bounded frame. Without the checkpoint the MM loop's
+    nested self-references compounded to a 204-scan plan."""
+    plan = _final_plan(spark, name)
+    assert ".parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def _window_groups(plan: str) -> list[tuple[str, str]]:
     """(partitionBy, orderBy) bracket groups of every Window node.
 
