@@ -348,7 +348,14 @@ def _bt_iter_sql(prev: str, out: str) -> str:
 def bradley_terry_source_strengths(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    pw = _duel_counts(spark, sf_dir)
+    return bt_strengths(_duel_counts(spark, sf_dir))
+
+
+def bt_strengths(pw: DataFrame) -> DataFrame:
+    """Bradley–Terry MM fixed point over a directed duel-count frame
+    (win_s, lose_s, w) → (source, wins, losses, strength_e6). Separated
+    from the registry builder so property tests can feed synthetic
+    tournaments (transitive chains, rock-paper-scissors) directly."""
     wl = (
         pw.select(
             F.col("win_s").alias("s"),
@@ -459,7 +466,15 @@ def bradley_terry_source_strengths(
     "touched once, in the shared duel pass.",
 )
 def preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pw = _duel_counts(spark, sf_dir)
+    return tournament_cycles(_duel_counts(spark, sf_dir))
+
+
+def tournament_cycles(pw: DataFrame) -> DataFrame:
+    """Majority-win tournament + intransitivity rate over a directed
+    duel-count frame (win_s, lose_s, w) → one row (n_nodes_raw, n_edges,
+    n_triangles, n_cycles, cycle_rate). Separated from the registry
+    builder for direct property testing (a rock-paper-scissors duel
+    frame must rate 1.0; any transitive tournament 0.0)."""
     x = F.least("win_s", "lose_s")
     y = F.greatest("win_s", "lose_s")
     net = (
