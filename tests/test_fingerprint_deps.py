@@ -270,6 +270,29 @@ def test_same_named_constants_in_two_modules_get_distinct_keys(
         sys.modules.pop("fpdep2_b", None)
 
 
+def test_code_import_from_sees_function_local_froms():
+    def f():
+        from os.path import join  # noqa: F401
+
+        def g():
+            from json import dumps  # noqa: F401
+
+        return g
+
+    names = Q._code_import_from(f.__code__)
+    assert {"join", "dumps"} <= names  # nested code objects walked too
+
+
+def test_code_attr_pairs_sees_method_and_plain_attr_loads():
+    def f(df):
+        df.filter(1)  # LOAD_METHOD-style call on py3.11
+        return [m.estimate for _ in range(1)]  # noqa: F821 — plain LOAD_ATTR
+
+    pairs = Q._code_attr_pairs(f.__code__)
+    assert ("df", "filter") in pairs
+    assert ("m", "estimate") in pairs  # inside the comprehension's code
+
+
 def test_method_names_not_resolved_against_local_modules(
     tmp_path, monkeypatch
 ):
