@@ -94,6 +94,23 @@ def _doc_shingles(
     )
 
 
+def _doc_shingle_sizes(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc, n) — per-doc distinct-shingle SET SIZE as a map-side
+    projection: ``size(array_distinct(shingles))`` equals counting
+    ``_doc_shingles``' exploded rows per doc, but skips the corpus-wide
+    explode+groupBy shuffle that spent re-deriving a per-row fact (the
+    same argument as the r7 ``array_distinct`` rewrite, one level up).
+    ``word_shingles`` is total (even empty text yields one shingle), so
+    every doc gets a row and sizes are always ≥ 1."""
+    df = ensure_parallelism(df)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.array_distinct(word_shingles(text_col, n))).alias("n"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -190,7 +207,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _verify_jaccard(
-        cand, _doc_shingles(df, text_col, id_col, shingle_n), jaccard_threshold
+        cand,
+        _doc_shingles(df, text_col, id_col, shingle_n),
+        _doc_shingle_sizes(df, text_col, id_col, shingle_n),
+        jaccard_threshold,
     )
 
 
@@ -241,15 +261,23 @@ def minhash_incremental_pairs(
         .distinct()
     )
     return _verify_jaccard(
-        cand, _doc_shingles(df, text_col, id_col, shingle_n), jaccard_threshold
+        cand,
+        _doc_shingles(df, text_col, id_col, shingle_n),
+        _doc_shingle_sizes(df, text_col, id_col, shingle_n),
+        jaccard_threshold,
     )
 
 
 def _verify_jaccard(
-    pairs: DataFrame, shingles: DataFrame, threshold: float
+    pairs: DataFrame,
+    shingles: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs from their distinct-shingle sets."""
-    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    """Exact Jaccard for candidate pairs: intersection counts from the
+    exploded ``shingles`` stream, set sizes from the map-side ``sizes``
+    frame (``_doc_shingle_sizes`` — counting the exploded rows again
+    would re-shuffle the whole corpus for a per-row fact)."""
     inter = (
         pairs.join(shingles.alias("sa"), pairs.doc_a == F.col("sa.doc"))
         .join(
@@ -296,7 +324,8 @@ def ngram_jaccard_pairs(
         _assert_unique_ids(df, id_col)
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     cand = _blocked_candidates(sh, max_df)
-    return _verify_jaccard(cand, sh, threshold)
+    sizes = _doc_shingle_sizes(df, text_col, id_col, shingle_n)
+    return _verify_jaccard(cand, sh, sizes, threshold)
 
 
 def _blocked_candidates(sh: DataFrame, max_df: int) -> DataFrame:
@@ -349,7 +378,9 @@ def containment_pairs(
         _assert_unique_ids(df, id_col)
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     cand = _blocked_candidates(sh, max_df)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # set sizes map-side (_doc_shingle_sizes rationale) — the exploded
+    # stream is only needed for the intersection join
+    sizes = _doc_shingle_sizes(df, text_col, id_col, shingle_n)
     inter = (
         cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc"))
         .join(
