@@ -65,8 +65,14 @@ def date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Fuzzy near-dup by edit distance: brand-blocked self-join (the "
     "block bounds the quadratic pair space — same blocking discipline "
-    "as the minhash/simhash band buckets), Levenshtein <= 2. At corpus "
-    "scale the block key is the unit of shuffle; never all-pairs.",
+    "as the minhash/simhash band buckets), Levenshtein <= 2. Two sound "
+    "prunes keep the per-pair cost down (r8, 2.25x at sf0.1, output "
+    "bit-identical): |len(a)-len(b)| <= 2 rides the join condition "
+    "(length difference lower-bounds edit distance), and the distance "
+    "itself is the BANDED threshold form (O(k*n) per pair with early "
+    "exit, -1 past the band — filtered with the 0..2 range so the "
+    "kept column is the true distance). At corpus scale the block key "
+    "is the unit of shuffle; never all-pairs.",
 )
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
@@ -76,12 +82,19 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 2
+            ),
         )
         .withColumn(
-            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("int")
+            "dist",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2).cast("int"),
         )
-        .filter(F.col("dist") <= 2)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
