@@ -738,6 +738,26 @@ def test_kappa_dual_rater_single_scan(spark, name):
 
 
 @pytest.mark.parametrize(
+    "name,max_generates",
+    [
+        ("minhash_near_dups", 2),
+        ("ngram_jaccard_near_dups", 4),
+        ("containment_pairs_documents", 5),
+    ],
+)
+def test_jaccard_verification_runs_on_set_arrays(spark, name, max_generates):
+    """r8 array-set verification: exact Jaccard/containment counts come
+    from per-pair ``array_intersect`` over the doc-level set frame, NOT
+    from re-joining the exploded (doc, shingle) stream — the explode
+    count stays bounded at the blocking arm's share (a regression to
+    the exploded verification join would add Generates and a
+    (doc, shingle)-keyed shuffle per side)."""
+    plan = _final_plan(spark, name)
+    assert "array_intersect" in plan
+    assert plan.count("Generate") <= max_generates, plan.count("Generate")
+
+
+@pytest.mark.parametrize(
     "name",
     ["bradley_terry_source_strengths", "preference_cycle_audit"],
 )
