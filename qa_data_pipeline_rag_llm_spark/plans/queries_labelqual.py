@@ -61,6 +61,15 @@ K_QUAL_T = 0.8
 BT_S = 1_000_000
 BT_S2 = BT_S * BT_S
 BT_ITERS = 3
+# Exclusion-peeling rounds (advice r08): a player is retained only if it
+# has ≥1 win AND ≥1 loss WITHIN the retained set, so exclusion must
+# iterate — dropping D can strand a player whose only loss was to D.
+# Each round removes ≥1 player or is the fixed point, so K rounds
+# converge for every tournament whose peel chain is ≤ K deep (a deeper
+# chain needs ≥ K+2 sources arranged in a strictly nested peel — far
+# past this corpus' source count, and the SQL twin unrolls the same K
+# so both engines replay the identical retained set bit-for-bit).
+BT_EXCL_ITERS = 6
 
 
 def _gopher_keep_sql() -> str:
@@ -218,6 +227,12 @@ def filter_agreement_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared duel CTEs: per-(lang, source) exact integer quality mass, then
 # head-to-head duels per language stratum decided by cross-multiplied
 # mean comparison (q6_a * n_b vs q6_b * n_a — no division, no ties kept).
+# The cross-products run in DECIMAL(38,0) via (19,0) factor casts
+# (advice r08: BIGINT q6·n overflows 2^63 near n ≈ 3×10^6 docs per
+# (lang, source) cell — three decades before kappa's own n² limit; the
+# decimal product is exact up to 10^19-digit factors, i.e. n < 10^13
+# docs per cell, comfortably past a 100 TB corpus).
+_D19 = "DECIMAL(19,0)"
 _DUELS_SQL = f"""
     q AS (SELECT doc_id, source, lang, quality
           FROM ({_quality_sql("doc_id, source, lang")})),
@@ -228,15 +243,24 @@ _DUELS_SQL = f"""
              CAST(COUNT(*) AS BIGINT) AS n
       FROM q GROUP BY lang, source),
     duels AS (
-      SELECT CASE WHEN a.q6 * b.n > b.q6 * a.n
+      SELECT CASE WHEN CAST(a.q6 AS {_D19}) * CAST(b.n AS {_D19})
+                       > CAST(b.q6 AS {_D19}) * CAST(a.n AS {_D19})
                   THEN a.source ELSE b.source END AS win_s,
-             CASE WHEN a.q6 * b.n > b.q6 * a.n
+             CASE WHEN CAST(a.q6 AS {_D19}) * CAST(b.n AS {_D19})
+                       > CAST(b.q6 AS {_D19}) * CAST(a.n AS {_D19})
                   THEN b.source ELSE a.source END AS lose_s
       FROM agg a JOIN agg b ON a.lang = b.lang AND a.source < b.source
-      WHERE a.q6 * b.n <> b.q6 * a.n),
-    pw AS (SELECT win_s, lose_s, CAST(COUNT(*) AS BIGINT) AS w
+      WHERE CAST(a.q6 AS {_D19}) * CAST(b.n AS {_D19})
+            <> CAST(b.q6 AS {_D19}) * CAST(a.n AS {_D19})),
+    pw AS MATERIALIZED (SELECT win_s, lose_s, CAST(COUNT(*) AS BIGINT) AS w
            FROM duels GROUP BY win_s, lose_s)
 """
+# ``AS MATERIALIZED``: DuckDB inlines plain CTEs once PER REFERENCE, so
+# the BT peel rounds (each referencing the previous round ~5×) would
+# re-expand the corpus scan 5^K times without it. The oracle strings run
+# only in DuckDB (the Spark side is the DataFrame builder), so the
+# DuckDB-specific hint is safe; it pins evaluate-once semantics exactly
+# like the Spark side's localCheckpoint discipline.
 
 
 def _duel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,11 +287,16 @@ def _duel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q6").alias("qb"),
         F.col("n").alias("nb"),
     )
-    a_wins = F.col("qa") * F.col("nb") > F.col("qb") * F.col("na")
+    # DECIMAL(19,0) factors → exact DECIMAL(38,0) cross-products; BIGINT
+    # q6·n overflows near n ≈ 3×10^6 docs per cell (advice r08)
+    d19 = "decimal(19,0)"
+    qa, na = F.col("qa").cast(d19), F.col("na").cast(d19)
+    qb, nb = F.col("qb").cast(d19), F.col("nb").cast(d19)
+    a_wins = qa * nb > qb * na
     duels = (
         a.join(b, "lang")
         .where(F.col("sa") < F.col("sb"))
-        .where(F.col("qa") * F.col("nb") != F.col("qb") * F.col("na"))
+        .where(qa * nb != qb * na)
         .select(
             F.when(a_wins, F.col("sa")).otherwise(F.col("sb")).alias("win_s"),
             F.when(a_wins, F.col("sb")).otherwise(F.col("sa")).alias("lose_s"),
@@ -304,22 +333,49 @@ def _bt_iter_sql(prev: str, out: str) -> str:
 """
 
 
+def _bt_peel_sql(i: int) -> str:
+    """One exclusion-peeling round as CTEs: recompute wins/losses from
+    the surviving duel set, keep players with both, restrict the duel
+    set to them (advice r08 — exclusion must iterate AND the retained
+    wins must be recomputed from retained duels only)."""
+    prev = f"pw{i - 1}"
+    return f"""
+    wl{i} AS MATERIALIZED (
+              SELECT s, SUM(w_cnt) AS wins, SUM(l_cnt) AS losses
+              FROM (SELECT win_s AS s, w AS w_cnt, 0 AS l_cnt FROM {prev}
+                    UNION ALL
+                    SELECT lose_s AS s, 0 AS w_cnt, w AS l_cnt FROM {prev})
+              GROUP BY s),
+    k{i} AS MATERIALIZED (
+              SELECT s FROM wl{i} WHERE wins > 0 AND losses > 0),
+    pw{i} AS MATERIALIZED (
+              SELECT win_s, lose_s, w FROM {prev}
+              WHERE win_s IN (SELECT s FROM k{i})
+                AND lose_s IN (SELECT s FROM k{i}))
+"""
+
+
+_PW_FINAL = f"pw{BT_EXCL_ITERS}"
+
+
 @register(
     "bradley_terry_source_strengths",
     f"""
     WITH {_DUELS_SQL},
+    pw0 AS MATERIALIZED (SELECT win_s, lose_s, w FROM pw),
+    {",".join(_bt_peel_sql(i) for i in range(1, BT_EXCL_ITERS + 1))},
     wl AS (SELECT s AS source, SUM(w_cnt) AS wins, SUM(l_cnt) AS losses
-           FROM (SELECT win_s AS s, w AS w_cnt, 0 AS l_cnt FROM pw
+           FROM (SELECT win_s AS s, w AS w_cnt, 0 AS l_cnt FROM {_PW_FINAL}
                  UNION ALL
-                 SELECT lose_s AS s, 0 AS w_cnt, w AS l_cnt FROM pw)
+                 SELECT lose_s AS s, 0 AS w_cnt, w AS l_cnt FROM {_PW_FINAL})
            GROUP BY s),
     players AS (SELECT source, CAST(wins AS BIGINT) AS wins,
                        CAST(losses AS BIGINT) AS losses
                 FROM wl WHERE wins > 0 AND losses > 0),
     pairs AS (
       SELECT s, o, CAST(SUM(w) AS BIGINT) AS n FROM (
-        SELECT win_s AS s, lose_s AS o, w FROM pw
-        UNION ALL SELECT lose_s AS s, win_s AS o, w FROM pw)
+        SELECT win_s AS s, lose_s AS o, w FROM {_PW_FINAL}
+        UNION ALL SELECT lose_s AS s, win_s AS o, w FROM {_PW_FINAL})
       WHERE s IN (SELECT source FROM players)
         AND o IN (SELECT source FROM players)
       GROUP BY s, o),
@@ -342,8 +398,15 @@ def _bt_iter_sql(prev: str, out: str) -> str:
     "identical iterates as unrolled CTEs. One corpus pass to (lang, "
     "source) grain; duels, win matrix and iterations are "
     "|sources|²-bounded broadcast joins — model-sized at any corpus "
-    "scale. Sources without both a win and a loss are excluded (their "
-    "MLE diverges to 0/∞).",
+    "scale. Sources without both a win and a loss WITHIN THE RETAINED "
+    "SET are excluded (their MLE diverges to 0/∞): exclusion peels "
+    f"iteratively ({BT_EXCL_ITERS} unrolled rounds — dropping a source "
+    "can strand one whose only loss was to it), and the reported "
+    "wins/losses and MM numerators are recomputed from the retained "
+    "duel set only, so the strengths are the true MLE of the retained "
+    "tournament (advice r08: counting wins farmed off excluded sources "
+    "while the pair denominator drops those duels inflated strengths "
+    "and could invert head-to-head order).",
 )
 def bradley_terry_source_strengths(
     spark: SparkSession, sf_dir: str
@@ -351,12 +414,9 @@ def bradley_terry_source_strengths(
     return bt_strengths(_duel_counts(spark, sf_dir))
 
 
-def bt_strengths(pw: DataFrame) -> DataFrame:
-    """Bradley–Terry MM fixed point over a directed duel-count frame
-    (win_s, lose_s, w) → (source, wins, losses, strength_e6). Separated
-    from the registry builder so property tests can feed synthetic
-    tournaments (transitive chains, rock-paper-scissors) directly."""
-    wl = (
+def _bt_wl(pw: DataFrame) -> DataFrame:
+    """(s, wins, losses) totals of a directed duel-count frame."""
+    return (
         pw.select(
             F.col("win_s").alias("s"),
             F.col("w").alias("w_cnt"),
@@ -372,14 +432,46 @@ def bt_strengths(pw: DataFrame) -> DataFrame:
         .groupBy("s")
         .agg(F.sum("w_cnt").alias("wins"), F.sum("l_cnt").alias("losses"))
     )
+
+
+def bt_strengths(pw: DataFrame) -> DataFrame:
+    """Bradley–Terry MM fixed point over a directed duel-count frame
+    (win_s, lose_s, w) → (source, wins, losses, strength_e6). Separated
+    from the registry builder so property tests can feed synthetic
+    tournaments (transitive chains, rock-paper-scissors, nested peel
+    chains) directly.
+
+    Exclusion peels iteratively (advice r08): a retained player must
+    have ≥1 win and ≥1 loss against OTHER RETAINED players, and the
+    reported wins/losses — the MM numerators — are recomputed from the
+    retained duel set, never from duels against excluded sources. Each
+    round either removes a player or is the fixed point, so
+    BT_EXCL_ITERS unrolled rounds converge for any tournament whose
+    peel chain is that deep; frames are |sources|²-bounded, each round
+    a broadcast-sized semi-join."""
+    cur = pw.select("win_s", "lose_s", "w")
+    for _ in range(BT_EXCL_ITERS):
+        keep = (
+            _bt_wl(cur)
+            .where((F.col("wins") > 0) & (F.col("losses") > 0))
+            .select("s")
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("s", "win_s"), "win_s", "leftsemi")
+            .join(keep.withColumnRenamed("s", "lose_s"), "lose_s", "leftsemi")
+            # model-sized frame; flat lineage across rounds (the MM
+            # loop's pagerank discipline, below)
+            .localCheckpoint(eager=True)
+        )
     players = (
-        wl.where((F.col("wins") > 0) & (F.col("losses") > 0))
+        _bt_wl(cur)
+        .where((F.col("wins") > 0) & (F.col("losses") > 0))
         .select(F.col("s").alias("source"), "wins", "losses")
     )
-    sym = pw.select(
+    sym = cur.select(
         F.col("win_s").alias("s"), F.col("lose_s").alias("o"), "w"
     ).unionByName(
-        pw.select(F.col("lose_s").alias("s"), F.col("win_s").alias("o"), "w")
+        cur.select(F.col("lose_s").alias("s"), F.col("win_s").alias("o"), "w")
     )
     keys = players.select(F.col("source"))
     pairs = (

@@ -116,8 +116,64 @@ def test_bt_excludes_players_without_win_and_loss(spark):
         spark,
         [("A", "B", 2), ("B", "A", 1), ("A", "D", 5), ("B", "D", 5)],
     )
-    got = {r.source for r in bt_strengths(pw).collect()}
-    assert got == {"A", "B"}
+    got = {r.source: r for r in bt_strengths(pw).collect()}
+    assert set(got) == {"A", "B"}
+    # advice r08: wins/losses are recomputed from the RETAINED duel set
+    # — A's 5 wins farmed off excluded D must not count
+    assert got["A"].wins == 2 and got["A"].losses == 1
+    assert got["B"].wins == 1 and got["B"].losses == 2
+
+
+def test_bt_head_to_head_order_survives_excluded_farm(spark):
+    # The advice-r08 inversion: A beats B 2-1 head-to-head, but B farms
+    # 10 wins off D (who only loses, hence is excluded). With wins
+    # recomputed from the retained {A, B} tournament, A must outrank B.
+    pw = _duels(
+        spark,
+        [("A", "B", 2), ("B", "A", 1), ("B", "D", 10), ("A", "D", 1)],
+    )
+    got = {r.source: r for r in bt_strengths(pw).collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"].strength_e6 > got["B"].strength_e6
+    assert got["B"].wins == 1 and got["B"].losses == 2
+
+
+def test_bt_exclusion_peels_iteratively(spark):
+    # Dropping D strands C: C's only win was over D, so a single
+    # exclusion pass keeps C with a divergent (all-loss) MLE. The peel
+    # must iterate: round 1 drops D (no wins), round 2 drops C (no wins
+    # within {A, B, C}), leaving the mutually-dueling {A, B} core.
+    pw = _duels(
+        spark,
+        [
+            ("A", "B", 2), ("B", "A", 1),  # the surviving core
+            ("B", "C", 1), ("C", "D", 1),  # C's only win is over D
+            ("A", "D", 3),                 # D only ever loses
+        ],
+    )
+    got = {r.source: r for r in bt_strengths(pw).collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"].wins == 2 and got["B"].wins == 1
+
+
+def test_bt_deep_peel_chain_converges(spark):
+    # A strictly nested peel chain: E loses everywhere; D's only win is
+    # over E; C's only win is over D; B2's only win is over C — each
+    # round strips exactly one layer, exercising 4 peel rounds before
+    # the {A, B} fixed point.
+    pw = _duels(
+        spark,
+        [
+            ("A", "B", 2), ("B", "A", 1),
+            ("B2", "C", 1), ("A", "B2", 1),
+            ("C", "D", 1), ("A", "C", 1),
+            ("D", "E", 1), ("A", "D", 1),
+            ("A", "E", 1),
+        ],
+    )
+    got = {r.source: r for r in bt_strengths(pw).collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"].wins == 2 and got["A"].losses == 1
 
 
 # --------------------------------------------------------------------------
