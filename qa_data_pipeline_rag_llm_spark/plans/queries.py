@@ -906,23 +906,30 @@ def _code_strings(code) -> set[str]:
     return out
 
 
-def _code_import_from(code) -> set[str]:
-    """Names loaded via IMPORT_FROM (function-local ``from mod import x``)
-    including nested code objects — the ONLY names a local module import
-    legitimately binds at function granularity (advice r07: blanket
-    getattr of every unresolved co_name against every local module folded
-    coincidental method names like ``filter`` into the dep hash)."""
+def _code_import_from_by_mod(code) -> dict[str, set[str]]:
+    """Names loaded via IMPORT_FROM (function-local ``from mod import
+    x``), keyed by the module they were imported FROM — each IMPORT_FROM
+    consumes the module pushed by its preceding IMPORT_NAME, so the pair
+    is adjacent in the instruction stream. Including nested code objects.
+    Per-module attribution (advice r08): a flat name set let ``from json
+    import dumps`` getattr-probe "dumps" against EVERY local package
+    module, so a module coincidentally exposing a same-named attribute
+    folded a spurious dep into the hash — the same fingerprint-churn
+    class the r07 fix removed for method names."""
     import dis
     import types
 
-    out = {
-        ins.argval
-        for ins in dis.get_instructions(code)
-        if ins.opname == "IMPORT_FROM"
-    }
+    out: dict[str, set[str]] = {}
+    cur = None
+    for ins in dis.get_instructions(code):
+        if ins.opname == "IMPORT_NAME":
+            cur = ins.argval
+        elif ins.opname == "IMPORT_FROM" and cur is not None:
+            out.setdefault(cur, set()).add(ins.argval)
     for const in code.co_consts:
         if isinstance(const, types.CodeType):
-            out |= _code_import_from(const)
+            for mod, names in _code_import_from_by_mod(const).items():
+                out.setdefault(mod, set()).update(names)
     return out
 
 
@@ -1102,16 +1109,26 @@ def _dep_items(fn, visited: set, out: dict[str, str]) -> None:
                 local_mods.append(importlib.import_module(name))
             except ImportError:
                 out[f"mod:{name}"] = "noimport"
-    # Names attributable to a local module: IMPORT_FROM targets (the
-    # function-local `from mod import x` shape) plus attributes accessed
-    # on a global alias of that exact module object. NOT every unresolved
-    # co_name (advice r07): `df.filter(...)`'s method name must not fold
-    # a coincidentally same-named attribute of an imported package module
-    # into the dep hash, churning fingerprints on unrelated edits.
-    imported = _code_import_from(code)
+    # Names attributable to a local module: IMPORT_FROM targets imported
+    # from THAT module (the function-local `from mod import x` shape,
+    # advice r08 — names from OTHER modules' froms must not probe it)
+    # plus attributes accessed on a global alias of that exact module
+    # object. NOT every unresolved co_name (advice r07): `df.filter(...)`'s
+    # method name must not fold a coincidentally same-named attribute of
+    # an imported package module into the dep hash, churning fingerprints
+    # on unrelated edits.
+    imported_by_mod = _code_import_from_by_mod(code)
     attr_pairs = _code_attr_pairs(code)
     for mod in local_mods:
-        candidates = imported | {
+        mod_name = mod.__name__
+        # relative froms reach bytecode as the unprefixed tail
+        candidates = set(imported_by_mod.get(mod_name, ())) | {
+            n
+            for m, names in imported_by_mod.items()
+            if mod_name.endswith("." + m)
+            for n in names
+        }
+        candidates |= {
             attr for base, attr in attr_pairs if gl.get(base) is mod
         }
         hits = 0

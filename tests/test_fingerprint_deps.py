@@ -279,8 +279,45 @@ def test_code_import_from_sees_function_local_froms():
 
         return g
 
-    names = Q._code_import_from(f.__code__)
-    assert {"join", "dumps"} <= names  # nested code objects walked too
+    by_mod = Q._code_import_from_by_mod(f.__code__)
+    # nested code objects walked too, each name attributed to ITS module
+    assert by_mod.get("os.path") == {"join"}
+    assert by_mod.get("json") == {"dumps"}
+
+
+def test_import_from_names_attributed_to_their_module(
+    tmp_path, monkeypatch
+):
+    """``from json import dumps`` must not getattr-probe "dumps" against
+    a local package module that coincidentally exposes one (advice r08:
+    the IMPORT_FROM name belongs to the module named by its preceding
+    IMPORT_NAME, and folding a stranger module's same-named attribute
+    into the dep hash churns fingerprints on unrelated edits)."""
+    monkeypatch.setattr(Q, "_PKG_PREFIX", "fpdep5")
+    (tmp_path / "fpdep5_mod.py").write_text(
+        "def dumps(x):\n    return x\n\ndef wanted(x):\n    return x\n"
+    )
+    mod = _load_module(str(tmp_path / "fpdep5_mod.py"), "fpdep5_mod")
+    try:
+        fn = _exec_fn(
+            """
+            def fake_builder(spark, sf_dir):
+                from json import dumps
+
+                m.wanted(1)
+                return dumps({})
+            """,
+            {"__name__": "fpdep5_caller", "m": mod},
+        )
+        deps: dict[str, str] = {}
+        Q._dep_items(fn, set(), deps)
+        assert "fn:fpdep5_mod.wanted" in deps, sorted(deps)
+        # the stdlib from-import's name never probes the package module
+        assert not any(k.endswith(".dumps") for k in deps), sorted(deps)
+        # and attribution still counts as a hit — no whole-file pin
+        assert "mod:fpdep5_mod" not in deps
+    finally:
+        sys.modules.pop("fpdep5_mod", None)
 
 
 def test_code_attr_pairs_sees_method_and_plain_attr_loads():
