@@ -39,6 +39,34 @@ the same build would print with anchor-speed scheduling —
 plus a ``scheduler_inflated`` flag at >1.5× anchor. Readers: trust
 ``value_sched_adjusted`` when ``scheduler_inflated``; the two probes
 together adjudicate both throttle directions without a judge re-run.
+
+``regime_ratio`` (VERDICT r08 ask #2) compares THIS run's calibration
+probe to the PREVIOUS bench artifact's, and ``value_regime_normalized``
+divides the headline by it — an estimate of what this build would print
+on last round's host, so a slow host regime can't masquerade as a
+round-over-round engine regression (r08's q1/q3/qa_pipeline printed
++34–42% on untouched code). Cross-round comparisons should read the
+normalized totals side by side with the raw ones.
+
+``registry_total_sec`` / ``registry_families`` (VERDICT r08 ask #5):
+after the headline set, the ENTIRE registry executes once (noop sink)
+and the artifact records the total plus per-family (plans-module)
+subtotals. The 17-query headline covers ~6% of the registry; this makes
+a perf regression in the other ~266 visible to the bench gate.
+``registry_family_regressions`` lists families whose regime-normalized
+subtotal exceeds 1.3× the previous artifact's. Single-pass timings —
+a flagged family is a LEAD to re-measure, the headline medians remain
+the regression verdict. Opt out with SPARK_GRAFT_REGISTRY_SWEEP=0.
+
+``value_noise_gated`` is STRICTLY ANCILLARY (advice r08): per-query
+dispersion alone cannot distinguish host noise from plan-induced
+variance (an intermittent spill/GC regression shows the same
+median≫min signature), so regression verdicts use the median headline
+plus an interleaved idle-box re-probe (SCALING.md's A/B methodology) —
+never the gated total on its own. ``noise_flag_corroborated`` says
+whether an external signal (either probe tripping, or start/end drift)
+backs the dispersion flag; an uncorroborated flag on a single query is
+exactly the case where the gated total could mask a real regression.
 """
 
 from __future__ import annotations
@@ -176,6 +204,11 @@ def run_once(spark, sf_dir: str, sf: str) -> dict:
     noise_gated = round(
         sum(minima[n] if n in noisy else timings[n] for n in timings), 3
     )
+    speed_drifted = (
+        calibration > 0
+        and cal_end > 0
+        and max(cal_end / calibration, calibration / cal_end) > 1.5
+    )
     return {
                 "metric": "headline_queries_total_sec",
                 "value": total,
@@ -197,11 +230,14 @@ def run_once(spark, sf_dir: str, sf: str) -> dict:
                 else total,
                 "contaminated_uniform": calibration > 1.5 * CAL_ANCHOR_SEC,
                 "calibration_end_sec": cal_end,
-                "speed_drifted": (
-                    calibration > 0
-                    and cal_end > 0
-                    and max(cal_end / calibration, calibration / cal_end)
-                    > 1.5
+                "speed_drifted": speed_drifted,
+                # dispersion flags backed by an external host-speed
+                # signal? (advice r08 — see module docstring)
+                "noise_flag_corroborated": bool(noisy)
+                and (
+                    calibration > 1.5 * CAL_ANCHOR_SEC
+                    or sched_probe > 1.5 * SCHED_ANCHOR_SEC
+                    or speed_drifted
                 ),
                 "sched_probe_sec": sched_probe,
                 "sched_anchor_sec": SCHED_ANCHOR_SEC,
@@ -210,6 +246,86 @@ def run_once(spark, sf_dir: str, sf: str) -> dict:
                 "scheduler_inflated": sched_probe > 1.5 * SCHED_ANCHOR_SEC,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+
+def registry_sweep(spark, sf_dir: str) -> dict:
+    """One timed once-through of the ENTIRE registry to the noop sink
+    (VERDICT r08 ask #5): the headline set covers ~6% of the queries, so
+    a regression in the rest was invisible to the bench gate. Single
+    pass — per-family subtotals are leads, not verdicts."""
+    per_family: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    t_all = time.perf_counter()
+    for name, spec in REGISTRY.items():
+        fam = spec.spark.__module__.rsplit(".", 1)[-1]
+        t0 = time.perf_counter()
+        try:
+            execute(spec.spark(spark, sf_dir))
+        except Exception as exc:  # record, keep sweeping
+            errors[name] = repr(exc)[:200]
+        per_family[fam] = per_family.get(fam, 0.0) + (
+            time.perf_counter() - t0
+        )
+    out = {
+        "registry_total_sec": round(time.perf_counter() - t_all, 1),
+        "registry_queries": len(REGISTRY),
+        "registry_families": {
+            k: round(v, 2) for k, v in sorted(per_family.items())
+        },
+    }
+    if errors:
+        out["registry_errors"] = errors
+    return out
+
+
+def regime_fields(art: dict, prev: dict | None, prev_name: str = "") -> dict:
+    """Cross-round regime normalization (VERDICT r08 ask #2): ratio of
+    this run's calibration probe to the previous artifact's, and the
+    headline scaled by it. Also flags registry families whose
+    regime-normalized subtotal regressed >1.3× vs the previous artifact.
+    Pure dict→dict for unit testing; mutates and returns ``art``."""
+    if not prev:
+        return art
+    if prev_name:
+        art["prev_bench_artifact"] = prev_name
+    prev_cal = prev.get("calibration_sec")
+    cal = art.get("calibration_sec")
+    ratio = None
+    if prev_cal and cal:
+        ratio = round(cal / prev_cal, 3)
+        art["prev_calibration_sec"] = prev_cal
+        art["regime_ratio"] = ratio
+        art["value_regime_normalized"] = round(
+            art["value"] / ratio, 3
+        ) if ratio > 0 else art["value"]
+    fams, prev_fams = art.get("registry_families"), prev.get(
+        "registry_families"
+    )
+    if fams and prev_fams and art.get("sf") == prev.get("sf"):
+        # normalize by regime so a uniformly slow host doesn't flag
+        # every family; only regressions BEYOND the host delta count
+        norm = ratio if ratio and ratio > 1.0 else 1.0
+        art["registry_family_regressions"] = sorted(
+            f
+            for f, v in fams.items()
+            if prev_fams.get(f) and v / norm > 1.3 * prev_fams[f]
+        )
+    return art
+
+
+def _prev_artifact() -> tuple[str, dict] | None:
+    root = Path(__file__).resolve().parent
+    arts = sorted(root.glob("BENCH_r*.json"))
+    if not arts:
+        return None
+    try:
+        data = json.loads(arts[-1].read_text())
+        # the driver wraps the bench's JSON line: {"n","rc","tail","parsed"}
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        return arts[-1].name, data
+    except Exception:
+        return None
 
 
 def apply_drift_fallback(art: dict) -> dict:
@@ -256,6 +372,11 @@ def main() -> None:
         art["first_run"] = first
         if art["speed_drifted"]:
             art = apply_drift_fallback(art)
+    if os.environ.get("SPARK_GRAFT_REGISTRY_SWEEP", "1") != "0":
+        art.update(registry_sweep(spark, sf_dir))
+    prev = _prev_artifact()
+    if prev:
+        art = regime_fields(art, prev[1], prev[0])
     print(json.dumps(art))
 
 

@@ -46,6 +46,65 @@ def test_drift_fallback_noop_excess():
     assert out["value_sched_adjusted"] == out["value"] == 4.5
 
 
+def test_regime_fields_normalize_headline():
+    b = _bench()
+    art = {"value": 11.4, "calibration_sec": 0.6, "sf": 0.1}
+    prev = {"calibration_sec": 0.5, "sf": 0.1}
+    out = b.regime_fields(art, prev, "BENCH_r08.json")
+    assert out["prev_bench_artifact"] == "BENCH_r08.json"
+    assert out["regime_ratio"] == 1.2  # this host 1.2x slower
+    assert out["value_regime_normalized"] == 9.5  # 11.4 / 1.2
+    # no previous artifact -> untouched
+    art2 = {"value": 5.0, "calibration_sec": 0.5}
+    assert "regime_ratio" not in b.regime_fields(art2, None)
+
+
+def test_regime_family_regressions_scale_by_host():
+    b = _bench()
+    # families: "a" doubled (real regression even after 1.2x host
+    # normalization), "b" inflated exactly with the host (not flagged),
+    # "c" new this round (no baseline -> not flagged)
+    art = {
+        "value": 1.0,
+        "calibration_sec": 0.6,
+        "sf": 0.1,
+        "registry_families": {"a": 20.0, "b": 11.9, "c": 4.0},
+    }
+    prev = {
+        "calibration_sec": 0.5,
+        "sf": 0.1,
+        "registry_families": {"a": 10.0, "b": 10.0},
+    }
+    out = b.regime_fields(art, prev)
+    assert out["registry_family_regressions"] == ["a"]
+    # different SF -> family comparison suppressed entirely
+    art["sf"] = 0.01
+    art.pop("registry_family_regressions", None)
+    out = b.regime_fields(dict(art), prev)
+    assert "registry_family_regressions" not in out
+
+
+def test_regime_faster_host_not_inflating_family_threshold():
+    b = _bench()
+    # a FASTER host (ratio < 1) must not shrink the regression bar —
+    # norm clamps at 1.0 so genuinely-faster rounds still flag a 1.4x
+    # family blowup
+    art = {
+        "value": 1.0,
+        "calibration_sec": 0.4,
+        "sf": 0.1,
+        "registry_families": {"a": 14.0},
+    }
+    prev = {
+        "calibration_sec": 0.5,
+        "sf": 0.1,
+        "registry_families": {"a": 10.0},
+    }
+    out = b.regime_fields(art, prev)
+    assert out["regime_ratio"] == 0.8
+    assert out["registry_family_regressions"] == ["a"]
+
+
 def test_noise_gate_threshold_semantics():
     # mirror of run_once's inline computation, pinned as the contract:
     # flagged iff median/min > 1.4; gated total substitutes min for
