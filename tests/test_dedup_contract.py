@@ -93,3 +93,140 @@ def test_validate_is_transparent_on_compliant_input(docs):
     )
     off = sorted(map(tuple, D.ngram_jaccard_pairs(docs).collect()))
     assert on == off and on  # same result, and non-empty (a~b survive)
+
+
+# --------------------------------------------------------------------------
+# Adversarial set shapes for _verify_jaccard (VERDICT r08 ask #7): every
+# dedup entry point now routes through the r8 set-array form
+# (dedup.py:_pair_intersections); the plan gate pins the SHAPE, these pin
+# the MATH on the shapes real corpora produce at the margins.
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _sets_frame(spark, rows, n=2):
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    return D._doc_shingle_sets(df, "text", "doc_id", n)
+
+
+def _all_pairs(spark, ids):
+    ids = sorted(ids)
+    rows = [
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+    ]
+    return spark.createDataFrame(rows, "doc_a string, doc_b string")
+
+
+def test_empty_text_docs_are_single_shingle_sets(spark):
+    """word_shingles is total: empty text yields ONE (empty-string)
+    shingle, so two empty docs are identical sets (J = 1.0) while an
+    empty doc shares nothing with a real one — that pair must DROP
+    (the n_inter > 0 contract), not surface as jaccard 0/NULL."""
+    rows = [("e1", ""), ("e2", ""), ("x", "real words in this one")]
+    sets = _sets_frame(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D._verify_jaccard(
+            _all_pairs(spark, ["e1", "e2", "x"]), sets, 0.0
+        ).collect()
+    }
+    assert got == {("e1", "e2"): 1.0}
+    # and end-to-end: the blocking layer surfaces the empty-empty pair
+    # (the "" shingle has df=2, inside (1, max_df]) with the same value
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    e2e = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            df, shingle_n=2, max_df=10, threshold=0.0
+        ).collect()
+    }
+    assert e2e == {("e1", "e2"): 1.0}
+
+
+def test_all_identical_corpus_is_complete_at_one(spark):
+    """k identical docs: every unordered pair verifies at exactly 1.0 —
+    C(k,2) rows, no duplicates, no self-pairs."""
+    k = 5
+    rows = [(f"d{i}", "same exact text every time") for i in range(k)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = D.ngram_jaccard_pairs(
+        df, shingle_n=2, max_df=k, threshold=0.0
+    ).collect()
+    assert len(out) == k * (k - 1) // 2
+    assert all(r.jaccard == 1.0 and r.doc_a < r.doc_b for r in out)
+    assert len({(r.doc_a, r.doc_b) for r in out}) == len(out)
+
+
+def test_max_df_boundary_is_inclusive(spark):
+    """df == max_df shingles still block (the (1, max_df] contract);
+    df == max_df + 1 prunes every candidate — the knife-edge between
+    'near-linear at scale' and 'silently empty output'."""
+    k = 5
+    rows = [(f"d{i}", "same exact text every time") for i in range(k)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    at = D.ngram_jaccard_pairs(df, shingle_n=2, max_df=k, threshold=0.0)
+    below = D.ngram_jaccard_pairs(
+        df, shingle_n=2, max_df=k - 1, threshold=0.0
+    )
+    assert at.count() == k * (k - 1) // 2
+    assert below.count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_verify_jaccard_matches_python_sets(docs_words):
+    """Value property: over arbitrary tiny corpora (including empty and
+    single-word docs), _verify_jaccard on ALL unordered pairs equals the
+    plain-Python set Jaccard of Spark's OWN shingle sets — same rounding,
+    same empty-intersection drop."""
+    spark = _hyp_spark()
+    rows = [(f"d{i}", " ".join(ws)) for i, ws in enumerate(docs_words)]
+    sets_df = _sets_frame(spark, rows)
+    sets = {r.doc: set(r.shset) for r in sets_df.collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D._verify_jaccard(
+            _all_pairs(spark, [r[0] for r in rows]), sets_df, 0.0
+        ).collect()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter > 0:
+                want[(a, b)] = inter / len(sets[a] | sets[b])
+    assert set(got) == set(want)
+    for key, val in want.items():
+        assert abs(got[key] - val) < 5e-7, (key, got[key], val)
+
+
+_HYP_SPARK = None
+
+
+def _hyp_spark():
+    """hypothesis examples can't take pytest fixtures — reuse the live
+    session the surrounding suite already built."""
+    global _HYP_SPARK
+    if _HYP_SPARK is None:
+        from pyspark.sql import SparkSession
+
+        _HYP_SPARK = SparkSession.getActiveSession() or (
+            SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    return _HYP_SPARK
