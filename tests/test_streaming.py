@@ -132,7 +132,18 @@ def test_type_profile_tws_and_fallback_paths_agree(spark):
     fallback — must emit identical final rows (VERDICT r03 #8). Runs
     wherever google.protobuf (the twS state-server protocol dep)
     exists; elsewhere the fallback IS the oracle-checked path and this
-    skips."""
+    skips.
+
+    Vendoring attempt (VERDICT r08 ask #6, 2026-08-16): the sandbox has
+    no protobuf source to vendor — ``pip download protobuf`` dies on
+    DNS (``Name or service not known`` against the index, 5 retries),
+    no wheel/sdist exists anywhere on disk (``find / -name
+    '*protobuf*'`` surfaces only Spark's SHADED JAVA jars, which carry
+    no Python runtime), and hand-writing the wire-format runtime that
+    ``pyspark/sql/streaming/proto/*_pb2.py`` needs would risk silently
+    corrupting streaming state on a protocol we could not
+    differential-test. The gate therefore stays; on any box with the
+    wheel this test runs the primary path unmodified."""
     import pytest
 
     pytest.importorskip("google.protobuf")

@@ -3,7 +3,11 @@ offsets (≈sf1: 6M lineitem rows) into a scratch dir, then time headline
 queries there. Extends the measured scaling curve one decade beyond the
 driver's bench — evidence for the plans' data-dependent growth rate.
 
-Usage: python tools/scale_probe.py [--gen] [out_dir]
+Usage: python tools/scale_probe.py [--gen] [--replicas=N] [out_dir]
+
+``--replicas=100`` generates the SECOND decade (~sf10: 60M lineitem,
+50k docs) — VERDICT r08 ask #4's separator between "per-stage overhead
+still amortizing" and a real super-linear term.
 """
 
 from __future__ import annotations
@@ -193,7 +197,7 @@ OFFSETS = {
 }
 
 
-def generate(spark, out_dir: str) -> None:
+def generate(spark, out_dir: str, replicas: int = REPLICAS) -> None:
     from qa_data_pipeline_rag_llm_spark.catalog import load_table
 
     for t, keys in OFFSETS.items():
@@ -202,7 +206,7 @@ def generate(spark, out_dir: str) -> None:
             reps = base
         else:
             parts = []
-            for i in range(REPLICAS):
+            for i in range(replicas):
                 r = base
                 for k in keys:
                     r = r.withColumn(k, F.col(k) + F.lit(i * OFF))
@@ -357,8 +361,16 @@ def main() -> None:
     probe = [n for n in pool if not only or n in only[0]]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    replicas = next(
+        (
+            int(a.split("=", 1)[1])
+            for a in sys.argv[1:]
+            if a.startswith("--replicas=")
+        ),
+        REPLICAS,
+    )
     if "--gen" in sys.argv:
-        generate(spark, out_dir)
+        generate(spark, out_dir, replicas)
 
     def run(df):
         df.write.format("noop").mode("overwrite").save()
