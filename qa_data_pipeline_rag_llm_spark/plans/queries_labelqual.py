@@ -23,8 +23,10 @@ rater projection + one partial-agg shuffle to (lang, source) or
 (source) grain; everything downstream — duels, win matrix, MM
 iterations, triangle joins — operates on model-sized frames bounded by
 |sources|² and runs as broadcast joins. Kappa's counts are exact longs
-(n² fits a double's 53-bit mantissa far past this corpus; the 100 TB
-upgrade is DECIMAL(38,0) for the pe product, same expression shape).
+and every n²-scale product (kappa's pe terms, the duels' q6·n
+cross-multiplications) widens to DECIMAL(38,0) via (19,0) factor casts
+(r09, advice r08) — BIGINT products overflow 2^63 around 3×10^9 rows
+per cell, three decades inside a 100 TB corpus.
 """
 
 from __future__ import annotations
@@ -70,6 +72,13 @@ BT_ITERS = 3
 # past this corpus' source count, and the SQL twin unrolls the same K
 # so both engines replay the identical retained set bit-for-bit).
 BT_EXCL_ITERS = 6
+
+# Exact-integer products throughout this module widen to DECIMAL(38,0)
+# via (19,0) factor casts — BIGINT n² terms overflow 2^63 around
+# 3×10^9 rows per cell, three decades inside a 100 TB corpus. The
+# decimal product is exact while factors stay under 10^19 (n < 10^13
+# docs per slice). Parses identically in Spark SQL and DuckDB.
+_D19 = "DECIMAL(19,0)"
 
 
 def _gopher_keep_sql() -> str:
@@ -131,18 +140,23 @@ _KAPPA_SQL = """
 
 # kappa from the five exact counts; NULL when chance agreement is total
 # (pe = 1 makes the denominator 0 — a degenerate slice, not agreement).
-_KAPPA_EXPR = """
-      CASE WHEN n_docs * n_docs
-                - (gopher_keep * quality_keep
-                   + (n_docs - gopher_keep) * (n_docs - quality_keep)) = 0
+# The n² products run in DECIMAL via (19,0) factor casts (r09, closing
+# the docstring's deferred upgrade alongside the duels fix): BIGINT
+# n_docs² overflows 2^63 at n ≈ 3×10^9 docs per slice — real at 100 TB.
+# The counts stay exact longs; only the products widen, and both engines
+# convert the identical exact integer to double at the final division
+# (< 2^53 at every test scale → bit-identical hashes).
+_K_N = f"CAST(n_docs AS {_D19})"
+_K_GK = f"CAST(gopher_keep AS {_D19})"
+_K_QK = f"CAST(quality_keep AS {_D19})"
+_K_PE = f"({_K_GK} * {_K_QK} + ({_K_N} - {_K_GK}) * ({_K_N} - {_K_QK}))"
+_KAPPA_EXPR = f"""
+      CASE WHEN {_K_N} * {_K_N} - {_K_PE} = 0
            THEN NULL
            ELSE round(
-             ((both_keep + both_drop) * n_docs
-              - (gopher_keep * quality_keep
-                 + (n_docs - gopher_keep) * (n_docs - quality_keep))) * 1.0
-             / (n_docs * n_docs
-                - (gopher_keep * quality_keep
-                   + (n_docs - gopher_keep) * (n_docs - quality_keep))), 6)
+             ((CAST(both_keep AS {_D19}) + both_drop) * {_K_N}
+              - {_K_PE}) * 1.0
+             / ({_K_N} * {_K_N} - {_K_PE}), 6)
       END AS kappa
 """
 
@@ -170,11 +184,13 @@ def _kappa_agg(g) -> DataFrame:
         F.sum((F.col("ra") & F.col("rb")).cast("long")).alias("both_keep"),
         F.sum((~F.col("ra") & ~F.col("rb")).cast("long")).alias("both_drop"),
     )
-    pe_num = F.col("gopher_keep") * F.col("quality_keep") + (
-        F.col("n_docs") - F.col("gopher_keep")
-    ) * (F.col("n_docs") - F.col("quality_keep"))
-    denom = F.col("n_docs") * F.col("n_docs") - pe_num
-    po_num = (F.col("both_keep") + F.col("both_drop")) * F.col("n_docs")
+    d19 = "decimal(19,0)"
+    n = F.col("n_docs").cast(d19)
+    gk = F.col("gopher_keep").cast(d19)
+    qk = F.col("quality_keep").cast(d19)
+    pe_num = gk * qk + (n - gk) * (n - qk)
+    denom = n * n - pe_num
+    po_num = (F.col("both_keep").cast(d19) + F.col("both_drop")) * n
     return counts.withColumn(
         "kappa",
         F.when(denom == 0, F.lit(None).cast("double")).otherwise(
@@ -232,7 +248,6 @@ def filter_agreement_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (lang, source) cell — three decades before kappa's own n² limit; the
 # decimal product is exact up to 10^19-digit factors, i.e. n < 10^13
 # docs per cell, comfortably past a 100 TB corpus).
-_D19 = "DECIMAL(19,0)"
 _DUELS_SQL = f"""
     q AS (SELECT doc_id, source, lang, quality
           FROM ({_quality_sql("doc_id, source, lang")})),
