@@ -709,6 +709,7 @@ from qa_data_pipeline_rag_llm_spark.plans import queries_robust  # noqa: E402,F4
 from qa_data_pipeline_rag_llm_spark.plans import queries_mergeable  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_monitoring  # noqa: E402,F401
 from qa_data_pipeline_rag_llm_spark.plans import queries_labelqual  # noqa: E402,F401
+from qa_data_pipeline_rag_llm_spark.plans import queries_lmfilter  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,255 @@
+"""Registry entries: LM-perplexity quality filtering over ``documents``.
+
+The CCNet recipe (Wenzek et al. 2020) scores every document by the
+cross-entropy of a language model and gates/buckets on it — the single
+most-used quality signal in web-scale pretraining corpora, and one the
+reference pipeline (fixed scalar thresholds,
+``/root/reference/STACK-Ingestion.py:30``) has no analogue of. Here the
+model is an add-½-smoothed UNIGRAM LM trained on the corpus itself in
+the same plan (self-surprisal): documents whose token distribution
+diverges from the corpus — boilerplate, key-mash, non-language,
+templated spam — score high; suspiciously low scorers are
+near-degenerate repetitions. No external model, no network, exactly
+reproducible.
+
+Determinism (the zipf_slope/token_entropy discipline): each token's
+log-probability is rounded ONCE to a 1e-9-scaled long
+(``ln(2·c_w + 1)``, ``ln(2·N + V)`` — exact-integer arguments), so
+every downstream sum is integer/decimal arithmetic — order-free,
+replayable bit-for-bit by the DuckDB twins. Per-doc totals convert to
+micro-nats through one double division of exact integers (< 2^53 for
+docs under ~200k tokens at 1e-9 scaling — far past the chunking norms).
+
+Scale (100 TB): four shuffles, all map-side combinable — (doc, token)
+counts, the vocabulary-grain LM aggregation, the token-keyed
+counts⋈LM join (co-partitioned with the LM shuffle; the vocabulary is
+data-sized, so no broadcast assumption), and the per-doc rollup. The
+global normalizer and outlier baseline are one-row broadcasts. Nothing
+is ever collected; outlier thresholds are exact-integer
+cross-multiplications against the corpus mean, so no floating
+comparison drifts between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
+from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+
+#: ln() terms round to 1e-9-scaled longs before any sum (zipf discipline).
+_LN9 = 1_000_000_000
+
+#: hi/lo outlier bands: docs whose mean surprisal exceeds 5/4 of the
+#: corpus mean (hi — out-of-distribution text) or falls under 3/4 of it
+#: (lo — degenerate/templated). Compared by exact-integer
+#: cross-multiplication, never by float ratio.
+_HI_NUM, _HI_DEN = 5, 4
+_LO_NUM, _LO_DEN = 3, 4
+
+_TOPK_OUTLIERS = 20
+
+# Shared CTE chain: token counts -> unigram LM -> per-doc surprisal.
+# h6 = per-doc mean surprisal in micro-nats (BIGINT). The multiply-
+# referenced CTEs are MATERIALIZED: DuckDB inlines plain CTEs once per
+# reference, and doc6 + g6 both consume doch (the labelqual lesson).
+_LM_SQL = f"""
+    tok AS (SELECT doc_id, source, unnest({O.toks("text")}) AS w
+            FROM documents),
+    tokc AS MATERIALIZED (SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok WHERE w != '' GROUP BY doc_id, source, w),
+    lm AS MATERIALIZED (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM tokc GROUP BY w),
+    tot AS (SELECT CAST(SUM(CAST(cw AS DECIMAL(19,0))) AS DECIMAL(19,0))
+                     AS n_total,
+                   CAST(COUNT(*) AS DECIMAL(19,0)) AS v
+            FROM lm),
+    lml AS (SELECT w,
+                   CAST(round(ln(CAST(2 * cw + 1 AS DOUBLE)) * {_LN9})
+                        AS BIGINT) AS lp9
+            FROM lm),
+    zc AS (SELECT CAST(round(ln(CAST(2 * n_total + v AS DOUBLE)) * {_LN9})
+                       AS BIGINT) AS z9
+           FROM tot),
+    doch AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(SUM(CAST(c AS DECIMAL(19,0)) * (zc.z9 - lml.lp9))
+                  AS DECIMAL(38,0)) AS s9,
+             CAST(SUM(c) AS BIGINT) AS n_tok
+      FROM tokc JOIN lml USING (w) CROSS JOIN zc
+      GROUP BY doc_id, source),
+    doc6 AS (
+      SELECT doc_id, source, n_tok,
+             CAST(round(CAST(s9 AS DOUBLE) / (n_tok * 1000.0)) AS BIGINT)
+               AS h6
+      FROM doch),
+    g6 AS (
+      SELECT CAST(round(CAST(SUM(CAST(s9 AS DECIMAL(38,0)))
+                             AS DOUBLE)
+                        / (CAST(SUM(CAST(n_tok AS DECIMAL(19,0)))
+                                AS DOUBLE) * 1000.0)) AS BIGINT) AS g6
+      FROM doch)
+"""
+
+
+def _lm_doc6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc6/g6 over the real documents table."""
+    return _lm_doc6_from(_t(spark, sf_dir, "documents"))
+
+
+def _lm_doc6_from(d: DataFrame):
+    """(doc_id, source, n_tok, h6) per scored document plus the corpus
+    baseline as a crossJoin-able one-row frame — the Spark twin of the
+    doc6/g6 CTEs. Empty-token docs never enter (nothing to score).
+    Separated from the table loader so property tests can feed synthetic
+    corpora with hand-computed LM probabilities."""
+    from qa_data_pipeline_rag_llm_spark.functions.text import tokens
+
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    tokc = tok.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lm = tokc.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = lm.agg(
+        F.sum(F.col("cw").cast("decimal(19,0)"))
+        .cast("decimal(19,0)")
+        .alias("n_total"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("v"),
+    )
+    lml = lm.select(
+        "w",
+        F.round(F.log((2 * F.col("cw") + 1).cast("double")) * _LN9)
+        .cast("long")
+        .alias("lp9"),
+    )
+    zc = tot.select(
+        F.round(
+            F.log((2 * F.col("n_total") + F.col("v")).cast("double"))
+            * _LN9
+        )
+        .cast("long")
+        .alias("z9")
+    )
+    doch = (
+        tokc.join(lml, "w")
+        .crossJoin(F.broadcast(zc))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * (F.col("z9") - F.col("lp9"))
+            )
+            .cast("decimal(38,0)")
+            .alias("s9"),
+            F.sum("c").alias("n_tok"),
+        )
+    )
+    doc6 = doch.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.round(F.col("s9").cast("double") / (F.col("n_tok") * 1000.0))
+        .cast("long")
+        .alias("h6"),
+    )
+    g6 = doch.agg(
+        F.round(
+            F.sum(F.col("s9").cast("decimal(38,0)")).cast("double")
+            / (
+                F.sum(F.col("n_tok").cast("decimal(19,0)")).cast("double")
+                * 1000.0
+            )
+        )
+        .cast("long")
+        .alias("g6")
+    )
+    return doc6, g6
+
+
+@register(
+    "lm_surprisal_by_source",
+    f"""
+    WITH {_LM_SQL}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(h6 AS DECIMAL(19,0))) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_nats,
+           CAST(SUM(CASE WHEN h6 * {_HI_DEN} > g6.g6 * {_HI_NUM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hi_outliers,
+           CAST(SUM(CASE WHEN h6 * {_LO_DEN} < g6.g6 * {_LO_NUM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS lo_outliers
+    FROM doc6 CROSS JOIN g6
+    GROUP BY source
+    """,
+    doc="CCNet-style LM quality profile per source: mean unigram "
+    "self-surprisal (nats/token) plus counts of hi/lo outlier docs — "
+    "hi (> 5/4 of the corpus mean, exact-integer cross-multiplied) is "
+    "out-of-distribution text a perplexity gate would drop, lo (< 3/4) "
+    "is degenerate/templated repetition. The LM trains in-plan from "
+    "the same corpus pass (add-half smoothing, ln terms pinned to "
+    "1e-9-scaled longs before any aggregation). Four map-side-"
+    "combinable shuffles; the corpus baseline is a one-row broadcast.",
+)
+def lm_surprisal_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc6, g6 = _lm_doc6(spark, sf_dir)
+    hi = F.col("h6") * _HI_DEN > F.col("g6") * _HI_NUM
+    lo = F.col("h6") * _LO_DEN < F.col("g6") * _LO_NUM
+    return (
+        doc6.crossJoin(F.broadcast(g6))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("h6").cast("decimal(19,0)")).cast("double")
+                / (F.count(F.lit(1)) * 1_000_000.0),
+                6,
+            ).alias("mean_nats"),
+            F.sum(hi.cast("long")).alias("hi_outliers"),
+            F.sum(lo.cast("long")).alias("lo_outliers"),
+        )
+    )
+
+
+@register(
+    "lm_outlier_docs",
+    f"""
+    WITH {_LM_SQL}
+    SELECT doc_id, source, n_tok,
+           round(h6 / 1000000.0, 6) AS nats_per_token,
+           rank
+    FROM (SELECT doc_id, source, n_tok, h6,
+                 CAST(ROW_NUMBER() OVER (ORDER BY h6 DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM doc6)
+    WHERE rank <= {_TOPK_OUTLIERS}
+    """,
+    doc=f"The {_TOPK_OUTLIERS} most LM-surprising documents — the triage "
+    "list a curator reads before trusting a perplexity gate's threshold "
+    "(top of this list is what the gate would cut first). Total "
+    "ordering (surprisal desc, doc_id) so the cut is reproducible; the "
+    "global top-k runs as TakeOrdered over the per-doc frame — no "
+    "corpus-sized single-partition window.",
+)
+def lm_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc6, _ = _lm_doc6(spark, sf_dir)
+    # TakeOrdered prunes the corpus to k rows; the rank window then runs
+    # on ≤ k rows (never a corpus-sized single partition)
+    top = (
+        doc6.orderBy(F.desc("h6"), F.asc("doc_id"))
+        .limit(_TOPK_OUTLIERS)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("h6"), F.asc("doc_id"))
+            ),
+        )
+    )
+    return top.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.round(F.col("h6") / 1_000_000.0, 6).alias("nats_per_token"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -1,0 +1,84 @@
+"""LM-perplexity filter math (plans/queries_lmfilter.py).
+
+The registry oracles pin the queries against DuckDB on the real corpus;
+these pin the OPERATOR arithmetic on a corpus tiny enough to hand-compute
+the add-half-smoothed unigram LM and every per-doc surprisal, including
+the exact integer rounding chain both engines replay.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from qa_data_pipeline_rag_llm_spark.plans.queries_lmfilter import (
+    _LN9,
+    _lm_doc6_from,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _expected_h6(doc_counts, lm_counts):
+    """Replay the exact rounding chain: lp9/z9 rounded once, integer
+    sums, one double division at the end."""
+    n = sum(lm_counts.values())
+    v = len(lm_counts)
+    z9 = round(math.log(2 * n + v) * _LN9)
+    lp9 = {w: round(math.log(2 * c + 1) * _LN9) for w, c in lm_counts.items()}
+    s9 = sum(c * (z9 - lp9[w]) for w, c in doc_counts.items())
+    n_tok = sum(doc_counts.values())
+    return round(s9 / (n_tok * 1000.0))
+
+
+def test_hand_computed_unigram_surprisal(spark):
+    # corpus: d1 = "a a b", d2 = "c"  ->  counts a=2 b=1 c=1, N=4, V=3
+    rows = [(1, "s1", "a a b"), (2, "s2", "c")]
+    doc6, g6 = _lm_doc6_from(_docs(spark, rows))
+    got = {r.doc_id: r for r in doc6.collect()}
+    lm = {"a": 2, "b": 1, "c": 1}
+    want1 = _expected_h6({"a": 2, "b": 1}, lm)
+    want2 = _expected_h6({"c": 1}, lm)
+    assert got[1].n_tok == 3 and got[2].n_tok == 1
+    assert got[1].h6 == want1
+    assert got[2].h6 == want2
+    # the rarer-token doc is more surprising than the common-token one
+    assert got[2].h6 > got[1].h6
+    # corpus baseline: total s9 over total tokens, same rounding chain
+    z9 = round(math.log(11) * _LN9)
+    lp9 = {w: round(math.log(2 * c + 1) * _LN9) for w, c in lm.items()}
+    s9_tot = (2 * (z9 - lp9["a"]) + (z9 - lp9["b"])) + (z9 - lp9["c"])
+    assert g6.collect()[0].g6 == round(s9_tot / (4 * 1000.0))
+
+
+def test_uniform_corpus_has_uniform_surprisal(spark):
+    # every doc is one distinct token used once: all h6 identical and
+    # equal to the baseline -> no outliers possible in either band
+    rows = [(i, "s", w) for i, w in enumerate(["aa", "bb", "cc", "dd"])]
+    doc6, g6 = _lm_doc6_from(_docs(spark, rows))
+    hs = {r.h6 for r in doc6.collect()}
+    assert len(hs) == 1
+    assert g6.collect()[0].g6 == hs.pop()
+
+
+def test_empty_and_null_text_docs_are_unscored(spark):
+    rows = [(1, "s", "a a b"), (2, "s", ""), (3, "s", None)]
+    doc6, _ = _lm_doc6_from(_docs(spark, rows))
+    assert [r.doc_id for r in doc6.collect()] == [1]
+
+
+def test_repetition_scores_below_diverse_text(spark):
+    # d1 spams one token; d2 spreads over rare ones. Same length; the
+    # spam doc's tokens are corpus-common (it created the mass itself),
+    # so its per-token surprisal must come out LOWER — the lo-outlier
+    # band the quality gate uses for degenerate text.
+    rows = [
+        (1, "s", " ".join(["spam"] * 8)),
+        (2, "s", "one two three four five six seven eight"),
+    ]
+    doc6, _ = _lm_doc6_from(_docs(spark, rows))
+    got = {r.doc_id: r.h6 for r in doc6.collect()}
+    assert got[1] < got[2]
