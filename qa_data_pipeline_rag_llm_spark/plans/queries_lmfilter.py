@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
 from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
+from qa_data_pipeline_rag_llm_spark.plans.queries_text import _quality_sql
+
+#: doc-grain quality-score twin, shared with the correlation audit
+_QUALITY_DOC_SQL = _quality_sql("doc_id")
 
 #: ln() terms round to 1e-9-scaled longs before any sum (zipf discipline).
 _LN9 = 1_000_000_000
@@ -252,4 +256,86 @@ def lm_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.round(F.col("h6") / 1_000_000.0, 6).alias("nats_per_token"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "lm_quality_correlation",
+    f"""
+    WITH {_LM_SQL},
+    qv AS (SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS q6
+           FROM ({_QUALITY_DOC_SQL})),
+    pairs AS (SELECT d.h6 AS x, qv.q6 AS y
+              FROM doc6 d JOIN qv USING (doc_id)),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS syy
+      FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                 6) AS pearson_r
+    FROM mom
+    """,
+    doc="Pearson correlation between per-doc LM surprisal and the "
+    "engine's weighted quality score — the audit that says whether the "
+    "cheap heuristic gate and the LM signal AGREE before a curator "
+    "trusts either alone (strongly negative = high-surprisal docs score "
+    "low quality, the expected direction; near zero = the two gates cut "
+    "different corpora and both deserve review). Moment sums follow the "
+    "zipf/cuped exact-decimal discipline over micro-scaled longs, so "
+    "the correlation is a fixed double-op sequence both engines replay; "
+    "NULL on zero variance. One extra doc-grain join over the LM chain.",
+)
+def lm_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import quality_score
+
+    doc6, _ = _lm_doc6(spark, sf_dir)
+    qv = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(quality_score("text") * 1_000_000)
+        .cast("long")
+        .alias("q6"),
+    )
+    pairs = doc6.join(qv, "doc_id").select(
+        F.col("h6").alias("x"), F.col("q6").alias("y")
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d38("x")).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(d38("y")).cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(d19("x") * d19("y"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxy"),
+        F.sum(d19("x") * d19("x"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxx"),
+        F.sum(d19("y") * d19("y"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            num / F.when(den != 0, den).otherwise(F.lit(None)), 6
+        ).alias("pearson_r"),
     )
