@@ -339,3 +339,162 @@ def lm_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / F.when(den != 0, den).otherwise(F.lit(None)), 6
         ).alias("pearson_r"),
     )
+
+
+# Pairwise KL needs only per-source scalars plus ONE token-keyed cross
+# sum — never the dense |vocab| × |sources|² expansion:
+#   KL(s‖t) = (A_s − 2·X_st − B_t) / (2·N_s + V) + ln Z_t − ln Z_s
+# with A_s = Σ_{w∈s}(2c_sw+1)·L_s(w), B_t = Σ_{w∈t} L_t(w),
+# X_st = Σ_{w∈s∩t} c_sw·L_t(w), L = ln(2c+1), Z = 2N+V. Tokens absent
+# from both sources cancel exactly (L = ln 1 = 0), which is what makes
+# the sparse form correct.
+_KL_SQL = f"""
+    tok AS (SELECT source, unnest({O.toks("text")}) AS w FROM documents),
+    sc AS MATERIALIZED (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w != '' GROUP BY source, w),
+    ll AS MATERIALIZED (
+      SELECT source, w, c,
+             CAST(round(ln(CAST(2 * c + 1 AS DOUBLE)) * {_LN9}) AS BIGINT)
+               AS l9
+      FROM sc),
+    ns AS MATERIALIZED (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY source),
+    vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM sc),
+    aa AS (SELECT source,
+                  CAST(SUM(CAST(2 * c + 1 AS DECIMAL(19,0))
+                           * CAST(l9 AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                    AS a9
+           FROM ll GROUP BY source),
+    bb AS (SELECT source,
+                  CAST(SUM(CAST(l9 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS b9
+           FROM ll GROUP BY source),
+    xx AS (SELECT s.source AS src, l.source AS dst,
+                  CAST(SUM(CAST(s.c AS DECIMAL(19,0))
+                           * CAST(l.l9 AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                    AS x9
+           FROM sc s JOIN ll l USING (w)
+           WHERE s.source <> l.source
+           GROUP BY s.source, l.source),
+    zz AS (SELECT source, CAST(2 * n + vv.v AS BIGINT) AS den,
+                  CAST(round(ln(CAST(2 * n + vv.v AS DOUBLE)) * {_LN9})
+                       AS BIGINT) AS z9
+           FROM ns CROSS JOIN vv),
+    prs AS (SELECT a.source AS src, b.source AS dst
+            FROM ns a CROSS JOIN ns b WHERE a.source <> b.source)
+"""
+
+
+@register(
+    "source_kl_matrix",
+    f"""
+    WITH {_KL_SQL}
+    SELECT prs.src AS source_a, prs.dst AS source_b,
+           round(CAST(aa.a9 - 2 * coalesce(xx.x9, 0) - bb.b9 AS DOUBLE)
+                   / (CAST(za.den AS DOUBLE) * {_LN9}.0)
+                 + (zb.z9 - za.z9) / {_LN9}.0, 6) AS kl_nats
+    FROM prs
+    LEFT JOIN xx ON xx.src = prs.src AND xx.dst = prs.dst
+    JOIN aa ON aa.source = prs.src
+    JOIN bb ON bb.source = prs.dst
+    JOIN zz za ON za.source = prs.src
+    JOIN zz zb ON zb.source = prs.dst
+    """,
+    doc="Pairwise KL divergence between add-half-smoothed per-source "
+    "unigram distributions — the mixture-redundancy audit: a source "
+    "pair with near-zero KL both ways is distributionally one source "
+    "(dedup/mixing weights should treat it so), and asymmetric KL "
+    "locates subset relationships. Sparse exact formulation: two "
+    "per-source scalar aggregates plus ONE token-keyed cross sum; "
+    "tokens absent from both sources cancel exactly, so the dense "
+    "vocab × pairs² expansion never materializes. ln terms pinned to "
+    "1e-9-scaled longs; everything after the corpus pass is "
+    "vocabulary- or |sources|²-sized.",
+)
+def source_kl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    ll = sc.select(
+        "source",
+        "w",
+        "c",
+        F.round(F.log((2 * F.col("c") + 1).cast("double")) * _LN9)
+        .cast("long")
+        .alias("l9"),
+    )
+    ns = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    vv = sc.agg(F.countDistinct("w").alias("v"))
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    aa = ll.groupBy("source").agg(
+        F.sum(d19(2 * F.col("c") + 1) * d19(F.col("l9")))
+        .cast("decimal(38,0)")
+        .alias("a9")
+    )
+    bb = ll.groupBy("source").agg(
+        F.sum(F.col("l9").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("b9")
+    )
+    xx = (
+        sc.alias("s")
+        .join(ll.alias("l"), "w")
+        .where(F.col("s.source") != F.col("l.source"))
+        .groupBy(
+            F.col("s.source").alias("src"), F.col("l.source").alias("dst")
+        )
+        .agg(
+            F.sum(d19(F.col("s.c")) * d19(F.col("l.l9")))
+            .cast("decimal(38,0)")
+            .alias("x9")
+        )
+    )
+    zz = ns.crossJoin(F.broadcast(vv)).select(
+        "source",
+        (2 * F.col("n") + F.col("v")).cast("long").alias("den"),
+        F.round(
+            F.log((2 * F.col("n") + F.col("v")).cast("double")) * _LN9
+        )
+        .cast("long")
+        .alias("z9"),
+    )
+    prs = (
+        ns.select(F.col("source").alias("src"))
+        .crossJoin(ns.select(F.col("source").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+    )
+    kl = (
+        F.col("a9").cast("double")
+        - 2 * F.coalesce(F.col("x9"), F.lit(0)).cast("double")
+        - F.col("b9").cast("double")
+    ) / (F.col("den").cast("double") * float(_LN9)) + (
+        F.col("z9_b") - F.col("z9_a")
+    ) / float(_LN9)
+    return (
+        prs.join(xx, ["src", "dst"], "left")
+        .join(aa.withColumnRenamed("source", "src"), "src")
+        .join(bb.withColumnRenamed("source", "dst"), "dst")
+        .join(
+            zz.select(
+                F.col("source").alias("src"),
+                F.col("den"),
+                F.col("z9").alias("z9_a"),
+            ),
+            "src",
+        )
+        .join(
+            zz.select(
+                F.col("source").alias("dst"), F.col("z9").alias("z9_b")
+            ),
+            "dst",
+        )
+        .select(
+            F.col("src").alias("source_a"),
+            F.col("dst").alias("source_b"),
+            F.round(kl, 6).alias("kl_nats"),
+        )
+    )

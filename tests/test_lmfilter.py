@@ -82,3 +82,64 @@ def test_repetition_scores_below_diverse_text(spark):
     doc6, _ = _lm_doc6_from(_docs(spark, rows))
     got = {r.doc_id: r.h6 for r in doc6.collect()}
     assert got[1] < got[2]
+
+
+def _kl_rows(spark, rows):
+    import tempfile
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    tmp = tempfile.mkdtemp(prefix="klsrc")
+    df = _docs(spark, rows)
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = REGISTRY["source_kl_matrix"].spark(spark, tmp)
+    return {(r.source_a, r.source_b): r.kl_nats for r in out.collect()}
+
+
+def test_kl_identical_sources_is_zero(spark):
+    # two sources with the SAME token distribution -> KL 0 both ways
+    rows = [(1, "x", "a a b c"), (2, "y", "a a b c")]
+    got = _kl_rows(spark, rows)
+    assert got[("x", "y")] == pytest.approx(0.0, abs=1e-6)
+    assert got[("y", "x")] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_kl_nonnegative_and_asymmetric(spark):
+    # y is a strict vocabulary subset of x: KL must be >= 0 both ways
+    # and ASYMMETRIC (the subset direction differs from the superset)
+    rows = [
+        (1, "x", "a b c d e f g h"),
+        (2, "y", "a a a a a a a b"),
+    ]
+    got = _kl_rows(spark, rows)
+    assert got[("x", "y")] > 0 and got[("y", "x")] > 0
+    # hand-computed: 0.622779 uniform->skewed, 0.731246 skewed->uniform
+    assert got[("x", "y")] == pytest.approx(0.622779, abs=2e-6)
+    assert got[("y", "x")] == pytest.approx(0.731246, abs=2e-6)
+
+
+def test_kl_matches_python_reference(spark):
+    # hand-replay the smoothed KL over the full vocab in plain Python,
+    # including the 1e-9 log rounding chain
+    rows = [(1, "x", "a a b"), (2, "y", "b c c c")]
+    got = _kl_rows(spark, rows)
+    counts = {"x": {"a": 2, "b": 1}, "y": {"b": 1, "c": 3}}
+    vocab = {"a", "b", "c"}
+
+    def l9(c):
+        return round(math.log(2 * c + 1) * _LN9)
+
+    def z(src):
+        n = sum(counts[src].values())
+        return 2 * n + len(vocab), round(math.log(2 * n + len(vocab)) * _LN9)
+
+    for s, t in (("x", "y"), ("y", "x")):
+        den_s, z_s = z(s)
+        _, z_t = z(t)
+        tot = sum(
+            (2 * counts[s].get(w, 0) + 1)
+            * (l9(counts[s].get(w, 0)) - l9(counts[t].get(w, 0)))
+            for w in vocab
+        )
+        want = tot / (den_s * _LN9) + (z_t - z_s) / _LN9
+        assert got[(s, t)] == pytest.approx(want, abs=2e-6), (s, t)
