@@ -252,11 +252,23 @@ def registry_sweep(spark, sf_dir: str) -> dict:
     """One timed once-through of the ENTIRE registry to the noop sink
     (VERDICT r08 ask #5): the headline set covers ~6% of the queries, so
     a regression in the rest was invisible to the bench gate. Single
-    pass — per-family subtotals are leads, not verdicts."""
+    pass — per-family subtotals are leads, not verdicts.
+
+    A soft time budget ($SPARK_GRAFT_SWEEP_BUDGET_SEC, default 1200)
+    bounds the sweep so it can never time out the whole bench step: if
+    exceeded, remaining queries are skipped, ``registry_sweep_truncated``
+    records it, and family subtotals are withheld (partial subtotals
+    would feed false regression flags)."""
+    budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_SEC", "1200"))
     per_family: dict[str, float] = {}
     errors: dict[str, str] = {}
+    swept = 0
+    truncated = False
     t_all = time.perf_counter()
     for name, spec in REGISTRY.items():
+        if time.perf_counter() - t_all > budget:
+            truncated = True
+            break
         fam = spec.spark.__module__.rsplit(".", 1)[-1]
         t0 = time.perf_counter()
         try:
@@ -266,13 +278,18 @@ def registry_sweep(spark, sf_dir: str) -> dict:
         per_family[fam] = per_family.get(fam, 0.0) + (
             time.perf_counter() - t0
         )
+        swept += 1
     out = {
         "registry_total_sec": round(time.perf_counter() - t_all, 1),
         "registry_queries": len(REGISTRY),
-        "registry_families": {
-            k: round(v, 2) for k, v in sorted(per_family.items())
-        },
+        "registry_swept": swept,
     }
+    if truncated:
+        out["registry_sweep_truncated"] = True
+    else:
+        out["registry_families"] = {
+            k: round(v, 2) for k, v in sorted(per_family.items())
+        }
     if errors:
         out["registry_errors"] = errors
     return out
@@ -295,9 +312,14 @@ def regime_fields(art: dict, prev: dict | None, prev_name: str = "") -> dict:
         ratio = round(cal / prev_cal, 3)
         art["prev_calibration_sec"] = prev_cal
         art["regime_ratio"] = ratio
+        # one-directional, like value_calibrated: only correct when THIS
+        # host is slower (ratio > 1). On a faster host the raw value
+        # stands — the single-thread probe under-predicts full-query
+        # speedups, and dividing by ratio < 1 would fabricate a
+        # regression that isn't in the engine.
         art["value_regime_normalized"] = round(
-            art["value"] / ratio, 3
-        ) if ratio > 0 else art["value"]
+            art["value"] / max(ratio, 1.0), 3
+        )
     fams, prev_fams = art.get("registry_families"), prev.get(
         "registry_families"
     )

@@ -449,6 +449,111 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Repeat-epochs ceiling for the mixing plan: past ~4 epochs repeated
+# pretraining data decays in value (the data-constrained-scaling
+# observation), so a source the temperature weights would sample past
+# the cap is flagged and its target capped.
+EPOCH_CAP = 4
+
+
+@register(
+    "mixture_epochs_plan",
+    f"""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM({{tc}}) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    p AS (SELECT *, CAST(round(CASE WHEN n_tokens > 0
+                      THEN exp({{A}} * ln(n_tokens)) ELSE 0.0 END
+                      * 1000000000) AS BIGINT) AS pw9
+          FROM s),
+    tot AS (SELECT CAST(SUM(pw9) AS DECIMAL(19,0)) AS z,
+                   CAST(SUM(CAST(n_tokens AS DECIMAL(19,0)))
+                        AS DECIMAL(19,0)) AS big_n
+            FROM p)
+    SELECT source, n_tokens,
+           round(pw9 * 1.0 / z, 6) AS sample_weight,
+           CAST(round(CAST(CAST(pw9 AS DECIMAL(19,0)) * big_n
+                           AS DOUBLE)
+                      / CAST(z AS DOUBLE)) AS BIGINT) AS target_tokens,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(CAST(pw9 AS DECIMAL(19,0)) * big_n
+                                AS DOUBLE)
+                           / (CAST(z AS DOUBLE) * n_tokens), 6)
+           END AS epochs,
+           CAST(pw9 AS DECIMAL(19,0)) * big_n
+             > {EPOCH_CAP} * z * CAST(n_tokens AS DECIMAL(19,0))
+             AS over_cap,
+           least(CAST(round(CAST(CAST(pw9 AS DECIMAL(19,0)) * big_n
+                                 AS DOUBLE)
+                            / CAST(z AS DOUBLE)) AS BIGINT),
+                 {EPOCH_CAP} * n_tokens) AS capped_target_tokens
+    FROM p, tot
+    """.format(tc=O.token_count("text"), A=MIX_ALPHA),
+    doc=f"Training-mixture epoch plan at a corpus-sized token budget "
+    "(B = total corpus tokens): each source's temperature-weighted "
+    "target (w_s·B), the EPOCHS that target implies (target / "
+    f"available — the over-sampling factor), an over-cap flag past "
+    f"{EPOCH_CAP} epochs decided by exact decimal cross-multiplication "
+    "(repeated pretraining data decays in value past a few epochs — "
+    "the data-constrained-scaling caveat the raw temperature recipe "
+    "ignores), and the capped target. Same per-source frame and "
+    "scaled-integer power terms as source_temperature_weights; "
+    "model-sized after one groupBy.",
+)
+def mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    p = s.withColumn(
+        "pw9",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.exp(F.lit(MIX_ALPHA) * F.log("n_tokens")),
+            ).otherwise(F.lit(0.0))
+            * 1_000_000_000
+        ).cast("long"),
+    )
+    d19 = "decimal(19,0)"
+    tot = p.agg(
+        F.sum("pw9").cast(d19).alias("z"),
+        F.sum(F.col("n_tokens").cast(d19)).cast(d19).alias("big_n"),
+    )
+    pw_d = F.col("pw9").cast(d19)
+    target_d = (pw_d * F.col("big_n")).cast("double") / F.col("z").cast(
+        "double"
+    )
+    target = F.round(target_d).cast("long")
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("pw9") * 1.0 / F.col("z"), 6).alias(
+                "sample_weight"
+            ),
+            target.alias("target_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    (pw_d * F.col("big_n")).cast("double")
+                    / (F.col("z").cast("double") * F.col("n_tokens")),
+                    6,
+                ),
+            ).alias("epochs"),
+            (
+                pw_d * F.col("big_n")
+                > EPOCH_CAP * F.col("z") * F.col("n_tokens").cast(d19)
+            ).alias("over_cap"),
+            F.least(target, EPOCH_CAP * F.col("n_tokens")).alias(
+                "capped_target_tokens"
+            ),
+        )
+    )
+
+
 BATCH = 32  # sequences per inference/training micro-batch
 
 

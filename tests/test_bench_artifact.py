@@ -54,6 +54,13 @@ def test_regime_fields_normalize_headline():
     assert out["prev_bench_artifact"] == "BENCH_r08.json"
     assert out["regime_ratio"] == 1.2  # this host 1.2x slower
     assert out["value_regime_normalized"] == 9.5  # 11.4 / 1.2
+    # FASTER host (ratio < 1): one-directional — raw value stands, no
+    # fabricated regression from dividing by a sub-1 ratio
+    fast = b.regime_fields(
+        {"value": 7.8, "calibration_sec": 0.4, "sf": 0.1}, prev
+    )
+    assert fast["regime_ratio"] == 0.8
+    assert fast["value_regime_normalized"] == 7.8
     # no previous artifact -> untouched
     art2 = {"value": 5.0, "calibration_sec": 0.5}
     assert "regime_ratio" not in b.regime_fields(art2, None)
