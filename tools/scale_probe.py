@@ -157,6 +157,17 @@ PROBE = [
     "pmi_bigrams_documents",
     "dict_encoding_audit",
     "quantile_normalize_sources",
+    # r08: label/preference-quality family — one corpus pass each to
+    # (lang, source)/(source) grain, then |sources|²-bounded math
+    "filter_agreement_kappa",
+    "bradley_terry_source_strengths",
+    "preference_cycle_audit",
+    # r09: LM-perplexity filter + mixing plan — token-keyed shuffles
+    # must track scan bytes; the KL cross sum is vocabulary-sized
+    "lm_surprisal_by_source",
+    "lm_quality_correlation",
+    "source_kl_matrix",
+    "mixture_epochs_plan",
 ]
 
 # The bench.py headline set (17 queries) — `--headline` probes exactly
