@@ -465,19 +465,23 @@ def bt_strengths(pw: DataFrame) -> DataFrame:
     peel chain is that deep; frames are |sources|²-bounded, each round
     a broadcast-sized semi-join."""
     cur = pw.select("win_s", "lose_s", "w")
-    for _ in range(BT_EXCL_ITERS):
+    for i in range(BT_EXCL_ITERS):
         keep = (
             _bt_wl(cur)
             .where((F.col("wins") > 0) & (F.col("losses") > 0))
             .select("s")
         )
-        cur = (
-            cur.join(keep.withColumnRenamed("s", "win_s"), "win_s", "leftsemi")
-            .join(keep.withColumnRenamed("s", "lose_s"), "lose_s", "leftsemi")
-            # model-sized frame; flat lineage across rounds (the MM
-            # loop's pagerank discipline, below)
-            .localCheckpoint(eager=True)
-        )
+        cur = cur.join(
+            keep.withColumnRenamed("s", "win_s"), "win_s", "leftsemi"
+        ).join(keep.withColumnRenamed("s", "lose_s"), "lose_s", "leftsemi")
+        # model-sized frame; flat lineage across rounds (the MM loop's
+        # pagerank discipline, below). Every SECOND round: each round
+        # references `cur` 3× (wl twice, the restriction once), so two
+        # uncheckpointed rounds cost a 9-node re-expansion of a tiny
+        # frame — cheaper than an extra eager job (A/B: 2.77 s vs 3.18
+        # every-round vs analysis blowup with none at sf0.1).
+        if i % 2 == 1 or i == BT_EXCL_ITERS - 1:
+            cur = cur.localCheckpoint(eager=True)
     players = (
         _bt_wl(cur)
         .where((F.col("wins") > 0) & (F.col("losses") > 0))
