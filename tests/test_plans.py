@@ -792,3 +792,39 @@ def _window_groups(plan: str) -> list[tuple[str, str]]:
         elif len(groups) == 2:
             out.append(("", groups[-1]))
     return out
+
+
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [
+        ("lm_surprisal_by_source", 1),
+        ("lm_outlier_docs", 1),
+        ("lm_quality_correlation", 3),
+        ("source_kl_matrix", 3),
+        ("mixture_epochs_plan", 1),
+    ],
+)
+def test_lm_family_scan_budget(spark, name, max_scans):
+    """The LM/mixing family's corpus passes are BOUNDED: AQE exchange
+    reuse collapses the shared token-count subtrees (the doc6/g6 and
+    sc/ll/aa/bb/xx chains would otherwise re-scan per reference), and
+    nothing in the family may cartesian-join. A scan-count regression
+    here is the family's only way to go super-linear."""
+    plan = _final_plan(spark, name)
+    assert plan.count("documents.parquet") <= max_scans, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_outliers_use_takeordered(spark):
+    """lm_outlier_docs' global top-k must be TakeOrdered over the
+    per-doc frame — the rank window runs AFTER the k-row cut, never as
+    a corpus-sized single-partition sort."""
+    plan = _final_plan(spark, "lm_outlier_docs")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_surprisal_reuses_token_exchange(spark):
+    """doc6 and the g6 baseline both consume the (doc, token) count
+    shuffle — reuse, not a second corpus tokenization."""
+    plan = _final_plan(spark, "lm_surprisal_by_source")
+    assert "ReusedExchange" in plan
