@@ -498,3 +498,166 @@ def source_kl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(kl, 6).alias("kl_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-LM variant: the actual CCNet shape. The self-surprisal LM
+# above trains on the whole corpus — including the outliers it is meant
+# to find, which drags the baseline toward them. Here the LM trains
+# ONLY on the clean slice (documents passing the Gopher hard rules) and
+# scores EVERY document against it; tokens outside the reference
+# vocabulary take the smoothing floor (2·0+1 numerator — the LEFT join's
+# missing lp9 coalesces to ln(1) = 0) and are counted as OOV.
+
+_REF_LM_SQL = f"""
+    gk AS (SELECT doc_id, keep FROM ({{GOPHER}})),
+    tok AS (SELECT doc_id, source, unnest({O.toks("text")}) AS w
+            FROM documents),
+    tokc AS MATERIALIZED (
+      SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w != '' GROUP BY doc_id, source, w),
+    lmr AS MATERIALIZED (
+      SELECT w, CAST(SUM(c) AS BIGINT) AS cw
+      FROM tokc JOIN gk USING (doc_id) WHERE gk.keep GROUP BY w),
+    totr AS (SELECT CAST(coalesce(SUM(CAST(cw AS DECIMAL(19,0))), 0)
+                         AS DECIMAL(19,0)) AS n_ref,
+                    CAST(COUNT(*) AS DECIMAL(19,0)) AS v_ref
+             FROM lmr),
+    lmlr AS (SELECT w,
+                    CAST(round(ln(CAST(2 * cw + 1 AS DOUBLE)) * {_LN9})
+                         AS BIGINT) AS lp9
+             FROM lmr),
+    zcr AS (SELECT CAST(round(ln(CAST(2 * n_ref + v_ref AS DOUBLE))
+                              * {_LN9}) AS BIGINT) AS z9
+            FROM totr),
+    dochr AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(SUM(CAST(c AS DECIMAL(19,0))
+                      * (zcr.z9 - coalesce(lmlr.lp9, 0)))
+                  AS DECIMAL(38,0)) AS s9,
+             CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN lmlr.w IS NULL THEN c ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM tokc LEFT JOIN lmlr USING (w) CROSS JOIN zcr
+      GROUP BY doc_id, source)
+"""
+
+
+def _ref_lm_oracle() -> str:
+    from qa_data_pipeline_rag_llm_spark.plans.queries_labelqual import (
+        _gopher_keep_sql,
+    )
+
+    return f"""
+    WITH {_REF_LM_SQL.format(GOPHER=_gopher_keep_sql())}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(CAST(round(CAST(s9 AS DOUBLE)
+                                          / (n_tok * 1000.0)) AS BIGINT)
+                               AS DECIMAL(19,0))) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_nats,
+           round(CAST(SUM(CAST(n_oov AS DECIMAL(19,0))) AS DOUBLE)
+                 / CAST(SUM(CAST(n_tok AS DECIMAL(19,0))) AS DOUBLE),
+                 6) AS oov_rate
+    FROM dochr
+    GROUP BY source
+    """
+
+
+@register(
+    "lm_ref_surprisal_by_source",
+    _ref_lm_oracle(),
+    doc="The actual CCNet recipe: the unigram LM trains ONLY on the "
+    "clean slice (Gopher-pass documents — the in-repo stand-in for "
+    "CCNet's Wikipedia LM) and every document scores against it, so "
+    "outliers can't drag the baseline toward themselves the way the "
+    "self-surprisal variant allows. Out-of-reference-vocabulary tokens "
+    "take the smoothing floor via a LEFT join (missing lp9 = ln 1 = 0) "
+    "and surface as per-source oov_rate — itself a quality signal "
+    "(high OOV against the clean slice = vocabulary drift). Same "
+    "exact-integer log discipline and shuffle shape as the self-LM; "
+    "one extra semi-join against the Gopher verdict.",
+)
+def lm_ref_surprisal_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.functions.text import tokens
+    from qa_data_pipeline_rag_llm_spark.plans.queries_curation import (
+        gopher_verdict,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gk = gopher_verdict(d.select("doc_id", "text")).select("doc_id", "keep")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    tokc = tok.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lmr = (
+        tokc.join(gk.where(F.col("keep")).select("doc_id"), "doc_id")
+        .groupBy("w")
+        .agg(F.sum("c").alias("cw"))
+    )
+    totr = lmr.agg(
+        F.coalesce(
+            F.sum(F.col("cw").cast("decimal(19,0)")).cast("decimal(19,0)"),
+            F.lit(0).cast("decimal(19,0)"),
+        ).alias("n_ref"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("v_ref"),
+    )
+    lmlr = lmr.select(
+        "w",
+        F.round(F.log((2 * F.col("cw") + 1).cast("double")) * _LN9)
+        .cast("long")
+        .alias("lp9"),
+    )
+    zcr = totr.select(
+        F.round(
+            F.log((2 * F.col("n_ref") + F.col("v_ref")).cast("double"))
+            * _LN9
+        )
+        .cast("long")
+        .alias("z9")
+    )
+    dochr = (
+        tokc.join(lmlr, "w", "left")
+        .crossJoin(F.broadcast(zcr))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * (F.col("z9") - F.coalesce(F.col("lp9"), F.lit(0)))
+            )
+            .cast("decimal(38,0)")
+            .alias("s9"),
+            F.sum("c").alias("n_tok"),
+            F.sum(
+                F.when(F.col("lp9").isNull(), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
+        )
+    )
+    h6 = F.round(
+        F.col("s9").cast("double") / (F.col("n_tok") * 1000.0)
+    ).cast("long")
+    return (
+        dochr.select("source", h6.alias("h6"), "n_tok", "n_oov")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("h6").cast("decimal(19,0)")).cast("double")
+                / (F.count(F.lit(1)) * 1_000_000.0),
+                6,
+            ).alias("mean_nats"),
+            F.round(
+                F.sum(F.col("n_oov").cast("decimal(19,0)")).cast("double")
+                / F.sum(F.col("n_tok").cast("decimal(19,0)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

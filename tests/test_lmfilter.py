@@ -143,3 +143,39 @@ def test_kl_matches_python_reference(spark):
         )
         want = tot / (den_s * _LN9) + (z_t - z_s) / _LN9
         assert got[(s, t)] == pytest.approx(want, abs=2e-6), (s, t)
+
+
+def test_ref_lm_oov_and_floor(spark):
+    """Reference-LM scoring: docs outside the clean slice score against
+    the slice-trained LM, OOV tokens take the smoothing floor and are
+    counted. Uses the registry builder over a temp documents table with
+    one Gopher-passing doc (long, clean) and one junk doc whose tokens
+    are all out-of-reference-vocabulary."""
+    import tempfile
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    clean = " ".join(
+        "the quick brown fox jumps over a lazy dog and runs home with "
+        "its friends to share some food after the long day of running "
+        "around the field".split()
+    )
+    rows = [
+        (1, "good", clean),            # passes Gopher (20..1000 tokens etc.)
+        (2, "junk", "zzzzz qqqqq xxxxx"),  # fails; fully OOV vs the ref LM
+    ]
+    tmp = tempfile.mkdtemp(prefix="reflm")
+    _docs(spark, rows).write.mode("overwrite").parquet(
+        f"{tmp}/documents.parquet"
+    )
+    out = {
+        r.source: r
+        for r in REGISTRY["lm_ref_surprisal_by_source"]
+        .spark(spark, tmp)
+        .collect()
+    }
+    assert set(out) == {"good", "junk"}
+    assert out["good"].oov_rate == 0.0
+    assert out["junk"].oov_rate == 1.0
+    # all-OOV text must be MORE surprising than in-reference text
+    assert out["junk"].mean_nats > out["good"].mean_nats
