@@ -10,7 +10,10 @@ the same plan (self-surprisal): documents whose token distribution
 diverges from the corpus — boilerplate, key-mash, non-language,
 templated spam — score high; suspiciously low scorers are
 near-degenerate repetitions. No external model, no network, exactly
-reproducible.
+reproducible. (Complements ``bigram_logprob_documents`` — the per-doc
+bigram conditional-log-prob scorer: this module adds the per-SOURCE
+profile grain, the clean-slice reference LM with OOV accounting, the
+heuristic-vs-LM agreement audit, and the cross-source KL matrix.)
 
 Determinism (the zipf_slope/token_entropy discipline): each token's
 log-probability is rounded ONCE to a 1e-9-scaled long
