@@ -152,3 +152,20 @@ def test_embed_documents_and_retrieve_with_real_model(
     top = min(hits, key=lambda r: r.rank)
     assert texts[top.doc_id] == probe_row.text
     assert top.sim == pytest.approx(1.0, abs=1e-5)
+
+
+def test_np_encoder_truncates_at_max_tokens():
+    """Texts differing only past the MAX_TOKENS cap embed identically
+    (the documented truncation), while a difference INSIDE the window
+    changes the vector."""
+    from qa_data_pipeline_rag_llm_spark.functions.np_encoder import (
+        MAX_TOKENS,
+        encode,
+    )
+
+    base = " ".join(f"w{i}" for i in range(MAX_TOKENS))
+    a = encode([base + " extra tail tokens beyond the cap"])[0]
+    b = encode([base + " completely different suffix here"])[0]
+    c = encode(["DIFFERENT " + base])[0]
+    assert np.allclose(a, b), "past-cap divergence must not matter"
+    assert not np.allclose(a, c), "in-window divergence must matter"
