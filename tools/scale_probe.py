@@ -168,6 +168,7 @@ PROBE = [
     "lm_quality_correlation",
     "source_kl_matrix",
     "mixture_epochs_plan",
+    "lm_ref_surprisal_by_source",
 ]
 
 # The bench.py headline set (17 queries) — `--headline` probes exactly
