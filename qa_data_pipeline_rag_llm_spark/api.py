@@ -16,7 +16,7 @@ defaults are the deterministic fakes, so tests can assert exact output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Re-exported pipeline stages (entry point 1: clean → rank → join → merge)
@@ -210,3 +210,86 @@ def weighted_sample(
         salt_col=key,
         rank_col="rank",
     ).drop("__res_key")
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    validate: bool = True,
+) -> DataFrame:
+    """Curation verdicts for ANY documents-shaped frame — the
+    parameterized facade over the registry's oracle-checked
+    curation_decisions pipeline: the Gopher hard-rule gate plus the
+    MinHash-LSH → connected-component → keep-min-id near-dup prune,
+    composed into one (rule_keep, dedup_kept, keep, reason) row per doc.
+
+    ``id_col`` must uniquely identify rows and be totally ordered (the
+    prune keeps the minimum id per duplicate cluster); ``validate=True``
+    fail-louds on duplicate ids via the dedup family's contract guard.
+    Scale shape: one corpus pass for the rule gate (pure projection),
+    the banded near-dup pipeline (never O(n²)), two-star components in
+    O(log n) rounds on the pair graph, and 1:1 doc_id joins.
+    """
+    # anchor on the canonical registry module FIRST: entering the plans
+    # package through queries_curation leaves it mid-import when
+    # queries_streaming's oracle composition needs its registrations
+    # (the bottom-import block must run in queries.py's own order)
+    import qa_data_pipeline_rag_llm_spark.plans.queries  # noqa: F401
+    from qa_data_pipeline_rag_llm_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from qa_data_pipeline_rag_llm_spark.operators.graph import (
+        connected_components_twostar,
+    )
+    from qa_data_pipeline_rag_llm_spark.plans.queries_curation import (
+        gopher_verdict,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    rules = gopher_verdict(base).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    pairs = minhash_lsh_pairs(
+        base,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        validate=validate,
+    )
+    labels = connected_components_twostar(pairs, src="doc_a", dst="doc_b")
+    clusters = base.select("doc_id").join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    )
+    # isolated docs are their own cluster -> trivially kept
+    clusters = clusters.select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    kept = clusters.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("dedup_kept"),
+    )
+    joined = rules.join(kept, "doc_id")
+    reason = (
+        F.when(~F.col("rule_keep"), "quality")
+        .when(~F.col("dedup_kept"), "near_dup")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "rule_keep",
+        "dedup_kept",
+        (F.col("rule_keep") & F.col("dedup_kept")).alias("keep"),
+        reason.alias("reason"),
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from qa_data_pipeline_rag_llm_spark import api
@@ -141,3 +142,42 @@ def test_api_weighted_sample_validate_false_stays_lazy(spark, tables):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "validate=False still launched an eager job"
     assert out.count() > 0  # plan executes fine when finally acted on
+
+
+def test_curate_facade_rules_and_prune(spark):
+    """api.curate on an arbitrary frame: the Gopher gate drops junk, the
+    near-dup prune keeps exactly the min-id doc per duplicate cluster,
+    and reasons label the first failing gate."""
+    from qa_data_pipeline_rag_llm_spark import api
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog and runs home with "
+        "its friends to share some food after the long day of running "
+        "around the field"
+    )
+    near_dup = clean + " tonight"
+    rows = [
+        (1, clean),       # keep: passes rules, min id of its cluster
+        (2, near_dup),    # near_dup: same cluster as 1, higher id
+        (3, "zz qq"),     # quality: too short for the Gopher band
+        (4, "completely different words about parquet shuffles joins "
+            "and the many window functions that a query engine runs "
+            "for analytics workloads every single day of the week"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in api.curate(df).collect()}
+    assert out[1].keep and out[1].reason == "keep"
+    assert not out[2].keep and out[2].reason == "near_dup"
+    assert out[2].cluster_id == 1 and out[1].dedup_kept
+    assert not out[3].keep and out[3].reason == "quality"
+    assert out[4].keep  # unique + clean -> its own cluster
+
+
+def test_curate_validate_rejects_duplicate_ids(spark):
+    from qa_data_pipeline_rag_llm_spark import api
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate rows"):
+        api.curate(df)
