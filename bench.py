@@ -54,9 +54,28 @@ and the artifact records the total plus per-family (plans-module)
 subtotals. The 17-query headline covers ~6% of the registry; this makes
 a perf regression in the other ~266 visible to the bench gate.
 ``registry_family_regressions`` lists families whose regime-normalized
-subtotal exceeds 1.3× the previous artifact's. Single-pass timings —
-a flagged family is a LEAD to re-measure, the headline medians remain
-the regression verdict. Opt out with SPARK_GRAFT_REGISTRY_SWEEP=0.
+subtotal exceeds 1.3× the previous artifact's — compared on the
+INTERSECTION of query names when both artifacts carry per-query sweep
+timings (advice r09: a family that merely gained queries is coverage,
+not regression). Single-pass timings — a flagged family is a LEAD to
+re-measure, the headline medians remain the regression verdict. Opt
+out with SPARK_GRAFT_REGISTRY_SWEEP=0.
+
+Artifact layout (advice r09, HIGH): the driver machine-reads only the
+LAST ~2000 chars of stdout, and r09's single line outgrew that (its
+recorded wrapper has ``parsed: null`` and a tail that starts
+mid-object, silently disabling regime normalization downstream). The
+FULL artifact therefore goes to a side file ``BENCH_FULL_r{N}.json``
+(N = current round, inferred from VERDICT.md) and the printed line
+carries only the compact core — headline totals, flags, probes, and
+the 17 per-query medians — with ``detail_artifact`` naming the side
+file. A length guard drops the per-query map from the line too if it
+ever nears the capture limit. ``_prev_artifact`` prefers side files,
+sorts rounds NUMERICALLY (lexicographic glob order breaks at r100),
+skips the current round's own artifact (a same-round re-run would
+otherwise compare against itself, masking a regime shift), and — for
+legacy wrappers like r09's — salvages what it can from the truncated
+tail.
 
 ``value_noise_gated`` is STRICTLY ANCILLARY (advice r08): per-query
 dispersion alone cannot distinguish host noise from plan-induced
@@ -73,6 +92,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -260,7 +280,7 @@ def registry_sweep(spark, sf_dir: str) -> dict:
     records it, and family subtotals are withheld (partial subtotals
     would feed false regression flags)."""
     budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_SEC", "1200"))
-    per_family: dict[str, float] = {}
+    per_query: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     swept = 0
     truncated = False
@@ -275,8 +295,8 @@ def registry_sweep(spark, sf_dir: str) -> dict:
             execute(spec.spark(spark, sf_dir))
         except Exception as exc:  # record, keep sweeping
             errors[name] = repr(exc)[:200]
-        per_family[fam] = per_family.get(fam, 0.0) + (
-            time.perf_counter() - t0
+        per_query.setdefault(fam, {})[name] = round(
+            time.perf_counter() - t0, 3
         )
         swept += 1
     out = {
@@ -288,7 +308,16 @@ def registry_sweep(spark, sf_dir: str) -> dict:
         out["registry_sweep_truncated"] = True
     else:
         out["registry_families"] = {
-            k: round(v, 2) for k, v in sorted(per_family.items())
+            f: round(sum(qs.values()), 2) for f, qs in sorted(per_query.items())
+        }
+        out["registry_family_counts"] = {
+            f: len(qs) for f, qs in sorted(per_query.items())
+        }
+        # per-query sweep timings (side-file only): the family regression
+        # gate compares INTERSECTIONS of these across rounds so a family
+        # that gained queries is not flagged for added coverage (advice r09)
+        out["registry_query_sec"] = {
+            f: dict(sorted(qs.items())) for f, qs in sorted(per_query.items())
         }
     if errors:
         out["registry_errors"] = errors
@@ -323,31 +352,173 @@ def regime_fields(art: dict, prev: dict | None, prev_name: str = "") -> dict:
     fams, prev_fams = art.get("registry_families"), prev.get(
         "registry_families"
     )
-    if fams and prev_fams and art.get("sf") == prev.get("sf"):
-        # normalize by regime so a uniformly slow host doesn't flag
-        # every family; only regressions BEYOND the host delta count
-        norm = ratio if ratio and ratio > 1.0 else 1.0
-        art["registry_family_regressions"] = sorted(
-            f
-            for f, v in fams.items()
-            if prev_fams.get(f) and v / norm > 1.3 * prev_fams[f]
+    qs, prev_qs = art.get("registry_query_sec"), prev.get(
+        "registry_query_sec"
+    )
+    if art.get("sf") != prev.get("sf"):
+        return art
+    # normalize by regime so a uniformly slow host doesn't flag
+    # every family; only regressions BEYOND the host delta count
+    norm = ratio if ratio and ratio > 1.0 else 1.0
+    if qs and prev_qs:
+        # per-query intersection (advice r09): a family that gained
+        # queries this round must not be flagged purely for the added
+        # coverage — compare only the queries both rounds ran
+        regressed = []
+        for f, cur_map in qs.items():
+            prev_map = prev_qs.get(f)
+            if not prev_map:
+                continue
+            shared = set(cur_map) & set(prev_map)
+            p = sum(prev_map[q] for q in shared)
+            c = sum(cur_map[q] for q in shared)
+            if p > 0 and c / norm > 1.3 * p:
+                regressed.append(f)
+        art["registry_family_regressions"] = sorted(regressed)
+    elif fams and prev_fams:
+        # legacy artifacts without per-query sweep timings: normalize
+        # the subtotal by family query count when both rounds carry
+        # counts, else compare raw subtotals (pre-r10 behavior)
+        cnt, prev_cnt = art.get("registry_family_counts"), prev.get(
+            "registry_family_counts"
         )
+        regressed = []
+        for f, v in fams.items():
+            pv = prev_fams.get(f)
+            if not pv:
+                continue
+            if cnt and prev_cnt and cnt.get(f) and prev_cnt.get(f):
+                v, pv = v / cnt[f], pv / prev_cnt[f]
+            if v / norm > 1.3 * pv:
+                regressed.append(f)
+        art["registry_family_regressions"] = sorted(regressed)
     return art
 
 
-def _prev_artifact() -> tuple[str, dict] | None:
-    root = Path(__file__).resolve().parent
-    arts = sorted(root.glob("BENCH_r*.json"))
-    if not arts:
-        return None
+def _round_num(name: str) -> int:
+    m = re.search(r"_r(\d+)\.json$", name)
+    return int(m.group(1)) if m else -1
+
+
+def _current_round(root: Path) -> int | None:
+    """The round bench is running IN: the last judged round + 1.
+    VERDICT.md's header is the driver's own round counter; no VERDICT
+    yet means round 1."""
     try:
-        data = json.loads(arts[-1].read_text())
+        m = re.search(r"round (\d+)", (root / "VERDICT.md").read_text()[:200])
+        return int(m.group(1)) + 1 if m else None
+    except OSError:
+        return 1
+
+
+def _recover_from_tail(tail: str) -> dict | None:
+    """Salvage a legacy over-long artifact from the driver wrapper's
+    truncated ``tail`` (advice r09: r09's tail starts mid-object, so
+    ``parsed`` is null). Best case the whole object survived; else
+    regex out the scalar fields regime normalization needs and
+    brace-match ``registry_families`` if it is intact."""
+    i = tail.rfind('{"metric"')
+    if i != -1:
+        try:
+            return json.JSONDecoder().raw_decode(tail[i:])[0]
+        except ValueError:
+            pass
+    out: dict = {}
+    for key in ("calibration_sec", "sf", "value", "registry_total_sec"):
+        m = re.search(rf'"{key}": (-?[0-9][0-9.]*)', tail)
+        if m:
+            out[key] = float(m.group(1))
+    m = re.search(r'"registry_families": \{', tail)
+    if m:
+        seg = tail[m.end() - 1 :]
+        depth = 0
+        for j, ch in enumerate(seg):
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        out["registry_families"] = json.loads(seg[: j + 1])
+                    except ValueError:
+                        pass
+                    break
+    if out:
+        out["recovered_from_tail"] = True
+    return out or None
+
+
+def _prev_artifact(root: Path | None = None) -> tuple[str, dict] | None:
+    """The newest COMPLETED round's bench artifact, for regime
+    normalization. Numeric round order (lexicographic glob order breaks
+    at r100), skipping this round's own artifact (a same-round re-run
+    comparing against itself would report regime_ratio≈1 and mask a
+    host shift — advice r09). Prefers the full side artifact; falls
+    back to the driver wrapper's parsed line, then to tail salvage."""
+    root = root or Path(__file__).resolve().parent
+    cur = _current_round(root)
+    wrappers = sorted(
+        (p for p in root.glob("BENCH_r*.json") if _round_num(p.name) >= 0),
+        key=lambda p: _round_num(p.name),
+        reverse=True,
+    )
+    for p in wrappers:
+        n = _round_num(p.name)
+        if cur is not None and n >= cur:
+            continue
+        full = root / f"BENCH_FULL_r{n:02d}.json"
+        if full.exists():
+            try:
+                return full.name, json.loads(full.read_text())
+            except (OSError, ValueError):
+                pass
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
         # the driver wraps the bench's JSON line: {"n","rc","tail","parsed"}
         if isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        return arts[-1].name, data
-    except Exception:
-        return None
+            return p.name, data["parsed"]
+        recovered = _recover_from_tail(data.get("tail") or "")
+        if recovered:
+            return p.name, recovered
+    return None
+
+
+# Full-artifact-only keys: everything the driver's ~2000-char stdout
+# tail capture does not need on the printed line (advice r09, HIGH).
+# The side file carries the complete artifact; the line stays compact.
+SIDE_ONLY_KEYS = frozenset(
+    {
+        "queries_min",
+        "registry_families",
+        "registry_family_counts",
+        "registry_query_sec",
+        "registry_errors",
+        "first_run",
+        "calibration_anchor_sec",
+        "sched_anchor_sec",
+        "calibration_end_sec",
+        "jobs_timed",
+    }
+)
+LINE_BUDGET_CHARS = 1900  # headroom under the driver's ~2000-char tail
+
+
+def compact_line(art: dict, detail_name: str) -> str:
+    """The printed artifact line: compact core + per-query medians +
+    a pointer to the full side artifact. Guarded against ever nearing
+    the driver's capture limit again."""
+    line = {k: v for k, v in art.items() if k not in SIDE_ONLY_KEYS}
+    if art.get("registry_errors"):
+        line["registry_error_count"] = len(art["registry_errors"])
+    line["detail_artifact"] = detail_name
+    s = json.dumps(line)
+    if len(s) > LINE_BUDGET_CHARS:  # last-resort: medians live in the side file
+        line.pop("queries", None)
+        line["queries_in_detail_only"] = True
+        s = json.dumps(line)
+    return s
 
 
 def apply_drift_fallback(art: dict) -> dict:
@@ -399,7 +570,11 @@ def main() -> None:
     prev = _prev_artifact()
     if prev:
         art = regime_fields(art, prev[1], prev[0])
-    print(json.dumps(art))
+    root = Path(__file__).resolve().parent
+    rnd = _current_round(root)
+    detail = f"BENCH_FULL_r{rnd:02d}.json" if rnd else "BENCH_FULL.json"
+    (root / detail).write_text(json.dumps(art, indent=1))
+    print(compact_line(art, detail))
 
 
 if __name__ == "__main__":
