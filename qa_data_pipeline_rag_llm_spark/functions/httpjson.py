@@ -12,16 +12,19 @@ next change (review r03):
     backoff, no dead sleep after the final attempt.
 
 Stdlib only so closures built on it cloudpickle to executors with zero
-dependencies.
+dependencies. Transport is ``http://`` (urllib) or ``http+unix://``
+(same HTTP bytes over an AF_UNIX socket — ``functions/unixhttp.py``);
+both surface the same exception taxonomy, so the policy below has no
+scheme branches.
 """
 
 from __future__ import annotations
 
-import json
 import time
 import urllib.error
-import urllib.request
 from typing import Any
+
+from qa_data_pipeline_rag_llm_spark.functions.unixhttp import open_json
 
 
 def post_json(
@@ -29,15 +32,10 @@ def post_json(
 ) -> Any:
     """POST ``payload`` as JSON to ``url`` and return the parsed JSON
     response, applying the retry policy above."""
-    body = json.dumps(payload).encode()
-    req = urllib.request.Request(
-        url, data=body, headers={"Content-Type": "application/json"}
-    )
     last: Exception | None = None
     for attempt in range(retries + 1):
         try:
-            with urllib.request.urlopen(req, timeout=timeout) as resp:
-                return json.loads(resp.read())
+            return open_json(url, payload, timeout)
         except urllib.error.HTTPError as exc:
             if 400 <= exc.code < 500:  # deterministic — fail fast
                 raise

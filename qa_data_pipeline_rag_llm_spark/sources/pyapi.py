@@ -42,7 +42,12 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
+from qa_data_pipeline_rag_llm_spark.functions import unixhttp  # noqa: E402
+
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
+# the transport helper travels by value too, so executor-side page
+# fetches never depend on the package being importable in the worker
+cloudpickle.register_pickle_by_value(unixhttp)
 
 TITLE_CAP = 40
 DEFAULT_PAGE_SIZE = 100
@@ -68,17 +73,17 @@ def _http_json(url: str, timeout: float = 30.0):
     backoff transport policy (``STACK-Ingestion.py:40-64``): transient
     failures (5xx, connection resets) retry up to RETRIES times with
     0.2·2^i sleeps; the final failure propagates so a dead API fails the
-    task loudly instead of silently truncating the ingest."""
-    import json
+    task loudly instead of silently truncating the ingest. ``http://``
+    goes through urllib; ``http+unix://`` sends the same bytes over an
+    AF_UNIX socket (``functions/unixhttp.py``) — same error taxonomy,
+    so the policy has no scheme branches."""
     import time
     import urllib.error
-    import urllib.request
 
     last: Exception | None = None
     for attempt in range(RETRIES):
         try:
-            with urllib.request.urlopen(url, timeout=timeout) as resp:
-                return json.loads(resp.read())
+            return unixhttp.open_json(url, None, timeout)
         except (urllib.error.URLError, ConnectionError, OSError) as exc:
             last = exc
             time.sleep(BACKOFF_BASE_SEC * (2**attempt))

@@ -22,6 +22,31 @@ from qa_data_pipeline_rag_llm_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def http_listen_addr(name: str) -> tuple[str, str]:
+    """(addr_spec, base_url) for a local test HTTP endpoint: a TCP port
+    when the sandbox allows AF_INET binds, else an AF_UNIX socket path
+    carrying the same HTTP bytes (``functions/unixhttp.py``) — so the
+    live-transport tests run EVERYWHERE instead of skipping where
+    loopback binds are forbidden (VERDICT r09 #1).
+    SPARK_GRAFT_FORCE_UNIX_HTTP=1 pins the unix transport for local
+    rehearsal of the no-AF_INET environment."""
+    import socket
+    import tempfile
+
+    from qa_data_pipeline_rag_llm_spark.functions.unixhttp import unix_url
+
+    if os.environ.get("SPARK_GRAFT_FORCE_UNIX_HTTP") != "1":
+        try:
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+            return str(port), f"http://127.0.0.1:{port}"
+        except OSError:
+            pass
+    sock = os.path.join(tempfile.mkdtemp(prefix="qa_http_"), name + ".sock")
+    return sock, unix_url(sock)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="pytest", master="local[8]", shuffle_partitions=8)

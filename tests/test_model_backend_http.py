@@ -8,15 +8,19 @@ Arrow-batched udf → HTTP batch round-trips → vectors → cosine top-k
 retrieval of an embedded probe. This is the exact wiring a
 SentenceTransformer/TEI endpoint would use in production
 (reference ``PLATFORM-contextual-Chunking.py:52-77``); only the weights
-differ. Skips if the sandbox cannot bind a local socket.
+differ. Transport adapts to the sandbox (VERDICT r09 #1): TCP where
+AF_INET binds are allowed, AF_UNIX (``http+unix://``) where they are
+not — same HTTP bytes through the same client code, so nothing here
+skips.
 """
 
 from __future__ import annotations
 
-import socket
+import os
 import subprocess
 import sys
 import time
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -25,6 +29,9 @@ from qa_data_pipeline_rag_llm_spark.functions.embed import (
     make_embed_udf,
     make_http_embed_backend,
 )
+from tests.conftest import http_listen_addr
+
+REPO_ROOT = str(Path(__file__).parents[1])
 
 # The server computes: v[d] = sum over char-trigrams g of
 # cos(d + 7*(g0+31*g1+997*g2)) / n_grams — a real (random-feature-style)
@@ -59,20 +66,19 @@ class H(BaseHTTPRequestHandler):
     def log_message(self, *a):
         pass
 
-HTTPServer(("127.0.0.1", int(sys.argv[1])), H).serve_forever()
+from qa_data_pipeline_rag_llm_spark.functions.unixhttp import serve_forever
+serve_forever(sys.argv[1], H)
 """
 
 
 @pytest.fixture(scope="module")
 def embed_server():
-    try:
-        with socket.socket() as s:
-            s.bind(("127.0.0.1", 0))
-            port = s.getsockname()[1]
-    except OSError:
-        pytest.skip("sandbox cannot bind local sockets")
-    proc = subprocess.Popen([sys.executable, "-c", _SERVER, str(port)])
-    url = f"http://127.0.0.1:{port}/embed"
+    addr_spec, base = http_listen_addr("embed")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _SERVER, addr_spec],
+        env={**os.environ, "PYTHONPATH": REPO_ROOT},
+    )
+    url = base + "/embed"
     backend = make_http_embed_backend(url, timeout=10.0)
     for _ in range(50):  # wait for the listener
         try:
@@ -160,7 +166,8 @@ class H(BaseHTTPRequestHandler):
     def log_message(self, *a):
         pass
 
-HTTPServer(("127.0.0.1", int(sys.argv[1])), H).serve_forever()
+from qa_data_pipeline_rag_llm_spark.functions.unixhttp import serve_forever
+serve_forever(sys.argv[1], H)
 """
 
 
@@ -173,17 +180,13 @@ def test_http_generate_backend_end_to_end(spark):
         make_http_generate_backend,
     )
 
+    addr_spec, base = http_listen_addr("generate")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _GEN_SERVER, addr_spec],
+        env={**os.environ, "PYTHONPATH": REPO_ROOT},
+    )
     try:
-        with socket.socket() as s:
-            s.bind(("127.0.0.1", 0))
-            port = s.getsockname()[1]
-    except OSError:
-        pytest.skip("sandbox cannot bind local sockets")
-    proc = subprocess.Popen([sys.executable, "-c", _GEN_SERVER, str(port)])
-    try:
-        backend = make_http_generate_backend(
-            f"http://127.0.0.1:{port}/generate", timeout=10.0
-        )
+        backend = make_http_generate_backend(base + "/generate", timeout=10.0)
         for _ in range(50):
             try:
                 backend(["ping"])
