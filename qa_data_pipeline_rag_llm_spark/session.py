@@ -36,6 +36,12 @@ def get_spark(
     wins. Pre-r03 this pinned 32 even for cluster masters, capping every
     100 TB shuffle at 32 reducers (review r03).
     """
+    # before the JVM exists: export the protobuf runtime env so python
+    # workers can speak the transformWithStateInPandas state protocol
+    # (no-op where a wheel is installed or no runtime exists on disk)
+    from qa_data_pipeline_rag_llm_spark.protobuf_compat import ensure_protobuf
+
+    ensure_protobuf()
     master = master or f"local[{DEFAULT_CPUS}]"
     if shuffle_partitions is None and master.startswith("local"):
         shuffle_partitions = DEFAULT_CPUS

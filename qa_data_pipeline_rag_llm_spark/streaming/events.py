@@ -415,22 +415,39 @@ def stream_user_type_profile(
     top type (max count, lexicographic tie-break). Final emission equals
     the batch aggregate — oracle-checkable.
 
-    The transformWithState state server needs ``google.protobuf``; where
-    that is absent (this container) the operator falls back to an
+    The transformWithState state server needs ``google.protobuf`` (an
+    installed wheel, or the on-disk SDK runtime ``protobuf_compat``
+    prepares for engine sessions) plus a multi-column-family state
+    store, so the tws query runs under the RocksDB provider — set for
+    THIS query only and restored after (the HDFS-backed default that
+    every other streaming query uses rejects tws's column families).
+    Where no protobuf runtime exists the operator falls back to an
     applyInPandasWithState implementation with identical semantics, so
     the query's results are environment-independent. ``impl`` pins a
     path explicitly ('tws' / 'fallback') so
     ``tests/test_streaming.py``'s parity test can exercise BOTH on any
-    box that has protobuf (VERDICT r03 #8); 'auto' keeps the
-    try-import selection."""
+    box with a runtime (VERDICT r03 #8); 'auto' keeps the try-import
+    selection. Sessions NOT built by ``session.get_spark`` (e.g. the
+    driver's plain session) never prepared the worker env, and there
+    ``import google.protobuf`` also fails — auto therefore can only
+    pick tws when the workers can actually speak the protocol."""
     raw = read_events_stream(spark, sf_dir)
     out_ddl = "user_id bigint, n_events bigint, n_types int, top_type string"
-    try:
-        if impl == "fallback":
-            raise ImportError("impl=fallback pinned")
-        import google.protobuf  # noqa: F401 — twS state protocol dependency
+    use_tws = False
+    if impl != "fallback":
+        try:
+            import google.protobuf  # noqa: F401 — twS state protocol dependency
 
+            use_tws = True
+        except ImportError:
+            if impl == "tws":
+                raise
+    if use_tws:
         from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        from qa_data_pipeline_rag_llm_spark.protobuf_compat import (
+            ROCKSDB_PROVIDER,
+        )
 
         proc_cls = type(
             "_TypeProfile", (StatefulProcessor,), dict(_TypeProfileProcessor.__dict__)
@@ -441,9 +458,17 @@ def stream_user_type_profile(
             outputMode="Update",
             timeMode="None",
         )
-    except ImportError:
-        if impl == "tws":
-            raise
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+        try:
+            res = run_to_completion(out, "update")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
         out = raw.groupBy("user_id").applyInPandasWithState(
             _update_type_profile,
             outputStructType=out_ddl,
@@ -451,7 +476,7 @@ def stream_user_type_profile(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    res = run_to_completion(out, "update")
+        res = run_to_completion(out, "update")
     # update mode re-emits per micro-batch; keep each user's final row
     return (
         res.groupBy("user_id")
