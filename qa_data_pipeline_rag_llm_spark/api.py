@@ -225,11 +225,14 @@ def curate(
     """Curation verdicts for ANY documents-shaped frame — the
     parameterized facade over the registry's oracle-checked
     curation_decisions pipeline: the Gopher hard-rule gate plus the
-    MinHash-LSH → connected-component → keep-min-id near-dup prune,
-    composed into one (rule_keep, dedup_kept, keep, reason) row per doc.
+    MinHash-LSH → connected-component near-dup prune, composed into one
+    (rule_keep, dedup_kept, keep, reason) row per doc. The prune keeps
+    the minimum id among each cluster's RULE-PASSING members (falling
+    back to the cluster's global min when none pass), so a duplicate
+    cluster survives whenever ANY copy clears the quality gate.
 
     ``id_col`` must uniquely identify rows and be totally ordered (the
-    prune keeps the minimum id per duplicate cluster); ``validate=True``
+    survivor choice needs a deterministic order); ``validate=True``
     fail-louds on duplicate ids via the dedup family's contract guard.
     Scale shape: one corpus pass for the rule gate (pure projection),
     the banded near-dup pipeline (never O(n²)), two-star components in
@@ -273,13 +276,19 @@ def curate(
         "doc_id",
         F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
     )
+    # Dedup survivor = min id among the cluster's RULE-PASSING members
+    # (advice r09: keeping the global min unconditionally dropped whole
+    # clusters whenever the min-id copy happened to fail the Gopher
+    # gate, losing recoverable content a passing duplicate carried).
+    # A cluster with no passing member falls back to the global min so
+    # dedup_kept stays defined — every copy drops as 'quality' anyway.
     w = Window.partitionBy("cluster_id")
-    kept = clusters.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("dedup_kept"),
+    merged = rules.join(clusters, "doc_id")
+    survivor = F.coalesce(
+        F.min(F.when(F.col("rule_keep"), F.col("doc_id"))).over(w),
+        F.min("doc_id").over(w),
     )
-    joined = rules.join(kept, "doc_id")
+    joined = merged.withColumn("dedup_kept", F.col("doc_id") == survivor)
     reason = (
         F.when(~F.col("rule_keep"), "quality")
         .when(~F.col("dedup_kept"), "near_dup")

@@ -530,8 +530,9 @@ _REF_LM_SQL = f"""
                     CAST(round(ln(CAST(2 * cw + 1 AS DOUBLE)) * {_LN9})
                          AS BIGINT) AS lp9
              FROM lmr),
-    zcr AS (SELECT CAST(round(ln(CAST(2 * n_ref + v_ref AS DOUBLE))
-                              * {_LN9}) AS BIGINT) AS z9
+    zcr AS (SELECT CASE WHEN v_ref = 0 THEN NULL
+                 ELSE CAST(round(ln(CAST(2 * n_ref + v_ref AS DOUBLE))
+                           * {_LN9}) AS BIGINT) END AS z9
             FROM totr),
     dochr AS MATERIALIZED (
       SELECT doc_id, source,
@@ -615,12 +616,19 @@ def lm_ref_surprisal_by_source(
         .cast("long")
         .alias("lp9"),
     )
+    # degenerate corpus guard (advice r09): an empty clean slice means
+    # v_ref = 0 and ln(0) — DuckDB's -inf→BIGINT cast errors while
+    # Spark's log(0) yields NULL. Both twins pin z9 NULL instead, which
+    # flows to NULL mean_nats with oov_rate = 1 (every token is OOV
+    # against an empty reference vocabulary) — same rows either engine.
     zcr = totr.select(
-        F.round(
-            F.log((2 * F.col("n_ref") + F.col("v_ref")).cast("double"))
-            * _LN9
+        F.when(F.col("v_ref") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.round(
+                F.log((2 * F.col("n_ref") + F.col("v_ref")).cast("double"))
+                * _LN9
+            ).cast("long")
         )
-        .cast("long")
         .alias("z9")
     )
     dochr = (

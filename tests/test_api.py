@@ -173,6 +173,38 @@ def test_curate_facade_rules_and_prune(spark):
     assert out[4].keep  # unique + clean -> its own cluster
 
 
+def test_curate_survivor_is_min_rule_passing_member(spark):
+    """Advice r09: when a duplicate cluster's min-id copy FAILS the
+    Gopher gate but a higher-id copy passes, the passing copy must be
+    the dedup survivor — the cluster's content is recoverable and must
+    not vanish with the junk copy."""
+    from qa_data_pipeline_rag_llm_spark import api
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog and runs home with "
+        "its friends to share some food after the long day of running "
+        "around the field"
+    )
+    # near-dup of `clean` whose symbol tail pushes symbol_frac over the
+    # Gopher band -> rule_keep False, but still clusters with clean
+    junk_dup = clean + " @@@@@@@@@@@@@@@@@@@@@@@@@@"
+    rows = [(1, junk_dup), (2, clean)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in api.curate(df).collect()}
+    assert out[1].cluster_id == out[2].cluster_id  # they did cluster
+    assert not out[1].rule_keep and out[1].reason == "quality"
+    assert out[2].rule_keep and out[2].dedup_kept
+    assert out[2].keep and out[2].reason == "keep"
+    # all-failing cluster: falls back to global min, nothing 'near_dup'
+    rows2 = [(1, junk_dup), (2, junk_dup + " extra")]
+    out2 = {r.doc_id: r for r in api.curate(
+        spark.createDataFrame(rows2, "doc_id long, text string")
+    ).collect()}
+    assert not out2[1].keep and out2[1].reason == "quality"
+    assert not out2[2].keep and out2[2].reason in ("quality",)
+    assert out2[1].dedup_kept  # the fallback survivor
+
+
 def test_curate_validate_rejects_duplicate_ids(spark):
     from qa_data_pipeline_rag_llm_spark import api
 

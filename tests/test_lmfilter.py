@@ -179,3 +179,43 @@ def test_ref_lm_oov_and_floor(spark):
     assert out["junk"].oov_rate == 1.0
     # all-OOV text must be MORE surprising than in-reference text
     assert out["junk"].mean_nats > out["good"].mean_nats
+
+
+def test_ref_lm_degenerate_corpus_no_clean_slice(spark):
+    """Advice r09: ZERO Gopher-pass docs means an empty reference LM
+    (v_ref = 0). DuckDB's ln(0) → -inf → BIGINT cast ERRORS while
+    Spark's log(0) is NULL, so without the guard the twins diverge.
+    Both must now emit NULL mean_nats with oov_rate = 1 — verified by
+    running BOTH twins on the same degenerate parquet."""
+    import tempfile
+
+    import duckdb
+
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    rows = [  # every doc far below the 20-token Gopher floor
+        (1, "a", "zz qq"),
+        (2, "b", "xx yy ww"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="reflm_degen")
+    _docs(spark, rows).write.mode("overwrite").parquet(
+        f"{tmp}/documents.parquet"
+    )
+    spec = REGISTRY["lm_ref_surprisal_by_source"]
+    got = {r.source: r for r in spec.spark(spark, tmp).collect()}
+    assert set(got) == {"a", "b"}
+    for r in got.values():
+        assert r.mean_nats is None
+        assert r.oov_rate == 1.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        src: (mean_nats, oov)
+        for src, _n, mean_nats, oov in con.execute(spec.oracle).fetchall()
+    }
+    assert oracle == {
+        s: (r.mean_nats, r.oov_rate) for s, r in got.items()
+    }
