@@ -53,8 +53,10 @@ def seed_centroids(
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse quantizer: the vectors with the ``n_cells``
     smallest ids. Driver-side collect of a bounded tiny set (same pattern
-    as similarity.hyperplane_weights); swap in offline-trained KMeans
-    centroids at production scale — the plan shape is unchanged."""
+    as similarity.hyperplane_weights); ``train_centroids_lloyd`` below is
+    the offline-trained alternative for production scale — the plan
+    shape downstream is unchanged (``ann_recall_ivf_trained`` measures
+    the recall delta between the two)."""
     rows = (
         # orderBy+limit, not a value filter: `id < n_cells` returns zero
         # centroids (AttributeError downstream) for any id space that is
@@ -65,6 +67,88 @@ def seed_centroids(
         .collect()
     )
     return sorted((r[0], list(r[1])) for r in rows)
+
+
+def train_centroids_lloyd(
+    vectors: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The offline-trained coarse quantizer ``seed_centroids``'s
+    docstring promised (VERDICT r09 ask #6) — deterministic fixed-point
+    Lloyd's, the same arithmetic as ``kmeans_fixedpoint_embeddings``
+    (``plans/queries_graph_profile.py``) so the ENTIRE trainer stays
+    DuckDB-twin-able: components translate to nonnegative integers
+    ``v6 = round((v+1)·1e6)`` (translation preserves distances but keeps
+    floor-division identical across engines), init = the ``n_cells``
+    smallest-id vectors, per round an exact-integer squared-L2 argmin
+    (ties → smaller cluster id) then an integer floor-average centroid
+    update. Returns float centroids ``c6/1e6 − 1`` — identical IEEE
+    doubles from identical integers in any engine.
+
+    Scale shape: the loop is ``iters`` (small, fixed) rounds of one
+    pos-join + two shuffles over the flattened corpus; only the final
+    k×dims centroid table is collected (the bounded-driver-state
+    pattern shared with ``seed_centroids``). An empty cluster simply
+    drops out of the floor-average (GROUP BY semantics, mirrored by the
+    SQL twin) and the index serves fewer cells."""
+    flat = (
+        vectors.select(id_col, F.posexplode(vec_col).alias("pos0", "val"))
+        .select(
+            F.col(id_col).alias("vid"),
+            (F.col("pos0") + 1).alias("pos"),
+            F.round((F.col("val").cast("double") + 1.0) * 1_000_000)
+            .cast("long")
+            .alias("v6"),
+        )
+        .persist()
+    )
+    seeds = (
+        vectors.select(F.col(id_col).alias("vid")).orderBy("vid").limit(n_cells)
+    )
+    cents = flat.join(F.broadcast(seeds), "vid").select(
+        F.col("vid").cast("int").alias("cluster"), "pos", F.col("v6").alias("c6")
+    )
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        dists = (
+            flat.join(cents_df, "pos")
+            .groupBy("vid", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6"))
+                ).alias("dist")
+            )
+        )
+        # lexicographic struct-min == (min dist, then min cluster id)
+        return (
+            dists.groupBy("vid")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vid", F.col("m.cluster").alias("cluster"))
+        )
+
+    try:
+        for _ in range(iters):
+            cents = (
+                _assign(cents)
+                .join(flat, "vid")
+                .groupBy("cluster", "pos")
+                .agg(F.expr("sum(v6) div count(*)").cast("long").alias("c6"))
+            )
+        rows = cents.collect()
+    finally:
+        flat.unpersist()
+    by_cluster: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(
+            r["c6"]
+        )
+    return sorted(
+        (cid, [dims[p] / 1_000_000.0 - 1.0 for p in sorted(dims)])
+        for cid, dims in by_cluster.items()
+    )
 
 
 def ivf_assign(
@@ -135,10 +219,14 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     probe_id: str = "probe_id",
     probe_vec: str = "probe_vec",
+    centroids: Sequence[tuple[int, Sequence[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: scan only the probe's ``nprobe`` cells, exact
-    cosine rerank within the candidates."""
-    centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
+    cosine rerank within the candidates. ``centroids`` injects a
+    trained coarse quantizer (``train_centroids_lloyd``); None keeps
+    the cheap deterministic seeding."""
+    if centroids is None:
+        centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
     assigned = ivf_assign(vectors, centroids, id_col, vec_col).withColumn(
         "_vn", norm(F.col(vec_col))
     )

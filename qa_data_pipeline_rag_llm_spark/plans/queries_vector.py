@@ -488,6 +488,171 @@ _R3["ann_recall_ivf"].oracle = f"""
     GROUP BY e.probe_id, h.n_hits
 """
 
+TRAIN_ITERS = 2  # Lloyd rounds for the trained coarse quantizer
+
+
+@register(
+    "ann_recall_ivf_trained",
+    None,  # composed oracle injected below (needs sibling oracles)
+    doc=f"Trained-vs-seeded IVF recall (VERDICT r09 ask #6): the same "
+    f"{N_CELLS}-cell index built from ``train_centroids_lloyd`` "
+    f"({TRAIN_ITERS} deterministic fixed-point Lloyd rounds — the "
+    "offline-KMeans production path seed_centroids' docstring "
+    "promised) measured per probe against the exact top-k, side by "
+    "side with the seeded index's recall. The ENTIRE trainer is "
+    "DuckDB-twinned (recursive CTE, exact-integer distances, "
+    "floor-average centroids), so the comparison row is hash-checked "
+    "end to end, not just rows-counted.",
+)
+def ann_recall_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.operators.ivf import (
+        ann_ivf_topk,
+        train_centroids_lloyd,
+    )
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = (
+        REGISTRY["cosine_topk_embeddings"]
+        .spark(spark, sf_dir)
+        .select("probe_id", "vec_id")
+    )
+    seeded = (
+        REGISTRY["ann_ivf_topk_embeddings"]
+        .spark(spark, sf_dir)
+        .select("probe_id", "vec_id")
+    )
+    trained = ann_ivf_topk(
+        emb,
+        _probes(spark, sf_dir),
+        k=TOP_K,
+        n_cells=N_CELLS,
+        nprobe=N_PROBE_CELLS,
+        centroids=train_centroids_lloyd(emb, N_CELLS, TRAIN_ITERS),
+    ).select("probe_id", "vec_id")
+    per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("n_exact"))
+    hs = (
+        exact.join(seeded, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("h_s"))
+    )
+    ht = (
+        exact.join(trained, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("h_t"))
+    )
+    return (
+        per_probe.join(hs, "probe_id", "left")
+        .join(ht, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("h_s", F.lit(0)).alias("n_hits_seeded"),
+            F.coalesce("h_t", F.lit(0)).alias("n_hits_trained"),
+            F.round(
+                F.coalesce("h_s", F.lit(0)) * 1.0 / F.col("n_exact"), 6
+            ).alias("recall_seeded"),
+            F.round(
+                F.coalesce("h_t", F.lit(0)) * 1.0 / F.col("n_exact"), 6
+            ).alias("recall_trained"),
+        )
+    )
+
+
+_R3["ann_recall_ivf_trained"].oracle = f"""
+    WITH RECURSIVE flat AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             CAST(round((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 1000000)
+                  AS BIGINT) AS v6
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}
+    ), cents AS (
+      SELECT CAST(f.vec_id AS INTEGER) AS cluster, f.pos, f.v6 AS c6, 0 AS it
+      FROM flat f JOIN seeds s ON s.vec_id = f.vec_id
+      UNION ALL
+      SELECT asg.cluster, f.pos,
+             CAST(SUM(f.v6) // COUNT(*) AS BIGINT) AS c6,
+             asg.it + 1 AS it
+      FROM (
+        SELECT d.vec_id, d.it,
+               MIN(d.cluster) FILTER (WHERE d.dist = md.min_dist) AS cluster
+        FROM (
+          SELECT f.vec_id, c.cluster, c.it,
+                 SUM((f.v6 - c.c6) * (f.v6 - c.c6)) AS dist
+          FROM flat f JOIN cents c ON c.pos = f.pos
+          GROUP BY f.vec_id, c.cluster, c.it
+        ) d
+        JOIN (
+          SELECT vec_id, MIN(dist) AS min_dist FROM (
+            SELECT f.vec_id, c.cluster,
+                   SUM((f.v6 - c.c6) * (f.v6 - c.c6)) AS dist
+            FROM flat f JOIN cents c ON c.pos = f.pos
+            GROUP BY f.vec_id, c.cluster
+          ) GROUP BY vec_id
+        ) md ON md.vec_id = d.vec_id
+        GROUP BY d.vec_id, d.it
+      ) asg
+      JOIN flat f ON f.vec_id = asg.vec_id
+      WHERE asg.it < {TRAIN_ITERS}
+      GROUP BY asg.cluster, f.pos, asg.it
+    ), tcent AS (
+      SELECT cluster AS cid,
+             list(CAST(c6 AS DOUBLE) / 1000000.0 - 1.0 ORDER BY pos) AS cvec
+      FROM cents WHERE it = {TRAIN_ITERS} GROUP BY cluster
+    ), tscores AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dp
+      FROM embeddings e CROSS JOIN tcent c),
+    tassign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+        FROM tscores) WHERE rn = 1),
+    tpscores AS (
+      SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cid,
+             list_dot_product(CAST(p.embedding AS DOUBLE[]), c.cvec) AS dp
+      FROM embeddings p CROSS JOIN tcent c WHERE p.vec_id < {N_PROBES}),
+    tpcells AS (
+      SELECT probe_id, pvec, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY probe_id ORDER BY dp DESC, cid) AS rn
+        FROM tpscores) WHERE rn <= {N_PROBE_CELLS}),
+    tcand AS (
+      SELECT pc.probe_id, a.vec_id, {_O_IVF_COS} AS sim
+      FROM tpcells pc JOIN tassign a
+        ON a.cell = pc.cell AND a.vec_id != pc.probe_id),
+    trained AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+        FROM tcand) WHERE rank <= {TOP_K}),
+    exact AS (
+      SELECT probe_id, vec_id FROM ({_R3["cosine_topk_embeddings"].oracle})),
+    seeded AS (
+      SELECT probe_id, vec_id
+      FROM ({_R3["ann_ivf_topk_embeddings"].oracle})),
+    hs AS (
+      SELECT e.probe_id, COUNT(*) AS n
+      FROM exact e JOIN seeded s
+        ON s.probe_id = e.probe_id AND s.vec_id = e.vec_id
+      GROUP BY e.probe_id),
+    ht AS (
+      SELECT e.probe_id, COUNT(*) AS n
+      FROM exact e JOIN trained t
+        ON t.probe_id = e.probe_id AND t.vec_id = e.vec_id
+      GROUP BY e.probe_id)
+    SELECT e.probe_id,
+           CAST(COALESCE(hs.n, 0) AS BIGINT) AS n_hits_seeded,
+           CAST(COALESCE(ht.n, 0) AS BIGINT) AS n_hits_trained,
+           round(COALESCE(hs.n, 0) * 1.0 / COUNT(*), 6) AS recall_seeded,
+           round(COALESCE(ht.n, 0) * 1.0 / COUNT(*), 6) AS recall_trained
+    FROM exact e
+    LEFT JOIN hs ON hs.probe_id = e.probe_id
+    LEFT JOIN ht ON ht.probe_id = e.probe_id
+    GROUP BY e.probe_id, hs.n, ht.n
+"""
+
 
 @register(
     "ivf_cell_balance_audit",
