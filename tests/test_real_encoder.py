@@ -169,3 +169,27 @@ def test_np_encoder_truncates_at_max_tokens():
     c = encode(["DIFFERENT " + base])[0]
     assert np.allclose(a, b), "past-cap divergence must not matter"
     assert not np.allclose(a, c), "in-window divergence must matter"
+
+
+def test_np_encoder_matches_golden_vectors():
+    """Numeric parity harness (VERDICT r09 ask #7): five frozen inputs
+    and their full 384-d outputs, generated at r10 HEAD and committed
+    as tests/golden/np_encoder_golden.json. Any change to the
+    tokenizer, weights seed, attention, or pooling shifts these values
+    and fails here — previously only shapes/determinism were pinned.
+    Tolerance is 1e-6 absolute (values are O(0.05)): loose enough to
+    survive a BLAS swap's ULP jitter inside numpy's matmul, tight
+    enough that any semantic change to the encoder is far outside it."""
+    import json
+    from pathlib import Path
+
+    from qa_data_pipeline_rag_llm_spark.functions.np_encoder import encode
+
+    golden = json.loads(
+        (Path(__file__).parent / "golden" / "np_encoder_golden.json")
+        .read_text()
+    )
+    got = encode(golden["texts"])
+    want = np.asarray(golden["vectors"], dtype=np.float64)
+    assert got.shape == want.shape == (5, 384)
+    assert np.allclose(np.asarray(got, dtype=np.float64), want, atol=1e-6, rtol=0)
