@@ -240,6 +240,17 @@ def generate(spark, out_dir: str, replicas: int = REPLICAS) -> None:
                 reps = reps.unionByName(p)
         reps.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
         print(f"wrote {t}", flush=True)
+    # the synthesized partsupp twin (VERDICT r09 ask #8) at probe scale,
+    # derived from the replicated part/supplier tables just written —
+    # lights up the TRUE q2/q11/q16/q20 shapes beyond the sf0.001 goldens
+    from qa_data_pipeline_rag_llm_spark.plans.partsupp_shapes import (
+        synth_partsupp,
+    )
+
+    synth_partsupp(spark, out_dir).write.mode("overwrite").parquet(
+        f"{out_dir}/partsupp.parquet"
+    )
+    print("wrote partsupp", flush=True)
 
 
 def _iter_plan_nodes(jnode):
