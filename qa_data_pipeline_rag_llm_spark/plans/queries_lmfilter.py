@@ -63,7 +63,7 @@ _TOPK_OUTLIERS = 20
 # reference, and doc6 + g6 both consume doch (the labelqual lesson).
 _LM_SQL = f"""
     tok AS (SELECT doc_id, source, unnest({O.toks("text")}) AS w
-            FROM documents),
+            FROM documents WHERE doc_id IS NOT NULL),
     tokc AS MATERIALIZED (SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
              FROM tok WHERE w != '' GROUP BY doc_id, source, w),
     lm AS MATERIALIZED (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM tokc GROUP BY w),
@@ -109,10 +109,20 @@ def _lm_doc6_from(d: DataFrame):
     baseline as a crossJoin-able one-row frame — the Spark twin of the
     doc6/g6 CTEs. Empty-token docs never enter (nothing to score).
     Separated from the table loader so property tests can feed synthetic
-    corpora with hand-computed LM probabilities."""
+    corpora with hand-computed LM probabilities.
+
+    The up-front ``doc_id IS NOT NULL`` filter (both twins carry it) is
+    a PLAN-SHAPE requirement, not just a contract nicety: downstream
+    doc-grain joins push an isnotnull(doc_id) into ONE of the three
+    tokc consumers' subtrees, breaking canonical-subtree equality, and
+    AQE's stage reuse then re-tokenizes the corpus once per consumer
+    (three Generate+shuffle stages at sf10 — the r9 decade probe's LM
+    cost head). With every branch filtered identically, the tokc and lm
+    exchanges canonicalize equal and AQE materializes each ONCE
+    (ReusedExchange; pinned by tests/test_plans.py)."""
     from qa_data_pipeline_rag_llm_spark.functions.text import tokens
 
-    tok = d.select(
+    tok = d.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", "source", F.explode(tokens("text")).alias("w")
     ).filter(F.col("w") != "")
     tokc = tok.groupBy("doc_id", "source", "w").agg(
@@ -515,7 +525,7 @@ def source_kl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REF_LM_SQL = f"""
     gk AS (SELECT doc_id, keep FROM ({{GOPHER}})),
     tok AS (SELECT doc_id, source, unnest({O.toks("text")}) AS w
-            FROM documents),
+            FROM documents WHERE doc_id IS NOT NULL),
     tokc AS MATERIALIZED (
       SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
       FROM tok WHERE w != '' GROUP BY doc_id, source, w),
@@ -592,7 +602,10 @@ def lm_ref_surprisal_by_source(
 
     d = _t(spark, sf_dir, "documents")
     gk = gopher_verdict(d.select("doc_id", "text")).select("doc_id", "keep")
-    tok = d.select(
+    # same canonical-subtree alignment as _lm_doc6_from: every tokc
+    # consumer must see the identical isnotnull(doc_id)-filtered scan
+    # or AQE re-tokenizes per consumer
+    tok = d.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", "source", F.explode(tokens("text")).alias("w")
     ).filter(F.col("w") != "")
     tokc = tok.groupBy("doc_id", "source", "w").agg(

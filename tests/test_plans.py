@@ -828,3 +828,15 @@ def test_lm_surprisal_reuses_token_exchange(spark):
     shuffle — reuse, not a second corpus tokenization."""
     plan = _final_plan(spark, "lm_surprisal_by_source")
     assert "ReusedExchange" in plan
+
+
+def test_lm_chain_reuses_tokenization_stages(spark):
+    """The unigram-LM chain consumes its token-count frame from three
+    branches (doch, lml, zc). Without the source-side isnotnull(doc_id)
+    alignment (r10: a downstream doc-grain join pushes that filter into
+    ONE branch, breaking canonical equality), AQE re-tokenized the
+    corpus once PER branch — the r9 decade probe's LM cost head. The
+    final plan must carry reused stages for the tokc/lm exchanges."""
+    for name in ("lm_quality_correlation", "lm_ref_surprisal_by_source"):
+        plan = _final_plan(spark, name)
+        assert plan.count("ReusedExchange") >= 2, name
