@@ -57,11 +57,31 @@ RETRIES = 4
 BACKOFF_BASE_SEC = 0.2
 
 
+def _local_total(path: str) -> int:
+    """Row count from parquet metadata only — single file or a
+    Spark-written DIRECTORY of part files (footers, no data read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        import pyarrow.dataset as pads
+
+        return sum(
+            f.count_rows()
+            for f in pads.dataset(path, format="parquet").get_fragments()
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def _fetch_page(path: str, start: int, page_size: int) -> list[dict]:
     """The 'HTTP GET' stand-in: one page of raw posts. pyarrow reads the
     backing table and slices the page — a real source issues the paged
     API request here (with the reference's rate delay / backoff policy
-    applied PER TASK, which is what makes the budget parallelizable)."""
+    applied PER TASK, which is what makes the budget parallelizable).
+    Directory tables read through pyarrow's dataset layer (deterministic
+    sorted file order, '_'-prefixed sidecars ignored), so page slicing
+    stays stable across tasks."""
     import pyarrow.parquet as pq
 
     table = pq.read_table(path, columns=["doc_id", "text", "n_chars"])
@@ -113,9 +133,7 @@ class QAApiReader(DataSourceReader):
         if self.base_url:
             n = _http_total(self.base_url)
         else:
-            import pyarrow.parquet as pq
-
-            n = pq.read_metadata(self.path).num_rows
+            n = _local_total(self.path)
         pages = max(1, -(-n // self.page_size))
         return [InputPartition(i) for i in range(pages)]
 
@@ -227,10 +245,8 @@ def run_api_stream(
     import time
     import uuid
 
-    import pyarrow.parquet as pq
-
     register_qa_api(spark)
-    expected = pq.read_metadata(path).num_rows
+    expected = _local_total(path)
     name = f"qa_api_{uuid.uuid4().hex}"
     reader = (
         spark.readStream.format("qa_api")

@@ -45,19 +45,30 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet, ts normalized to µs
     TimestampType (same footer-probe + conversion as catalog.load_table)."""
+    import os
+
     from qa_data_pipeline_rag_llm_spark.catalog import (
         events_read_schema,
         normalize_events_ts,
     )
 
-    # the file source requires a directory; glob-filter to the events table
-    raw = (
-        spark.readStream.schema(
-            events_read_schema(spark, f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    schema = events_read_schema(spark, path)
+    if os.path.isdir(path):
+        # Spark-written table: a DIRECTORY of part files — stream it
+        # directly. The glob branch below silently matches ZERO files
+        # here (pathGlobFilter applies to leaf files, and the file
+        # source does not recurse), which made every file-source stream
+        # read an empty input at probe scale (r10 sf1 sweep finding).
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # driver testdata: a single file inside sf_dir; the file source
+        # requires a directory, so glob-filter to the events table
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
     return normalize_events_ts(raw)
 
 
@@ -692,9 +703,19 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (explicit schema —
-    the streaming reader cannot infer)."""
+    the streaming reader cannot infer). Same dual layout handling as
+    read_events_stream: a Spark-written DIRECTORY streams directly (the
+    glob branch matches zero leaf files there), a single driver-testdata
+    file goes through the glob filter."""
+    import os
+
     from qa_data_pipeline_rag_llm_spark.schemas import TESTDATA_SCHEMAS
 
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        return spark.readStream.schema(
+            TESTDATA_SCHEMAS["documents"]
+        ).parquet(path)
     return (
         spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
         .option("pathGlobFilter", "documents.parquet")
