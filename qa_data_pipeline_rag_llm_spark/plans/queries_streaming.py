@@ -122,6 +122,54 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_windows_watermarked",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), m AS (
+      SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 3600000000 AS wm_us
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+             epoch_us(MAX(ts)) + 1800000000 AS send_us,
+             COUNT(*) AS n_events,
+             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS DOUBLE) AS total_value
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, sess_start, n_events, total_value
+    FROM sess, m WHERE send_us <= wm_us
+    """,
+    doc="The PRODUCTION session-window shape: watermarked (1 h) append "
+    "mode — a session emits and its state EVICTS once the watermark "
+    "passes its end, so state holds open sessions only (the complete-"
+    "mode twin keeps every session; tools/streaming_probe.py measures "
+    "the state delta). Deterministic under the single-batch drain: the "
+    "final no-data batch pins the watermark at ms-floored max(ts) − "
+    "delay, making the emitted set exactly the sessions with last_ts + "
+    "gap <= watermark — the oracle's WHERE clause.",
+)
+def streaming_session_windows_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        stream_session_windows_watermarked,
+    )
+
+    return stream_session_windows_watermarked(spark, sf_dir)
+
+
+@register(
     "streaming_dedup_events",
     """
     SELECT event_type, COUNT(*) AS n_kept FROM (

@@ -60,7 +60,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # here (pathGlobFilter applies to leaf files, and the file
         # source does not recurse), which made every file-source stream
         # read an empty input at probe scale (r10 sf1 sweep finding).
-        raw = spark.readStream.schema(schema).parquet(path)
+        reader = spark.readStream.schema(schema)
+        # PROBE-ONLY pacing: split the drain into real micro-batches so
+        # watermark advancement / state eviction is observable
+        # (tools/streaming_probe.py). Never set by the driver contract:
+        # pacing + watermarks legitimately drop late rows, so paced
+        # output need not equal the single-batch oracle.
+        fpt = os.environ.get("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER")
+        if fpt:
+            reader = reader.option("maxFilesPerTrigger", fpt)
+        raw = reader.parquet(path)
     else:
         # driver testdata: a single file inside sf_dir; the file source
         # requires a directory, so glob-filter to the events table
@@ -243,6 +252,40 @@ def stream_session_windows(
         ).alias("total_value"),
     )
     res = run_to_completion(agg, "complete")
+    return res.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "sess_start"
+        ),
+        "n_events",
+        "total_value",
+    )
+
+
+def stream_session_windows_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """The PRODUCTION session shape: watermarked, append-mode — finalized
+    sessions emit and their state EVICTS when the watermark passes the
+    session end, so the state store holds only open-or-recent sessions
+    instead of every session ever (the complete-mode twin above trades
+    that boundedness for exact totality; tools/streaming_probe.py
+    measures the difference). Deterministic under the driver's
+    single-batch drain: the final no-data batch fixes the watermark at
+    max(ts) − delay (ms-floored, Spark tracks event-time stats in ms),
+    so the emitted set is exactly the sessions with
+    ``last_ts + gap <= watermark`` — SQL-expressible, fully oracled."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", delay)
+    agg = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    res = run_to_completion(agg, "append")
     return res.select(
         "user_id",
         F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(

@@ -37,6 +37,7 @@ from qa_data_pipeline_rag_llm_spark.session import get_spark  # noqa: E402
 
 PROBE_QUERIES = [
     "streaming_session_windows",
+    "streaming_session_windows_watermarked",
     "streaming_hll_users",
     "streaming_scd2_closed_versions",
 ]
