@@ -109,11 +109,23 @@ def probe(spark, name: str, sf_dir: str) -> dict:
 
 def main() -> None:
     dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
-    spark = get_spark(app_name="streaming_probe")
+    # probe-scale harness headroom: run_to_completion's memory sink
+    # collects the final table; complete-mode outputs at sf>=10 exceed
+    # the default 1g driver.maxResultSize (a finding in itself - the
+    # complete-mode session twin is unbounded BY DESIGN; the
+    # watermarked variant is the scale path)
+    spark = get_spark(
+        app_name="streaming_probe",
+        extra_conf={"spark.driver.maxResultSize": "4g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir in dirs:
         for name in PROBE_QUERIES:
-            print(json.dumps(probe(spark, name, sf_dir)), flush=True)
+            try:
+                out = probe(spark, name, sf_dir)
+            except Exception as exc:  # record and keep probing
+                out = {"query": name, "sf_dir": sf_dir, "error": repr(exc)[:300]}
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
