@@ -246,7 +246,13 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gate, the span-duplication flag, and the near-dup prune decision "
     "joined into one keep/drop row with a first-failing-reason label — "
     "what actually ships to the training-mix builder. Pure composition "
-    "of three oracle-checked plans; the joins are 1:1 on doc_id.",
+    "of three oracle-checked plans; the joins are 1:1 on doc_id. NOTE "
+    "on survivor semantics: each gate is an INDEPENDENT column here, "
+    "so the dedup survivor is the cluster's min id regardless of the "
+    "rule gate (a cluster whose min-id copy fails rules drops "
+    "entirely); api.curate implements the rule-aware alternative "
+    "(survivor = min id among rule-passing members) for callers who "
+    "want recoverable duplicates kept (advice r09).",
 )
 def curation_decisions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
