@@ -164,3 +164,29 @@ def test_type_profile_tws_and_fallback_paths_agree(spark):
         )
     )
     assert tws == fb and len(tws) > 0
+
+
+def test_file_stream_reads_directory_table_layout(spark, tmp_path):
+    """The r10 sf1 sweep found pathGlobFilter matched ZERO leaf files
+    when events.parquet is a Spark-written DIRECTORY — every file-source
+    stream read an empty input at probe scale, vacuously green. Pin the
+    directory branch: a directory-table stream must see every row the
+    batch reader sees."""
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        read_events_stream,
+        run_to_completion,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_batch = ev.count()
+    # write as a true directory table (multiple part files)
+    ev.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    streamed = run_to_completion(
+        read_events_stream(spark, str(tmp_path)).groupBy().count(),
+        "complete",
+    )
+    assert streamed.collect()[0][0] == n_batch > 0
