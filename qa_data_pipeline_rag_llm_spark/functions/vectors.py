@@ -12,6 +12,8 @@ similarity is a relational rank.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,3 +45,34 @@ def safe_denom(d: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / safe_denom(norm(a) * norm(b))
+
+
+def arrow_cosine_udf():
+    """Arrow-batched cosine over two array<float/double> columns — the
+    PRODUCTION verification kernel for pair-heavy dedup/similarity
+    plans. Spark does not whole-stage-codegen higher-order functions,
+    so the ``F.aggregate`` fold above evaluates interpreted per
+    element: at sf≈1 (12.8M SRP-cell pairs × 64 dims) the fold kernel
+    measured 175–235 s where this numpy kernel measured 15–20 s —
+    ~11× — with identical ≥-threshold verdicts (r10 A/B, SCALING.md).
+
+    NOT oracle-exact by construction: numpy's pairwise summation can
+    differ from the fold's strict left-to-right order in the last ulp,
+    so a sim sitting exactly on a 6-decimal rounding boundary could
+    flip. Registry queries therefore keep the fold (hash-exact vs
+    DuckDB's list_dot_product); callers at production scale pass
+    ``kernel='arrow'``. Zero-norm pairs return NULL, matching
+    ``safe_denom``."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        xa = np.asarray(x.tolist(), dtype=np.float64)
+        ya = np.asarray(y.tolist(), dtype=np.float64)
+        num = (xa * ya).sum(axis=1)
+        den = np.sqrt((xa * xa).sum(axis=1)) * np.sqrt((ya * ya).sum(axis=1))
+        out = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
+        return pd.Series(out).where(den > 0)  # NULL, never NaN/Inf
+
+    return _cos

@@ -138,15 +138,46 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     dims: int | None = None,
     sig: DataFrame | None = None,
+    kernel: str = "fold",
 ) -> DataFrame:
     """Near-duplicate vector pairs: SRP-signature collision (exact match on
     all ``planes`` bits) → verify cosine ≥ threshold. (doc pairs + sim).
 
     ``sig`` lets a caller that already computed srp_signatures share it
     instead of paying the 2^planes projection fold over the corpus twice
-    (semantic_dedup did exactly that pre-r03 — review)."""
+    (semantic_dedup did exactly that pre-r03 — review).
+
+    ``kernel`` picks the verification arithmetic: ``'fold'`` (default)
+    is the higher-order-function fold — sequential, hash-exact against
+    DuckDB's ``list_dot_product``, what every registry oracle assumes —
+    and ``'arrow'`` is the vectorized numpy kernel for production pair
+    volumes (Spark never codegens HOFs, so the fold runs interpreted
+    per element: ~11× slower at sf≈1's 12.8M candidate pairs, r10 A/B
+    in SCALING.md; verdicts agreed pair-for-pair there, but pairwise
+    summation is not ulp-identical to the fold, so the fast kernel is
+    not oracle-grade by construction)."""
     if sig is None:
         sig = srp_signatures(vectors, planes, id_col, vec_col, dims=dims)
+    if kernel == "arrow":
+        from qa_data_pipeline_rag_llm_spark.functions.vectors import (
+            arrow_cosine_udf,
+        )
+
+        cos = arrow_cosine_udf()
+        v = vectors.join(sig, id_col)
+        pairs = (
+            v.alias("a")
+            .join(v.alias("b"), "sig")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(
+                    cos(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+                ).alias("sim"),
+            )
+        )
+        return pairs.filter(F.col("sim") >= cosine_threshold)
     v = vectors.join(sig, id_col).withColumn("_n", norm(F.col(vec_col)))
     pairs = (
         v.alias("a")
@@ -172,6 +203,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    kernel: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape:
     cluster, then drop all-but-one of each within-cluster ε-ball).
@@ -191,7 +223,10 @@ def semantic_dedup(
     Scale: cell assignment is a map-only projection; the pair join
     shuffles on the cell key and generates candidates only within cells
     (n²/cells bound — pick ``planes`` so cells stay executor-sized at the
-    target corpus; at 100 TB that is 16+ planes, not the toy 4 here).
+    target corpus; at 100 TB that is 16+ planes, not the toy 4 here) and
+    ``kernel='arrow'`` swaps the interpreted HOF cosine for the numpy
+    verification kernel (~11× at sf≈1; see embedding_near_dup — the
+    fold default stays because it is the oracle-exact arithmetic).
     Reference parity: the reference's only semantic grouping is HDBSCAN →
     similar-posts (PLATFORM-contextual-Chunking.py:83-113); this is the
     training-data extension of that surface.
@@ -203,7 +238,7 @@ def semantic_dedup(
     dup_ids = (
         embedding_near_dup(
             vectors, planes, cosine_threshold, id_col, vec_col,
-            dims=dims, sig=sig,
+            dims=dims, sig=sig, kernel=kernel,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

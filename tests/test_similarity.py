@@ -125,3 +125,36 @@ def test_zero_norm_vector_never_ranks_first(spark):
     ranked_ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert ranked_ids == [1, 3]  # genuine neighbors, zero vector displaced
     assert all(r["sim"] == r["sim"] for r in got)  # no NaN in output
+
+
+def test_arrow_kernel_verdicts_match_fold(spark, tables):
+    """kernel='arrow' (the production verification kernel — Spark never
+    codegens HOF folds, ~11x at sf1, r10 A/B) must produce the same
+    near-dup PAIRS and the same semantic_dedup keep/drop VERDICTS as
+    the oracle-exact fold on the test corpus. Sim values may differ in
+    the last ulp (pairwise vs sequential summation), so the assertion
+    is on verdicts and pair identity, not raw sims."""
+    from qa_data_pipeline_rag_llm_spark.operators.similarity import (
+        embedding_near_dup,
+        semantic_dedup,
+    )
+
+    emb = tables["embeddings"]
+    fold_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(emb, planes=4, cosine_threshold=0.3,
+                                    dims=64, kernel="fold").collect()
+    }
+    arrow_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(emb, planes=4, cosine_threshold=0.3,
+                                    dims=64, kernel="arrow").collect()
+    }
+    assert fold_pairs == arrow_pairs and len(fold_pairs) > 0
+    fold_v = sorted(map(tuple, semantic_dedup(
+        emb, planes=4, cosine_threshold=0.3, dims=64, kernel="fold"
+    ).collect()))
+    arrow_v = sorted(map(tuple, semantic_dedup(
+        emb, planes=4, cosine_threshold=0.3, dims=64, kernel="arrow"
+    ).collect()))
+    assert fold_v == arrow_v
