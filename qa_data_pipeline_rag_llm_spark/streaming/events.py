@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import sys
 import uuid
+from contextlib import contextmanager
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -42,6 +43,28 @@ from pyspark.sql.types import (
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
+# Probe-only pacing knob, scoped via paced_file_streams() — see the
+# comment at its read site in read_events_stream.
+_PACING_FILES_PER_TRIGGER: int | None = None
+
+
+@contextmanager
+def paced_file_streams(files_per_trigger: int):
+    """Scope maxFilesPerTrigger pacing onto the file-source streams built
+    inside the block (probe-only: paced drains advance the watermark
+    between batches, which legitimately DROPS late rows — paced output
+    need not equal the single-batch oracle, so this must never be active
+    during a correctness or bench run; a `with` scope makes that a
+    structural guarantee instead of an env-hygiene hope)."""
+    global _PACING_FILES_PER_TRIGGER
+    prev = _PACING_FILES_PER_TRIGGER
+    _PACING_FILES_PER_TRIGGER = int(files_per_trigger)
+    try:
+        yield
+    finally:
+        _PACING_FILES_PER_TRIGGER = prev
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet, ts normalized to µs
     TimestampType (same footer-probe + conversion as catalog.load_table)."""
@@ -62,13 +85,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # read an empty input at probe scale (r10 sf1 sweep finding).
         reader = spark.readStream.schema(schema)
         # PROBE-ONLY pacing: split the drain into real micro-batches so
-        # watermark advancement / state eviction is observable
-        # (tools/streaming_probe.py). Never set by the driver contract:
-        # pacing + watermarks legitimately drop late rows, so paced
-        # output need not equal the single-batch oracle.
-        fpt = os.environ.get("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER")
-        if fpt:
-            reader = reader.option("maxFilesPerTrigger", fpt)
+        # watermark advancement / state eviction is observable. Injected
+        # by tools/streaming_probe.py via the paced_file_streams()
+        # context manager — NOT an ambient env var (ADVICE r10: a
+        # leftover export during a correctness/bench run would let the
+        # watermark drop late rows and silently diverge from the
+        # oracle; an explicit scope cannot leak across runs).
+        if _PACING_FILES_PER_TRIGGER is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(_PACING_FILES_PER_TRIGGER)
+            )
         raw = reader.parquet(path)
     else:
         # driver testdata: a single file inside sf_dir; the file source
@@ -81,18 +107,74 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(raw)
 
 
-def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
+def state_partitions_for_input(
+    spark: SparkSession, sf_dir: str, tables: Tuple[str, ...] = ("events",)
+) -> int:
+    """Size a stateful streaming query's shuffle/state partitions to its
+    input volume instead of inheriting the batch-shuffle default.
+
+    Why: every state-store instance pays a fixed open/commit cost per
+    micro-batch, and a stream-stream join keeps FOUR stores per
+    partition (keyToNumValues + keyWithIndexToValue, each side). At
+    32 partitions that is 128 instances; the r11 progress probe measured
+    the join's FINAL batch — zero input rows, eviction only — spending
+    74.8 s of task time in state commits alone. Interleaved A/B at
+    sf0.1: 32 partitions → 7.8 s, 8 → 3.0 s, 4 → 2.5 s per run of the
+    full-outer join (identical output hash). The fix is NOT "always 8":
+    state partitioning is pinned into the checkpoint at first start and
+    must hold the state at scale, so this grows with bytes on disk
+    (one partition per 32 MB) and caps at the session's shuffle
+    partitions — at probe sf10 and beyond it returns the session value,
+    preserving the scale path while removing the small-input fixed cost.
+    """
+    import os
+
+    total = 0
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(8, min(cur, 8 + total // (32 << 20)))
+
+
+def run_to_completion(
+    df: DataFrame, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming plan over all available input and return the
-    final result as a batch DataFrame (memory sink + AvailableNow)."""
+    final result as a batch DataFrame (memory sink + AvailableNow).
+
+    ``state_partitions`` (from :func:`state_partitions_for_input`) scopes
+    ``spark.sql.shuffle.partitions`` to this query: Structured Streaming
+    pins the stateful-operator partition count from the conf at query
+    start, so the override must wrap ``start()`` and is restored after
+    the drain — batch plans built by the caller are unaffected."""
+    spark_ = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark_.conf.get(key, None) if state_partitions else None
+    if state_partitions:
+        spark_.conf.set(key, str(state_partitions))
     name = f"q_{uuid.uuid4().hex}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions:
+            if prev is None:
+                spark_.conf.unset(key)
+            else:
+                spark_.conf.set(key, prev)
     spark = df.sparkSession
     out = spark.table(name).localCheckpoint(eager=True)  # detach from sink
     q.stop()
@@ -597,7 +679,9 @@ def stream_stream_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataF
         ),
         "left_outer",
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_value")
-    out = run_to_completion(joined, "append")
+    out = run_to_completion(
+        joined, "append", state_partitions_for_input(spark, sf_dir)
+    )
 
     from qa_data_pipeline_rag_llm_spark.catalog import load_table
 
@@ -667,7 +751,9 @@ def stream_stream_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataF
         "purchase_id",
         "purchase_ts",
     )
-    out = run_to_completion(joined, "append")
+    out = run_to_completion(
+        joined, "append", state_partitions_for_input(spark, sf_dir)
+    )
 
     from qa_data_pipeline_rag_llm_spark.catalog import load_table
 
@@ -741,7 +827,9 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
-    return run_to_completion(joined, "append")
+    return run_to_completion(
+        joined, "append", state_partitions_for_input(spark, sf_dir)
+    )
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

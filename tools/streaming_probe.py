@@ -17,8 +17,12 @@ Capture is a StreamingQueryListener on the shared session, so no query
 code changes: every registry streaming query runs through its normal
 ``run_to_completion`` path.
 
-Usage: python tools/streaming_probe.py <sf_dir> [<sf_dir> ...]
-Prints one JSON line per (query, sf_dir).
+Usage: python tools/streaming_probe.py [--pace=N] [--only=a,b] <sf_dir> [...]
+Prints one JSON line per (query, sf_dir). ``--pace=N`` drains each query
+in maxFilesPerTrigger=N micro-batches via the paced_file_streams()
+context manager (injected scope, not an env var — ADVICE r10), making
+watermark eviction observable; paced output legitimately drops late
+rows, so pacing exists ONLY here, never in correctness/bench runs.
 """
 
 from __future__ import annotations
@@ -40,6 +44,12 @@ PROBE_QUERIES = [
     "streaming_session_windows_watermarked",
     "streaming_hll_users",
     "streaming_scd2_closed_versions",
+    # the stream-stream join matrix (VERDICT r10 ask #4): the queries
+    # whose state actually worries a 100 TB/day deployment — watermark +
+    # time-range predicates must keep join state evictable
+    "streaming_click_purchase_join",
+    "streaming_click_purchase_left",
+    "streaming_click_purchase_full",
 ]
 
 
@@ -108,7 +118,29 @@ def probe(spark, name: str, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        paced_file_streams,
+    )
+
+    pace = next(
+        (
+            int(a.split("=", 1)[1])
+            for a in sys.argv[1:]
+            if a.startswith("--pace=")
+        ),
+        None,
+    )
+    only = next(
+        (
+            a.split("=", 1)[1].split(",")
+            for a in sys.argv[1:]
+            if a.startswith("--only=")
+        ),
+        None,
+    )
+    dirs = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        "/root/testdata/sf0.1"
+    ]
     # probe-scale harness headroom: run_to_completion's memory sink
     # collects the final table; complete-mode outputs at sf>=10 exceed
     # the default 1g driver.maxResultSize (a finding in itself - the
@@ -119,13 +151,25 @@ def main() -> None:
         extra_conf={"spark.driver.maxResultSize": "4g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir in dirs:
-        for name in PROBE_QUERIES:
-            try:
-                out = probe(spark, name, sf_dir)
-            except Exception as exc:  # record and keep probing
-                out = {"query": name, "sf_dir": sf_dir, "error": repr(exc)[:300]}
-            print(json.dumps(out), flush=True)
+    import contextlib
+
+    scope = paced_file_streams(pace) if pace else contextlib.nullcontext()
+    with scope:
+        for sf_dir in dirs:
+            for name in PROBE_QUERIES:
+                if only and name not in only:
+                    continue
+                try:
+                    out = probe(spark, name, sf_dir)
+                except Exception as exc:  # record and keep probing
+                    out = {
+                        "query": name,
+                        "sf_dir": sf_dir,
+                        "error": repr(exc)[:300],
+                    }
+                if pace:
+                    out["pace"] = pace
+                print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
