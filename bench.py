@@ -407,8 +407,13 @@ def _current_round(root: Path) -> int | None:
     try:
         m = re.search(r"round (\d+)", (root / "VERDICT.md").read_text()[:200])
         return int(m.group(1)) + 1 if m else None
+    except FileNotFoundError:
+        return 1  # genuinely no verdict yet: this is round 1
     except OSError:
-        return 1
+        # transient/permission read failure is NOT round 1 (ADVICE r10):
+        # returning 1 would make _prev_artifact skip every prior wrapper
+        # and silently disable regime normalization + the family gate
+        return None
 
 
 def _recover_from_tail(tail: str) -> dict | None:

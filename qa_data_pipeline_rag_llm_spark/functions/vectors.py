@@ -68,8 +68,32 @@ def arrow_cosine_udf():
 
     @pandas_udf(DoubleType())
     def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
-        xa = np.asarray(x.tolist(), dtype=np.float64)
-        ya = np.asarray(y.tolist(), dtype=np.float64)
+        # degenerate batches (ADVICE r10): an empty batch makes the 2-D
+        # kernel's axis=1 reductions raise AxisError, and NULL or
+        # ragged-length rows make asarray raise / go object-dtype — all
+        # of which must yield NULL (parity with safe_denom's fold path),
+        # never crash
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        try:
+            xa = np.asarray(x.tolist(), dtype=np.float64)
+            ya = np.asarray(y.tolist(), dtype=np.float64)
+            rect = xa.ndim == 2 and ya.ndim == 2 and xa.shape == ya.shape
+        except (ValueError, TypeError):
+            rect = False
+        if not rect:
+            out = []
+            for a, b in zip(x.tolist(), y.tolist()):
+                if a is None or b is None or len(a) != len(b) or len(a) == 0:
+                    out.append(np.nan)  # NaN → NULL through Arrow
+                    continue
+                aa = np.asarray(a, dtype=np.float64)
+                bb = np.asarray(b, dtype=np.float64)
+                den = float(
+                    np.sqrt((aa * aa).sum()) * np.sqrt((bb * bb).sum())
+                )
+                out.append(float((aa * bb).sum()) / den if den > 0 else np.nan)
+            return pd.Series(out, dtype="float64")
         num = (xa * ya).sum(axis=1)
         den = np.sqrt((xa * xa).sum(axis=1)) * np.sqrt((ya * ya).sum(axis=1))
         out = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)

@@ -136,6 +136,12 @@ def train_centroids_lloyd(
                 .join(flat, "vid")
                 .groupBy("cluster", "pos")
                 .agg(F.expr("sum(v6) div count(*)").cast("long").alias("c6"))
+                # materialize the tiny k×dims table per round (ADVICE
+                # r10): lazily stacking rounds on the previous round's
+                # unmaterialized plan grows lineage — and recomputation —
+                # superlinearly in `iters`; a localCheckpoint truncates
+                # it so raising `iters` stays linear
+                .localCheckpoint(eager=True)
             )
         rows = cents.collect()
     finally:

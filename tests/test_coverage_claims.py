@@ -20,6 +20,7 @@ REPO = Path(__file__).resolve().parent.parent
 _NON_QUERY = {
     "concat_ws",
     "from_json",
+    "sentence_transformers",  # package name in the r11 real-weights gate note
     "kmeans_assign",
     "pandas_udf",
     "posts_similaires",

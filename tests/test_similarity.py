@@ -158,3 +158,44 @@ def test_arrow_kernel_verdicts_match_fold(spark, tables):
         emb, planes=4, cosine_threshold=0.3, dims=64, kernel="arrow"
     ).collect()))
     assert fold_v == arrow_v
+
+
+def test_arrow_kernel_degenerate_batches(spark):
+    """ADVICE r10: the arrow kernel must yield NULL — matching the fold's
+    safe_denom semantics — on NULL embeddings, ragged lengths, and
+    zero-norm rows, and must not crash on an empty batch (1-D asarray
+    would raise AxisError on the axis=1 reductions)."""
+    from pyspark.sql import functions as F
+
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import (
+        arrow_cosine_udf,
+        cosine,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], [1.0, 0.0]),   # sim 1.0
+        (1, None, [1.0, 0.0]),         # NULL left
+        (2, [1.0, 0.0], [1.0]),        # ragged
+        (3, [0.0, 0.0], [1.0, 0.0]),   # zero norm
+        (4, [0.0, 1.0], [1.0, 0.0]),   # sim 0.0
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    arrow = {
+        r["id"]: r["s"]
+        for r in df.select("id", arrow_cosine_udf()("a", "b").alias("s")).collect()
+    }
+    fold = {
+        r["id"]: r["s"]
+        for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("s")).collect()
+    }
+    assert arrow[0] == 1.0 and arrow[4] == 0.0
+    for i in (1, 3):  # NULL-for-undefined parity with the fold kernel
+        assert arrow[i] is None and fold[i] is None
+    assert arrow[2] is None  # ragged: undefined → NULL (fold errors by type)
+    # empty batch: filter everything out, kernel must not crash
+    assert (
+        df.filter("id < 0")
+        .select(arrow_cosine_udf()("a", "b").alias("s"))
+        .count()
+        == 0
+    )
