@@ -367,6 +367,42 @@ def density_graph_clusters_embeddings(
     )
 
 
+@register(
+    "density_graph_similar_items",
+    f"""
+    WITH RECURSIVE {_o_density_graph()},
+    lab AS (
+      SELECT f.vec_id,
+             CAST(CASE WHEN f.n >= {DG_MIN_CLUSTER} THEN f.comp ELSE -1 END
+                  AS INTEGER) AS label
+      FROM full_lbl f),
+    members AS (SELECT label, list_sort(list(vec_id)) AS m FROM lab GROUP BY label)
+    SELECT l.vec_id, l.label,
+           CASE WHEN l.label = -1 THEN ''
+                ELSE array_to_string(list_filter(m.m, x -> x != l.vec_id)[1:20], ',')
+           END AS similar_ids
+    FROM lab l JOIN members m ON l.label = m.label
+    """,
+    doc="J3/M3 over the r11 pair-graph density labels: per row, the other "
+    "members of its verified-pair-graph cluster (cap 20); noise −1 rows "
+    "get an EMPTY list (reference noise rule, "
+    "PLATFORM-contextual-Chunking.py:97-113) — the M3 materialization on "
+    "the highest-fidelity HDBSCAN stand-in.",
+)
+def density_graph_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = density_cluster_graph(
+        _t(spark, sf_dir, "embeddings"),
+        reps=DG_REPS,
+        planes_per_rep=DG_PLANES_PER_REP,
+        tau=DG_TAU,
+        min_cluster_size=DG_MIN_CLUSTER,
+        dims=DIMS,
+    )
+    out = similar_items(labels, cluster_col="label", id_col="vec_id")
+    return out.select(
+        "vec_id", "label", F.array_join("similar_ids", ",").alias("similar_ids")
+    )
+
 
 SEMDEDUP_PLANES = 4
 SEMDEDUP_COS = 0.3

@@ -383,6 +383,33 @@ def test_dup_collapse_is_connectivity_exact(spark):
             assert dup[i] == -1 or dup[i] == base[i] or dup[i] < n
 
 
+def test_graph_cluster_arrow_kernel_label_parity(spark):
+    """kernel='arrow' (production verification) must produce the same
+    LABELS as the oracle-exact fold on the planted fixture — the same
+    verdict-parity contract embedding_near_dup pins for its kernels."""
+    import qa_data_pipeline_rag_llm_spark.plans.queries  # noqa: F401
+    from qa_data_pipeline_rag_llm_spark.operators.clustering import (
+        density_cluster_graph,
+    )
+
+    x, _ = _planted(n_clusters=4, per=12, n_noise=20, dims=32)
+    df = _spark_df(spark, x)
+    fold = (
+        density_cluster_graph(df, dims=32, kernel="fold")
+        .orderBy("vec_id")
+        .toPandas()["label"]
+        .tolist()
+    )
+    arrow = (
+        density_cluster_graph(df, dims=32, kernel="arrow")
+        .orderBy("vec_id")
+        .toPandas()["label"]
+        .tolist()
+    )
+    assert fold == arrow
+    assert len(set(fold) - {-1}) == 4  # and the labels are non-trivial
+
+
 def test_single_cell_variant_is_strictly_coarser(spark):
     """Document (with a number, not prose) the single-cell stand-in's
     divergence: measured ARI(cell, exact HDBSCAN) = 0.19 at sigma 0.08 —
