@@ -224,17 +224,24 @@ def test_family_regression_on_query_intersection():
         "value": 1.0,
         "calibration_sec": 0.5,
         "sf": 0.1,
-        "registry_families": {"grew": 2.0, "regressed": 2.0},
+        "registry_families": {"grew": 20.0, "regressed": 20.0, "tiny": 0.4},
         "registry_query_sec": {
-            "grew": {"a": 1.0, "b_new": 1.0},  # a unchanged, b_new added
-            "regressed": {"c": 2.0},  # c itself doubled
+            "grew": {"a": 10.0, "b_new": 10.0},  # a unchanged, b_new added
+            "regressed": {"c": 20.0},  # c itself doubled
+            # 2x ratio but sub-second excess: host-overhead noise, not a
+            # plan regression (r11 materiality floor)
+            "tiny": {"d": 0.4},
         },
     }
     prev = {
         "calibration_sec": 0.5,
         "sf": 0.1,
-        "registry_families": {"grew": 1.0, "regressed": 1.0},
-        "registry_query_sec": {"grew": {"a": 1.0}, "regressed": {"c": 1.0}},
+        "registry_families": {"grew": 10.0, "regressed": 10.0, "tiny": 0.2},
+        "registry_query_sec": {
+            "grew": {"a": 10.0},
+            "regressed": {"c": 10.0},
+            "tiny": {"d": 0.2},
+        },
     }
     out = b.regime_fields(art, prev)
     assert out["registry_family_regressions"] == ["regressed"]
@@ -259,6 +266,74 @@ def test_family_regression_legacy_count_normalization():
     }
     out = b.regime_fields(art, prev)
     assert out["registry_family_regressions"] == []  # 1.0/query both rounds
+
+
+def test_retest_clears_burst_flags_keeps_real_ones():
+    """r11: episodic host bursts inflate whichever single-pass sweep
+    rows they land on; the retest pass must clear flags that don't
+    reproduce and keep those that do, recording both lists."""
+    b = _bench()
+
+    class _Spec:
+        def __init__(self, sec):
+            self.sec = sec
+
+        def spark(self, s, d):
+            return self.sec
+
+    # 'burst' retests fast (0.1 ≈ prev), 'real' retests slow (8.0 >
+    # 1.3× prev AND >2 s absolute excess — the materiality floor)
+    b.REGISTRY = {"q_burst": _Spec(0.1), "q_real": _Spec(8.0)}
+    clock = {"t": 0.0}
+    b.execute = lambda sec: clock.__setitem__("t", clock["t"] + sec)
+    real_pc = b.time.perf_counter
+    b.time.perf_counter = lambda: clock["t"]
+    try:
+        art = {
+            "registry_family_regressions": ["burst", "real"],
+            "registry_query_sec": {
+                "burst": {"q_burst": 5.0},  # the sweep saw an inflated 5.0
+                "real": {"q_real": 8.0},
+            },
+        }
+        prev = {
+            "registry_query_sec": {
+                "burst": {"q_burst": 0.1},
+                "real": {"q_real": 4.0},
+            }
+        }
+        out = b.retest_family_flags(None, "sf", art, prev)
+    finally:
+        b.time.perf_counter = real_pc
+    assert out["registry_family_regressions"] == ["real"]
+    assert out["registry_family_regressions_unreproduced"] == ["burst"]
+    assert "q_burst" in out["registry_family_retest_sec"]["burst"]
+
+
+def test_retest_budget_keeps_flag_conservatively():
+    """A family left unretested by the time budget KEEPS its flag."""
+    b = _bench()
+
+    class _Spec:
+        def spark(self, s, d):
+            return 10.0
+
+    b.REGISTRY = {"q": _Spec()}
+    clock = {"t": 0.0}
+    b.execute = lambda sec: clock.__setitem__("t", clock["t"] + sec)
+    real_pc = b.time.perf_counter
+    b.time.perf_counter = lambda: clock["t"]
+    try:
+        art = {
+            "registry_family_regressions": ["fam"],
+            "registry_query_sec": {"fam": {"q": 5.0}},
+        }
+        prev = {"registry_query_sec": {"fam": {"q": 0.1}}}
+        out = b.retest_family_flags(None, "sf", art, prev, budget_sec=-1.0)
+    finally:
+        b.time.perf_counter = real_pc
+    assert out["registry_family_regressions"] == ["fam"]
+    assert "registry_family_retest_sec" not in out
 
 
 def test_noise_gate_threshold_semantics():
