@@ -74,18 +74,118 @@ def _local_total(path: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
-def _fetch_page(path: str, start: int, page_size: int) -> list[dict]:
-    """The 'HTTP GET' stand-in: one page of raw posts. pyarrow reads the
-    backing table and slices the page — a real source issues the paged
-    API request here (with the reference's rate delay / backoff policy
-    applied PER TASK, which is what makes the budget parallelizable).
-    Directory tables read through pyarrow's dataset layer (deterministic
-    sorted file order, '_'-prefixed sidecars ignored), so page slicing
-    stays stable across tasks."""
-    import pyarrow.parquet as pq
+PAGE_COLUMNS = ["doc_id", "text", "n_chars"]
 
-    table = pq.read_table(path, columns=["doc_id", "text", "n_chars"])
-    return table.slice(start, page_size).to_pylist()
+# Process-level caches (r11). Spark reuses Python worker processes
+# (spark.python.worker.reuse, default true), so page tasks landing on
+# the same worker share these — the metadata index is built once per
+# table and the LAST decoded slab (one row group) is kept, bounding
+# memory to a single row group while making the common access pattern
+# (consecutive pages of one table) O(page) instead of O(table). The
+# simple stream reader runs driver-side, where the same two dicts make
+# its per-micro-batch page fetch O(page) too. A real page SERVER does
+# exactly this work server-side; before r11 the local stand-in re-read
+# and re-decoded the whole table for every page request — O(n²/page)
+# aggregate, the dominant term of the honest sf1 cost measured in
+# SCALING.md (pysource_api_stream 76 s for 500k rows).
+_INDEX_CACHE: dict[str, tuple[float, list]] = {}
+_SLAB_CACHE: dict[str, tuple] = {}
+
+
+def _page_index(path: str) -> list:
+    """Metadata-only slab index of a parquet table: ``(cum_start_row,
+    n_rows, handle)`` per row group, in the table's row order — footers
+    only, no data pages decoded. ``handle`` is a row-group ordinal for a
+    single file, a one-row-group dataset fragment for a Spark-written
+    DIRECTORY table (pyarrow dataset discovery order = sorted file
+    order, '_'-prefixed sidecars ignored — the same order
+    ``pq.read_table`` concatenates, pinned by test_pyapi_paging)."""
+    import os
+
+    token = os.path.getmtime(path)
+    hit = _INDEX_CACHE.get(path)
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    entries: list = []
+    cum = 0
+    if os.path.isdir(path):
+        import pyarrow.dataset as pads
+
+        for frag in pads.dataset(path, format="parquet").get_fragments():
+            for piece in frag.split_by_row_group():
+                n = piece.row_groups[0].num_rows
+                entries.append((cum, n, piece))
+                cum += n
+    else:
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path)
+        for i in range(md.num_row_groups):
+            n = md.row_group(i).num_rows
+            entries.append((cum, n, i))
+            cum += n
+    _INDEX_CACHE[path] = (token, entries)
+    return entries
+
+
+def _read_slab(path: str, idx: int, entries: list):
+    """Decode ONE row group (single-entry cache: consecutive pages of
+    the same slab decode it once per process, and memory stays bounded
+    by one row group no matter how large the table is)."""
+    key = (path, idx)
+    cached = _SLAB_CACHE.get("slab")
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    handle = entries[idx][2]
+    if isinstance(handle, int):
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(path).read_row_group(handle, columns=PAGE_COLUMNS)
+    else:
+        t = handle.to_table(columns=PAGE_COLUMNS)
+    _SLAB_CACHE["slab"] = (key, t)
+    return t
+
+
+def _fetch_page_table(path: str, start: int, page_size: int):
+    """The 'HTTP GET' stand-in: one page of raw posts as a pyarrow
+    Table. A real source issues the paged API request here (with the
+    reference's rate delay / backoff policy applied PER TASK, which is
+    what makes the budget parallelizable); the local transport reads
+    ONLY the row group(s) overlapping the page (footer-pruned via
+    ``_page_index``), so per-request work is O(row group), amortized
+    O(page) under worker reuse — the cost profile a real page server
+    has, and the shape that still works when the backing table is far
+    larger than any worker's memory. Returns None for an empty page."""
+    from bisect import bisect_right
+
+    entries = _page_index(path)
+    if not entries:
+        return None
+    stop = start + page_size
+    starts = [e[0] for e in entries]
+    parts = []
+    for idx in range(max(0, bisect_right(starts, start) - 1), len(entries)):
+        cum, n, _ = entries[idx]
+        if cum >= stop:
+            break
+        if cum + n <= start:
+            continue
+        lo = max(start, cum)
+        hi = min(stop, cum + n)
+        parts.append(_read_slab(path, idx, entries).slice(lo - cum, hi - lo))
+    if not parts:
+        return None
+    import pyarrow as pa
+
+    return pa.concat_tables(parts)
+
+
+def _fetch_page(path: str, start: int, page_size: int) -> list[dict]:
+    """Row-dict page view over ``_fetch_page_table`` (the streaming
+    reader's per-row path; the batch reader stays Arrow end to end)."""
+    t = _fetch_page_table(path, start, page_size)
+    return t.to_pylist() if t is not None else []
 
 
 def _http_json(url: str, timeout: float = 30.0):
@@ -138,13 +238,49 @@ class QAApiReader(DataSourceReader):
         return [InputPartition(i) for i in range(pages)]
 
     def read(self, partition: InputPartition):
+        """Yields ONE Arrow RecordBatch per page (Spark 4's Python Data
+        Source Arrow path): the page crosses the Python→JVM boundary as
+        a single Arrow buffer instead of page_size pickled tuples, and
+        normalization runs vectorized (pyarrow.compute) instead of
+        per-row. Row values are pinned byte-identical to the streaming
+        reader's ``_normalize_row`` by test_pyapi_paging."""
+        import pyarrow as pa
+
         start = partition.value * self.page_size
         if self.base_url:
             rows = _http_page(self.base_url, start, self.page_size)
+            t = pa.Table.from_pylist(rows) if rows else None
         else:
-            rows = _fetch_page(self.path, start, self.page_size)
-        for row in rows:
-            yield _normalize_row(row, self.page_size)
+            t = _fetch_page_table(self.path, start, self.page_size)
+        if t is not None and t.num_rows:
+            yield from _normalize_batches(t, self.page_size)
+
+
+def _normalize_batches(t, page_size: int):
+    """Vectorized twin of ``_normalize_row`` over an Arrow page table —
+    same fields, same codepoint semantics (``utf8_slice_codeunits``
+    slices codepoints, like Python ``text[:40]`` and SQL substr)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    doc_id = pc.cast(t["doc_id"], pa.int64())
+    text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+    out = pa.table(
+        {
+            "id_post": pc.binary_join_element_wise(
+                "t3_", pc.cast(doc_id, pa.string()), ""
+            ),
+            "title": pc.utf8_slice_codeunits(text, 0, TITLE_CAP),
+            "score": pc.cast(t["n_chars"], pa.int64()),
+            # arrow integer divide truncates; doc_ids are non-negative,
+            # so it matches Python's floor division in _normalize_row
+            "page": pc.cast(
+                pc.divide(doc_id, pa.scalar(page_size, pa.int64())),
+                pa.int32(),
+            ),
+        }
+    )
+    yield from out.combine_chunks().to_batches()
 
 
 def _normalize_row(row: dict, page_size: int) -> tuple:
@@ -161,12 +297,16 @@ def _normalize_row(row: dict, page_size: int) -> tuple:
 class QAApiStreamReader(SimpleDataSourceStreamReader):
     """Streaming twin of the batch reader: the reference's
     polling-with-sleep ingest loop (``REDDIT-Ingestion.py:57-59``) as a
-    real Structured Streaming source — offset = next page number, one
-    page per micro-batch, exactly-once via offset tracking
-    (``readBetweenOffsets`` replays any page range on recovery). A live
-    deployment's ``read`` would poll the API for pages past the cursor;
-    here the page server is the same deterministic table the batch
-    source reads, so stream output == batch output, oracle-checked."""
+    real Structured Streaming source — offset = next page number,
+    ``pages_per_batch`` pages per micro-batch (default 1 = the strict
+    poll cadence; a catch-up consumer raises it so backfill isn't one
+    micro-batch per page — the offset contract is unchanged because
+    offsets are page numbers either way), exactly-once via offset
+    tracking (``readBetweenOffsets`` replays any page range on
+    recovery). A live deployment's ``read`` would poll the API for
+    pages past the cursor; here the page server is the same
+    deterministic table the batch source reads, so stream output ==
+    batch output, oracle-checked."""
 
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
@@ -174,6 +314,7 @@ class QAApiStreamReader(SimpleDataSourceStreamReader):
         if not (self.path or self.base_url):
             raise ValueError("qa_api needs a path or base_url option")
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.pages_per_batch = int(options.get("pages_per_batch", 1))
 
     def _page(self, page: int) -> list[dict]:
         start = page * self.page_size
@@ -186,11 +327,18 @@ class QAApiStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         page = start["page"]
-        rows = self._page(page)
-        out = [_normalize_row(r, self.page_size) for r in rows]
-        # advance only when the "API" returned data — an exhausted cursor
-        # holds its offset (the polling steady-state)
-        return iter(out), {"page": page + (1 if rows else 0)}
+        out: list[tuple] = []
+        advanced = 0
+        for i in range(self.pages_per_batch):
+            rows = self._page(page + i)
+            if not rows:
+                # advance only through pages that returned data — an
+                # exhausted cursor holds its offset (the polling
+                # steady-state), mid-batch or not
+                break
+            out.extend(_normalize_row(r, self.page_size) for r in rows)
+            advanced += 1
+        return iter(out), {"page": page + advanced}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         for page in range(start["page"], end["page"]):
@@ -230,11 +378,15 @@ def run_api_stream(
     path: str,
     page_size: int = DEFAULT_PAGE_SIZE,
     base_url: str | None = None,
+    pages_per_batch: int = 10,
 ):
     """Run the streaming source over every available page and return the
     appended result as a batch DataFrame. With ``base_url`` the pages
     come from the live HTTP pager instead of the local transport
-    (``path`` then only sizes the expected-row guard).
+    (``path`` then only sizes the expected-row guard). This entry point
+    is the CATCH-UP consumer (drain everything now), so it defaults to
+    10 pages per micro-batch; the strict one-page poll cadence stays the
+    reader default.
 
     ``Trigger.AvailableNow`` drains only the prefetched first page of a
     Python simple stream reader (probed on this Spark build), so the
@@ -252,6 +404,7 @@ def run_api_stream(
         spark.readStream.format("qa_api")
         .option("path", path)
         .option("page_size", str(page_size))
+        .option("pages_per_batch", str(pages_per_batch))
     )
     if base_url:
         reader = reader.option("base_url", base_url)
