@@ -78,20 +78,32 @@ KNN_K = 10
     "corpus scale.",
 )
 def span_dup_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 restructure: the original plan computed the exploded shingle
+    # subtree TWICE (once under distinct→groupBy for document frequency,
+    # once as the probe side of an occ⋈df join) and shuffled the full
+    # span table through that join. One groupBy(g, doc_id) with map-side
+    # combine collapses intra-doc repeats while keeping their count, a
+    # count window over g IS the distinct-doc frequency (rows of the
+    # deduped pair frame), and the per-doc rollup weights by cnt — same
+    # rows out (oracle unchanged), one explode, no join: 7.8 → 4.3 s at
+    # sf0.1 before the word_shingles kernel change, ~1.5 s after.
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     occ = d.select(
         "doc_id",
         F.explode(word_shingles("text", SPAN_N)).alias("gram"),
     ).select("doc_id", stable_int32("gram").alias("g"))
-    df_per_gram = (
-        occ.distinct().groupBy("g").agg(F.count("*").alias("df"))
-    )
+    pairs = occ.groupBy("g", "doc_id").agg(F.count("*").alias("cnt"))
+    df_w = F.count("*").over(Window.partitionBy("g"))
     per_doc = (
-        occ.join(df_per_gram, "g")
+        pairs.withColumn("df", df_w)
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_spans"),
+            F.sum("cnt").alias("n_spans"),
+            F.sum(
+                F.when(F.col("df") >= 2, F.col("cnt")).otherwise(0)
+            ).alias("dup_spans"),
         )
     )
     dup_frac = F.round(F.col("dup_spans") * 1.0 / F.col("n_spans"), 6)

@@ -230,3 +230,48 @@ def _hyp_spark():
             .getOrCreate()
         )
     return _HYP_SPARK
+
+
+def test_word_shingles_kernel_matches_sql_twin(spark, tables):
+    """r11: word_shingles' default moved to an Arrow kernel over the
+    JVM token arrays (5.7x at sf0.1); the expression form stays as
+    word_shingles_sql. Every consumer (minhash, n-gram Jaccard, LSH
+    banding, span dedup, decontamination) inherits the kernel, so pin
+    bit-identical output across the real corpus plus the edge shapes
+    (null text, empty, shorter-than-n, exactly-n), at both widths the
+    registry uses."""
+    from qa_data_pipeline_rag_llm_spark.functions.text import (
+        word_shingles,
+        word_shingles_sql,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "one"),
+            (100004, "a b c d e f g h"),
+            (100005, "tabs\tand\nnewlines   spaced"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edges)
+    for n in (2, 3, 8):
+        got = sorted(
+            map(
+                repr,
+                d.select(
+                    "doc_id", word_shingles("text", n).alias("s")
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                repr,
+                d.select(
+                    "doc_id", word_shingles_sql("text", n).alias("s")
+                ).collect(),
+            )
+        )
+        assert got == want, n
