@@ -464,10 +464,12 @@ def retest_family_flags(
     )
     confirmed, unreproduced = [], []
     retest: dict[str, dict[str, float]] = {}
+    retest_errors: dict[str, str] = {}
     t_all = time.perf_counter()
     for f in flags:
         if time.perf_counter() - t_all > budget_sec:
             confirmed.append(f)  # out of budget: keep the flag
+            retest_errors[f] = "retest budget exhausted"
             continue
         shared = set(qs.get(f, {})) & set(prev_qs.get(f, {}))
         times: dict[str, float] = {}
@@ -476,8 +478,10 @@ def retest_family_flags(
                 t0 = time.perf_counter()
                 execute(REGISTRY[q].spark(spark, sf_dir))
                 times[q] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            confirmed.append(f)  # retest failed: keep the flag
+        except Exception as exc:  # keep the flag, but make the crash
+            confirmed.append(f)  # auditable instead of silently posing
+            # as a reproduced regression (review r11)
+            retest_errors[f] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         retest[f] = times
         p = sum(prev_qs[f][q] for q in shared)
@@ -489,6 +493,8 @@ def retest_family_flags(
         art["registry_family_regressions_unreproduced"] = sorted(unreproduced)
     if retest:
         art["registry_family_retest_sec"] = retest
+    if retest_errors:
+        art["registry_family_retest_errors"] = retest_errors
     return art
 
 

@@ -141,16 +141,20 @@ POSTING_CAP = 50  # max doc_ids materialized per term (df stays exact)
     "an exact df and a truncated flag. The Spark build is SKEW-FREE by "
     "construction, not by slicing after the fact: distinct (term, "
     "doc_id) pairs are salted into 32 sub-groups, each sub-group keeps "
-    f"its own smallest {POSTING_CAP}, and the per-salt winners merge — "
-    f"every task touches ≤ 32·{POSTING_CAP} ids per term regardless of "
-    "how common the term is, which is what caps a stopword's posting "
-    "list at 100 TB (the two-level top-K identity: global first-K = "
-    "first-K of the per-salt first-Ks). df aggregates pre-distinct "
-    "(term, doc_id) rows, so no task ever holds a full posting list.",
+    f"its smallest {POSTING_CAP} via row_number over a SPILLABLE window "
+    "sort and a null-skipping collect_list — no aggregation buffer ever "
+    f"holds more than {POSTING_CAP} ids (review r11: the first build "
+    "sliced AFTER collect_list, so the per-salt buffer still grew "
+    "O(df/32)); the per-salt winners then merge (two-level top-K "
+    "identity: global first-K = first-K of the per-salt first-Ks). df "
+    "sums the per-salt pre-cap counts, so it stays exact while no task "
+    "materializes a full posting list — what caps a stopword at 100 TB.",
 )
 def inverted_index_capped_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     pairs = (
         d.select(
@@ -163,12 +167,21 @@ def inverted_index_capped_documents(
         .select(F.col("w").alias("term"), "doc_id")
         .distinct()  # map-side combinable; kills per-doc repeats early
     )
+    rn = F.row_number().over(
+        Window.partitionBy("term", "salt").orderBy("doc_id")
+    )
     per_salt = (
         pairs.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(32)))
+        .withColumn("rn", rn)
         .groupBy("term", "salt")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, POSTING_CAP
+            # collect_list skips the NULLs the cap predicate produces,
+            # so the buffer holds ≤ POSTING_CAP ids while count(*) still
+            # sees every pre-cap row (exact df)
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= POSTING_CAP, F.col("doc_id"))
+                )
             ).alias("p"),
             F.count("*").alias("n"),
         )

@@ -92,20 +92,42 @@ _INDEX_CACHE: dict[str, tuple[float, list]] = {}
 _SLAB_CACHE: dict[str, tuple] = {}
 
 
-def _page_index(path: str) -> list:
-    """Metadata-only slab index of a parquet table: ``(cum_start_row,
-    n_rows, handle)`` per row group, in the table's row order — footers
-    only, no data pages decoded. ``handle`` is a row-group ordinal for a
-    single file, a one-row-group dataset fragment for a Spark-written
-    DIRECTORY table (pyarrow dataset discovery order = sorted file
-    order, '_'-prefixed sidecars ignored — the same order
-    ``pq.read_table`` concatenates, pinned by test_pyapi_paging)."""
+def _freshness_token(path: str):
+    """Cache-invalidation token for a parquet table. A directory's own
+    mtime does NOT change when a part file is rewritten in place, so
+    directory tables token on every data file's (name, mtime_ns, size);
+    single files on their (mtime_ns, size)."""
     import os
 
-    token = os.path.getmtime(path)
+    if os.path.isdir(path):
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        )
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _page_index(path: str) -> tuple:
+    """Metadata-only slab index of a parquet table — ``(token,
+    [(cum_start_row, n_rows, handle), ...])`` with slabs in the table's
+    row order — footers only, no data pages decoded. ``handle`` is a
+    row-group ordinal for a single file, a one-row-group dataset
+    fragment for a Spark-written DIRECTORY table (pyarrow dataset
+    discovery order = sorted file order, '_'-prefixed sidecars ignored —
+    the same order ``pq.read_table`` concatenates, pinned by
+    test_pyapi_paging). The token rides into the slab-cache key so a
+    table REWRITTEN at the same path can never serve stale page bytes
+    (review r11)."""
+    import os
+
+    token = _freshness_token(path)
     hit = _INDEX_CACHE.get(path)
     if hit is not None and hit[0] == token:
-        return hit[1]
+        return hit
     entries: list = []
     cum = 0
     if os.path.isdir(path):
@@ -124,15 +146,18 @@ def _page_index(path: str) -> list:
             n = md.row_group(i).num_rows
             entries.append((cum, n, i))
             cum += n
-    _INDEX_CACHE[path] = (token, entries)
-    return entries
+    hit = (token, entries)
+    _INDEX_CACHE[path] = hit
+    return hit
 
 
-def _read_slab(path: str, idx: int, entries: list):
+def _read_slab(path: str, token, idx: int, entries: list):
     """Decode ONE row group (single-entry cache: consecutive pages of
     the same slab decode it once per process, and memory stays bounded
-    by one row group no matter how large the table is)."""
-    key = (path, idx)
+    by one row group no matter how large the table is). The freshness
+    token is part of the cache key — same path + same slab ordinal but
+    a rewritten table misses and re-decodes."""
+    key = (path, token, idx)
     cached = _SLAB_CACHE.get("slab")
     if cached is not None and cached[0] == key:
         return cached[1]
@@ -159,7 +184,7 @@ def _fetch_page_table(path: str, start: int, page_size: int):
     larger than any worker's memory. Returns None for an empty page."""
     from bisect import bisect_right
 
-    entries = _page_index(path)
+    token, entries = _page_index(path)
     if not entries:
         return None
     stop = start + page_size
@@ -173,7 +198,9 @@ def _fetch_page_table(path: str, start: int, page_size: int):
             continue
         lo = max(start, cum)
         hi = min(stop, cum + n)
-        parts.append(_read_slab(path, idx, entries).slice(lo - cum, hi - lo))
+        parts.append(
+            _read_slab(path, token, idx, entries).slice(lo - cum, hi - lo)
+        )
     if not parts:
         return None
     import pyarrow as pa

@@ -140,7 +140,11 @@ def state_partitions_for_input(
         elif os.path.exists(p):
             total += os.path.getsize(p)
     cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(8, min(cur, 8 + total // (32 << 20)))
+    # session cap is the OUTER bound (review r11): a session configured
+    # below the floor-of-8 keeps its own, smaller value — the floor only
+    # trims the default down, never pushes past what the session asked
+    # for (state partitioning is sticky once a checkpoint exists)
+    return min(cur, 8 + total // (32 << 20))
 
 
 def run_to_completion(

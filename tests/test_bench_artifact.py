@@ -334,6 +334,31 @@ def test_retest_budget_keeps_flag_conservatively():
         b.time.perf_counter = real_pc
     assert out["registry_family_regressions"] == ["fam"]
     assert "registry_family_retest_sec" not in out
+    # and the artifact says WHY the flag was kept unretested (review r11)
+    assert out["registry_family_retest_errors"] == {
+        "fam": "retest budget exhausted"
+    }
+
+
+def test_retest_crash_keeps_flag_and_records_error():
+    """A query that raises during the retest keeps its family flag AND
+    records the exception — a crashed corroboration run must not pose
+    as a reproduced regression (review r11)."""
+    b = _bench()
+
+    class _Boom:
+        def spark(self, s, d):
+            raise RuntimeError("executor lost")
+
+    b.REGISTRY = {"q": _Boom()}
+    art = {
+        "registry_family_regressions": ["fam"],
+        "registry_query_sec": {"fam": {"q": 5.0}},
+    }
+    prev = {"registry_query_sec": {"fam": {"q": 0.1}}}
+    out = b.retest_family_flags(None, "sf", art, prev)
+    assert out["registry_family_regressions"] == ["fam"]
+    assert "RuntimeError" in out["registry_family_retest_errors"]["fam"]
 
 
 def test_noise_gate_threshold_semantics():

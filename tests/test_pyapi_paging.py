@@ -152,3 +152,54 @@ def test_stream_offsets_advance_by_pages_consumed():
         {"path": DOCS, "page_size": "37", "pages_per_batch": "3"}
     ).read({"page": 0})
     assert replay == list(it2)
+
+
+def test_rewritten_table_never_serves_stale_pages(tmp_path):
+    """Review r11: the slab cache keys on the freshness token, so a
+    table REWRITTEN at the same path (single file, or one part file of
+    a directory table rewritten in place — where the directory's own
+    mtime does not change) must serve the new bytes immediately."""
+    import os
+
+    path = str(tmp_path / "t.parquet")
+
+    def write(vals):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(vals, pa.int64()),
+                    "text": pa.array([f"d{v}" for v in vals], pa.string()),
+                    "n_chars": pa.array([2] * len(vals), pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    write([1, 2, 3])
+    assert [r["doc_id"] for r in _fetch_page(path, 0, 10)] == [1, 2, 3]
+    write([7, 8])
+    assert [r["doc_id"] for r in _fetch_page(path, 0, 10)] == [7, 8]
+
+    # directory table: rewrite ONE part file in place, pin the dir mtime
+    dpath = str(tmp_path / "dir_t")
+    os.makedirs(dpath)
+    part = os.path.join(dpath, "part-0.parquet")
+
+    def write_part(vals):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(vals, pa.int64()),
+                    "text": pa.array([f"d{v}" for v in vals], pa.string()),
+                    "n_chars": pa.array([2] * len(vals), pa.int64()),
+                }
+            ),
+            part,
+        )
+
+    write_part([10, 11])
+    dir_stat = os.stat(dpath)
+    assert [r["doc_id"] for r in _fetch_page(dpath, 0, 10)] == [10, 11]
+    write_part([20, 21, 22])
+    os.utime(dpath, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    assert [r["doc_id"] for r in _fetch_page(dpath, 0, 10)] == [20, 21, 22]
