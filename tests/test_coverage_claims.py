@@ -19,7 +19,9 @@ REPO = Path(__file__).resolve().parent.parent
 # consciously — an unexplained token fails the gate.
 _NON_QUERY = {
     "concat_ws",
+    "density_cluster_graph",  # operator name in the r11 M2 row
     "from_json",
+    "pages_per_batch",  # reader option in the r11 S1 row
     "sentence_transformers",  # package name in the r11 real-weights gate note
     "kmeans_assign",
     "pandas_udf",
