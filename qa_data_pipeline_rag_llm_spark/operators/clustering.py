@@ -155,13 +155,18 @@ def density_cluster_graph(
         connected_components_twostar,
     )
 
-    # stage 0: exact-dup collapse (vec → min-id representative + count)
+    # stage 0: exact-dup collapse (vec → min-id representative + count).
+    # Materialized once (r11): five downstream branches reference this
+    # frame (signatures, both pair sides, the label join, the final
+    # re-expansion) and would each re-run the array-keyed groupBy over
+    # the raw input lazily — the checkpoint is O(distinct vectors), the
+    # same bound the whole operator already lives on.
     groups = df.groupBy(F.col(vec_col)).agg(
         F.min(id_col).alias("__rep"), F.count("*").alias("__cnt")
     )
     rep_vecs = groups.select(
         F.col("__rep"), F.col(vec_col), F.col("__cnt")
-    )
+    ).localCheckpoint(eager=True)
 
     sig = srp_signatures(
         rep_vecs, reps * planes_per_rep, "__rep", vec_col, dims=dims

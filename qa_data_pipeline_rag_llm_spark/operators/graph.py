@@ -139,13 +139,20 @@ def connected_components_twostar(
     must be at least (rounds-to-converge + 1); the default 30 leaves
     ample headroom over the O(log n) bound.
     """
+    # materialize the edge input FIRST (r11): the caller's edge subtree
+    # is often expensive (e.g. density_cluster_graph's cosine-verified
+    # pairs) and was computed twice — once for verts, once for round 1.
+    # The loop checkpoints every round anyway, so this only moves the
+    # first materialization ahead of the fan-out.
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     verts = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
 
     def signature(d: DataFrame):
         # order-independent, partial-aggregatable, overflow-free: exact
@@ -162,8 +169,13 @@ def connected_components_twostar(
     prev = None
     converged = False
     for _ in range(max_iter):
-        e = _large_star(_sym(e)).localCheckpoint(eager=True)
-        e = _small_star(_sym(e)).localCheckpoint(eager=True)
+        # one materialization per round (r11): both star ops are pure
+        # row transformations, so chaining them under a single
+        # checkpoint halves the per-round fixed job cost without
+        # changing any row
+        e = _small_star(_sym(_large_star(_sym(e)))).localCheckpoint(
+            eager=True
+        )
         sig = signature(e)
         if sig == prev:
             converged = True
