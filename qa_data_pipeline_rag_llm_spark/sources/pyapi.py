@@ -88,25 +88,38 @@ PAGE_COLUMNS = ["doc_id", "text", "n_chars"]
 # and re-decoded the whole table for every page request — O(n²/page)
 # aggregate, the dominant term of the honest sf1 cost measured in
 # SCALING.md (pysource_api_stream 76 s for 500k rows).
-_INDEX_CACHE: dict[str, tuple[float, list]] = {}
-_SLAB_CACHE: dict[str, tuple] = {}
+_INDEX_CACHE: dict[str, tuple] = {}  # path -> (freshness token, entries)
+_SLAB_CACHE: dict[str, tuple] = {}  # "slab" -> ((path, token, idx), table)
 
 
 def _freshness_token(path: str):
     """Cache-invalidation token for a parquet table. A directory's own
     mtime does NOT change when a part file is rewritten in place, so
-    directory tables token on every data file's (name, mtime_ns, size);
-    single files on their (mtime_ns, size)."""
+    directory tables token on every data file's (relpath, mtime_ns,
+    size) — walked RECURSIVELY, because ``pads.dataset`` discovers
+    nested fragments (e.g. a partitionBy layout) that a top-level scan
+    would be blind to (review r11). A file that vanishes between
+    listing and stat (concurrent rewrite) is skipped rather than
+    raised: its absence already changes the token, and the next fetch
+    re-indexes."""
     import os
 
     if os.path.isdir(path):
-        return tuple(
-            sorted(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in os.scandir(path)
-                if e.is_file() and not e.name.startswith(("_", "."))
+        stats = []
+        for root, dirs, files in os.walk(path):
+            dirs[:] = sorted(
+                d for d in dirs if not d.startswith(("_", "."))
             )
-        )
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue
+                try:
+                    st = os.stat(os.path.join(root, name))
+                except OSError:
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), path)
+                stats.append((rel, st.st_mtime_ns, st.st_size))
+        return tuple(sorted(stats))
     st = os.stat(path)
     return (st.st_mtime_ns, st.st_size)
 

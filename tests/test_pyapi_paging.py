@@ -203,3 +203,18 @@ def test_rewritten_table_never_serves_stale_pages(tmp_path):
     write_part([20, 21, 22])
     os.utime(dpath, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
     assert [r["doc_id"] for r in _fetch_page(dpath, 0, 10)] == [20, 21, 22]
+
+    # NESTED layout (review r11): pads.dataset discovers fragments in
+    # subdirectories, so the freshness token must walk recursively — a
+    # top-level scan would return a constant token and pin stale bytes
+    npath = str(tmp_path / "nested_t")
+    sub = os.path.join(npath, "sub")
+    os.makedirs(sub)
+    part = os.path.join(sub, "part-0.parquet")
+    write_part([30, 31])
+    assert [r["doc_id"] for r in _fetch_page(npath, 0, 10)] == [30, 31]
+    write_part([40])
+    for p in (npath, sub):
+        st = os.stat(p)
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert [r["doc_id"] for r in _fetch_page(npath, 0, 10)] == [40]
