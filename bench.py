@@ -400,6 +400,7 @@ def regime_fields(art: dict, prev: dict | None, prev_name: str = "") -> dict:
         # queries this round must not be flagged purely for the added
         # coverage — compare only the queries both rounds ran
         regressed = []
+        prenorm = []
         for f, cur_map in qs.items():
             prev_map = prev_qs.get(f)
             if not prev_map:
@@ -407,12 +408,20 @@ def regime_fields(art: dict, prev: dict | None, prev_name: str = "") -> dict:
             shared = set(cur_map) & set(prev_map)
             p = sum(prev_map[q] for q in shared)
             c = sum(cur_map[q] for q in shared)
+            # audit trail (ADVICE r11): the raw >1.3x set BEFORE the
+            # regime max-norm and the 2 s absolute floor, so a flag the
+            # leniency mechanisms suppress is still visible in the side
+            # artifact instead of vanishing without trace
+            if p > 0 and c > 1.3 * p:
+                prenorm.append(f)
             # materiality floor (r11): a 1.3x ratio on a sub-second
             # family is host-overhead noise, not a plan regression —
             # require the normalized excess to also be absolute seconds
             if p > 0 and c / norm > 1.3 * p and c / norm - p > 2.0:
                 regressed.append(f)
         art["registry_family_regressions"] = sorted(regressed)
+        if prenorm:
+            art["registry_family_regressions_prenorm"] = sorted(prenorm)
     elif fams and prev_fams:
         # legacy artifacts without per-query sweep timings: normalize
         # the subtotal by family query count when both rounds carry
@@ -421,15 +430,20 @@ def regime_fields(art: dict, prev: dict | None, prev_name: str = "") -> dict:
             "registry_family_counts"
         )
         regressed = []
+        prenorm = []
         for f, v in fams.items():
             pv = prev_fams.get(f)
             if not pv:
                 continue
             if cnt and prev_cnt and cnt.get(f) and prev_cnt.get(f):
                 v, pv = v / cnt[f], pv / prev_cnt[f]
+            if v > 1.3 * pv:
+                prenorm.append(f)
             if v / norm > 1.3 * pv:
                 regressed.append(f)
         art["registry_family_regressions"] = sorted(regressed)
+        if prenorm:
+            art["registry_family_regressions_prenorm"] = sorted(prenorm)
     return art
 
 
@@ -608,24 +622,57 @@ SIDE_ONLY_KEYS = frozenset(
         "sched_anchor_sec",
         "calibration_end_sec",
         "jobs_timed",
+        # dict-valued retest audit trail (r11 regression: this key alone
+        # was 3.2 KB and blew the printed line past the driver's capture,
+        # so BENCH_r11.json landed with parsed:null — VERDICT r11 #2)
+        "registry_family_retest_sec",
+        "registry_family_retest_errors",
+        "registry_family_regressions_unreproduced",
+        "registry_family_regressions_prenorm",
     }
 )
 LINE_BUDGET_CHARS = 1900  # headroom under the driver's ~2000-char tail
 
+# Never dropped by the overflow loop: the driver's cross-round
+# comparisons need these even from a pathologically fat artifact.
+ESSENTIAL_LINE_KEYS = frozenset(
+    {"metric", "value", "unit", "sf", "detail_artifact"}
+)
+
 
 def compact_line(art: dict, detail_name: str) -> str:
     """The printed artifact line: compact core + per-query medians +
-    a pointer to the full side artifact. Guarded against ever nearing
-    the driver's capture limit again."""
+    a pointer to the full side artifact. Any overflow sheds the fattest
+    non-essential fields until the line fits (VERDICT r11 #2: the old
+    last-resort branch popped only ``queries`` and never re-checked the
+    budget, so a new dict-valued key overflowed the driver's ~2000-char
+    tail capture and the round shipped with parsed:null)."""
     line = {k: v for k, v in art.items() if k not in SIDE_ONLY_KEYS}
     if art.get("registry_errors"):
         line["registry_error_count"] = len(art["registry_errors"])
+    if art.get("registry_family_regressions_unreproduced"):
+        line["registry_unreproduced_count"] = len(
+            art["registry_family_regressions_unreproduced"]
+        )
     line["detail_artifact"] = detail_name
     s = json.dumps(line)
-    if len(s) > LINE_BUDGET_CHARS:  # last-resort: medians live in the side file
-        line.pop("queries", None)
-        line["queries_in_detail_only"] = True
-        s = json.dumps(line)
+    if len(s) > LINE_BUDGET_CHARS:
+        by_size = sorted(
+            (k for k in line if k not in ESSENTIAL_LINE_KEYS),
+            key=lambda k: len(json.dumps(line[k])),
+            reverse=True,
+        )
+        for k in by_size:
+            line.pop(k)
+            if k == "queries":
+                line["queries_in_detail_only"] = True
+            line["fields_in_detail_only"] = True
+            s = json.dumps(line)
+            if len(s) <= LINE_BUDGET_CHARS:
+                break
+    assert len(s) <= LINE_BUDGET_CHARS, (
+        f"bench line is {len(s)} chars, over the {LINE_BUDGET_CHARS} budget"
+    )
     return s
 
 

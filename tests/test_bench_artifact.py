@@ -177,6 +177,95 @@ def test_compact_line_fits_driver_tail_capture():
     assert json.loads(line2)["queries_in_detail_only"] is True
 
 
+def test_compact_line_fat_artifact_r11_regression():
+    """VERDICT r11 #2: the r11 run added registry_family_retest_sec (a
+    3.2 KB dict) to the artifact but not to SIDE_ONLY_KEYS, and the old
+    last-resort branch popped only `queries` without re-checking the
+    budget — the printed line blew past the driver's ~2000-char tail
+    capture and BENCH_r11.json shipped with parsed:null. Pin both
+    fixes: the retest keys are side-only, and ANY future fat key is
+    shed by the overflow loop rather than busting the budget."""
+    import json
+
+    b = _bench()
+    art = {
+        "metric": "headline_queries_total_sec",
+        "value": 9.865,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_name_number_{i:02d}": 0.123 for i in range(17)},
+        "registry_family_regressions": [],
+        # the exact shape that broke r11: 10 families x per-query medians
+        "registry_family_retest_sec": {
+            f"queries_family_{i:02d}": {
+                f"some_long_query_name_{j:02d}": 1.234 for j in range(10)
+            }
+            for i in range(10)
+        },
+        "registry_family_retest_errors": {"queries_family_00": "boom"},
+        "registry_family_regressions_unreproduced": [
+            f"queries_family_{i:02d}" for i in range(10)
+        ],
+        "registry_family_regressions_prenorm": [
+            f"queries_family_{i:02d}" for i in range(12)
+        ],
+    }
+    line = b.compact_line(art, "BENCH_FULL_r12.json")
+    assert len(line) <= b.LINE_BUDGET_CHARS
+    parsed = json.loads(line)
+    assert parsed["value"] == 9.865
+    assert "registry_family_retest_sec" not in parsed
+    assert "registry_family_regressions_unreproduced" not in parsed
+    assert parsed["registry_unreproduced_count"] == 10
+    # a future dict-valued key NOT in SIDE_ONLY_KEYS must be shed by the
+    # overflow loop, never silently overflow
+    art["some_future_fat_key"] = {f"entry_{i:04d}": 1.0 for i in range(500)}
+    line2 = b.compact_line(art, "BENCH_FULL_r12.json")
+    assert len(line2) <= b.LINE_BUDGET_CHARS
+    parsed2 = json.loads(line2)
+    assert "some_future_fat_key" not in parsed2
+    assert parsed2["fields_in_detail_only"] is True
+    assert parsed2["value"] == 9.865  # essentials survive any shedding
+    assert parsed2["detail_artifact"] == "BENCH_FULL_r12.json"
+
+
+def test_regime_fields_records_prenorm_flags():
+    """ADVICE r11: three leniency mechanisms (regime max-norm, 2 s
+    floor, retest) can each suppress a flag; the raw >1.3x set must
+    stay auditable in the artifact."""
+    b = _bench()
+    art = {
+        "metric": "m",
+        "value": 10.0,
+        "calibration_sec": 0.6,
+        "sf": 0.1,
+        "registry_query_sec": {
+            # 1.5x slower but host-normalized away (ratio 1.5)
+            "fam_normed": {"q1": 7.5, "q2": 7.5},
+            # 2x slower but under the 2 s absolute floor
+            "fam_floored": {"q1": 0.4},
+            # genuinely regressed beyond norm and floor
+            "fam_real": {"q1": 20.0},
+        },
+    }
+    prev = {
+        "calibration_sec": 0.4,
+        "sf": 0.1,
+        "registry_query_sec": {
+            "fam_normed": {"q1": 5.0, "q2": 5.0},
+            "fam_floored": {"q1": 0.2},
+            "fam_real": {"q1": 5.0},
+        },
+    }
+    out = b.regime_fields(art, prev)
+    assert out["registry_family_regressions"] == ["fam_real"]
+    assert out["registry_family_regressions_prenorm"] == [
+        "fam_floored",
+        "fam_normed",
+        "fam_real",
+    ]
+
+
 def test_recover_from_tail_salvages_r09_wrapper():
     """The REAL r09 wrapper (parsed: null, tail truncated mid-object)
     must yield at least the calibration the regime gate needs."""
