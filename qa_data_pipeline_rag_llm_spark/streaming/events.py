@@ -449,7 +449,11 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
-    return run_to_completion(agg, "complete")
+    return run_to_completion(
+        agg,
+        "complete",
+        state_partitions_for_input(spark, sf_dir, tables=("events",)),
+    )
 
 
 def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,18 +498,22 @@ class _TypeProfileProcessor:
         self._counts = handle.getMapState("counts", "event_type string", "n bigint")
 
     def handleInputRows(self, key, rows, timerValues):
+        # Batch the state protocol (VERDICT r11 ask #5): every MapState
+        # call is a round trip to the JVM state server, so the old
+        # per-type containsKey+getValue+updateValue (3 RPCs/type) plus a
+        # trailing iterator cost ~3t+1 round trips per user per batch.
+        # Merge the batch locally, drain the map ONCE, and write only
+        # the types this batch touched — t+1 round trips, and the final
+        # emission is computed from the local merge, not a re-read.
+        batch: dict[str, int] = {}
         for pdf in rows:
             for et, c in pdf.groupby("event_type").size().items():
-                k = (str(et),)
-                cur = (
-                    self._counts.getValue(k)[0]
-                    if self._counts.containsKey(k)
-                    else 0
-                )
-                self._counts.updateValue(k, (cur + int(c),))
-        items = sorted(
-            (k[0], v[0]) for k, v in self._counts.iterator()
-        )
+                batch[str(et)] = batch.get(str(et), 0) + int(c)
+        d = {k[0]: v[0] for k, v in self._counts.iterator()}
+        for et, c in batch.items():
+            d[et] = d.get(et, 0) + c
+            self._counts.updateValue((et,), (d[et],))
+        items = sorted(d.items())
         total = sum(n for _, n in items)
         top = min(items, key=lambda kv: (-kv[1], kv[0]))[0]
         yield pd.DataFrame(
@@ -602,7 +610,11 @@ def stream_user_type_profile(
         prev = spark.conf.get(key, None)
         spark.conf.set(key, ROCKSDB_PROVIDER)
         try:
-            res = run_to_completion(out, "update")
+            res = run_to_completion(
+                out,
+                "update",
+                state_partitions_for_input(spark, sf_dir, tables=("events",)),
+            )
         finally:
             if prev is None:
                 spark.conf.unset(key)
@@ -616,7 +628,11 @@ def stream_user_type_profile(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        res = run_to_completion(out, "update")
+        res = run_to_completion(
+            out,
+            "update",
+            state_partitions_for_input(spark, sf_dir, tables=("events",)),
+        )
     # update mode re-emits per micro-batch; keep each user's final row
     return (
         res.groupBy("user_id")
@@ -684,7 +700,7 @@ def stream_stream_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataF
         "left_outer",
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_value")
     out = run_to_completion(
-        joined, "append", state_partitions_for_input(spark, sf_dir)
+        joined, "append", state_partitions_for_input(spark, sf_dir, tables=("events",))
     )
 
     from qa_data_pipeline_rag_llm_spark.catalog import load_table
@@ -756,7 +772,7 @@ def stream_stream_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataF
         "purchase_ts",
     )
     out = run_to_completion(
-        joined, "append", state_partitions_for_input(spark, sf_dir)
+        joined, "append", state_partitions_for_input(spark, sf_dir, tables=("events",))
     )
 
     from qa_data_pipeline_rag_llm_spark.catalog import load_table
@@ -832,7 +848,7 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(
-        joined, "append", state_partitions_for_input(spark, sf_dir)
+        joined, "append", state_partitions_for_input(spark, sf_dir, tables=("events",))
     )
 
 
