@@ -56,3 +56,37 @@ def test_registry_queries_are_documented():
     text = (REPO / "COVERAGE.md").read_text() + (REPO / "QUERIES.md").read_text()
     undocumented = sorted(n for n in REGISTRY if f"`{n}`" not in text)
     assert not undocumented, f"undocumented queries: {undocumented}"
+
+
+def test_documented_knobs_exist_in_api():
+    """VERDICT r11 ask #7: the perf knobs COVERAGE.md advertises must
+    stay real API surface — a rename or removal should fail here, not
+    ship as a stale claim. Signature-level check (no Spark session)."""
+    import inspect
+
+    from qa_data_pipeline_rag_llm_spark.operators.clustering import (
+        density_cluster_graph,
+    )
+    from qa_data_pipeline_rag_llm_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    # kernel switch on the pair-graph clustering path (r11)
+    params = inspect.signature(density_cluster_graph).parameters
+    assert "kernel" in params and params["kernel"].default == "fold"
+    src = inspect.getsource(density_cluster_graph)
+    assert 'kernel == "arrow"' in src  # the documented option is handled
+
+    # same contract on the embedding near-dup verifier
+    assert "kernel" in inspect.signature(embedding_near_dup).parameters
+
+    # pages_per_batch on the streaming API reader (r11 backfill knob)
+    from qa_data_pipeline_rag_llm_spark.sources import pyapi
+
+    assert "pages_per_batch" in inspect.getsource(pyapi)
+    # the public stream helper must expose it as a parameter
+    assert any(
+        inspect.isfunction(v)
+        and "pages_per_batch" in inspect.signature(v).parameters
+        for v in vars(pyapi).values()
+    )
