@@ -92,7 +92,10 @@ _INDEX_CACHE: dict[str, tuple] = {}  # path -> (freshness token, entries)
 _SLAB_CACHE: dict[str, tuple] = {}  # "slab" -> ((path, token, idx), table)
 
 
-def _freshness_token(path: str):
+_TOKEN_MEMO: dict[str, tuple[int, tuple]] = {}  # path -> (monotonic_ns, token)
+
+
+def _freshness_token(path: str, ttl_ns: int = 0):
     """Cache-invalidation token for a parquet table. A directory's own
     mtime does NOT change when a part file is rewritten in place, so
     directory tables token on every data file's (relpath, mtime_ns,
@@ -101,9 +104,24 @@ def _freshness_token(path: str):
     would be blind to (review r11). A file that vanishes between
     listing and stat (concurrent rewrite) is skipped rather than
     raised: its absence already changes the token, and the next fetch
-    re-indexes."""
-    import os
+    re-indexes.
 
+    ``ttl_ns`` (ADVICE r11): the walk is O(files) and runs on every page
+    fetch even on index-cache hits, so a many-file directory table with
+    a small page_size pays per-page metadata cost. The default 0 keeps
+    strict freshness (a rewrite is visible on the very next fetch — the
+    review-r11 pin). A positive TTL memoizes the token per process for
+    that long, trading staleness ≤ TTL for O(1) metadata on the hot
+    paging path — the right setting when the backing table is an
+    immutable snapshot, which is what a production page server serves.
+    Opt in via the reader option ``freshness_ttl_ms``."""
+    import os
+    import time
+
+    if ttl_ns > 0:
+        hit = _TOKEN_MEMO.get(path)
+        if hit is not None and time.monotonic_ns() - hit[0] <= ttl_ns:
+            return hit[1]
     if os.path.isdir(path):
         stats = []
         for root, dirs, files in os.walk(path):
@@ -119,12 +137,16 @@ def _freshness_token(path: str):
                     continue
                 rel = os.path.relpath(os.path.join(root, name), path)
                 stats.append((rel, st.st_mtime_ns, st.st_size))
-        return tuple(sorted(stats))
-    st = os.stat(path)
-    return (st.st_mtime_ns, st.st_size)
+        token: tuple = tuple(sorted(stats))
+    else:
+        st = os.stat(path)
+        token = (st.st_mtime_ns, st.st_size)
+    if ttl_ns > 0:
+        _TOKEN_MEMO[path] = (time.monotonic_ns(), token)
+    return token
 
 
-def _page_index(path: str) -> tuple:
+def _page_index(path: str, ttl_ns: int = 0) -> tuple:
     """Metadata-only slab index of a parquet table — ``(token,
     [(cum_start_row, n_rows, handle), ...])`` with slabs in the table's
     row order — footers only, no data pages decoded. ``handle`` is a
@@ -137,7 +159,7 @@ def _page_index(path: str) -> tuple:
     (review r11)."""
     import os
 
-    token = _freshness_token(path)
+    token = _freshness_token(path, ttl_ns)
     hit = _INDEX_CACHE.get(path)
     if hit is not None and hit[0] == token:
         return hit
@@ -185,7 +207,7 @@ def _read_slab(path: str, token, idx: int, entries: list):
     return t
 
 
-def _fetch_page_table(path: str, start: int, page_size: int):
+def _fetch_page_table(path: str, start: int, page_size: int, ttl_ns: int = 0):
     """The 'HTTP GET' stand-in: one page of raw posts as a pyarrow
     Table. A real source issues the paged API request here (with the
     reference's rate delay / backoff policy applied PER TASK, which is
@@ -197,7 +219,7 @@ def _fetch_page_table(path: str, start: int, page_size: int):
     larger than any worker's memory. Returns None for an empty page."""
     from bisect import bisect_right
 
-    token, entries = _page_index(path)
+    token, entries = _page_index(path, ttl_ns)
     if not entries:
         return None
     stop = start + page_size
@@ -221,10 +243,10 @@ def _fetch_page_table(path: str, start: int, page_size: int):
     return pa.concat_tables(parts)
 
 
-def _fetch_page(path: str, start: int, page_size: int) -> list[dict]:
+def _fetch_page(path: str, start: int, page_size: int, ttl_ns: int = 0) -> list[dict]:
     """Row-dict page view over ``_fetch_page_table`` (the streaming
     reader's per-row path; the batch reader stays Arrow end to end)."""
-    t = _fetch_page_table(path, start, page_size)
+    t = _fetch_page_table(path, start, page_size, ttl_ns)
     return t.to_pylist() if t is not None else []
 
 
@@ -265,6 +287,7 @@ class QAApiReader(DataSourceReader):
         if not (self.path or self.base_url):
             raise ValueError("qa_api needs a path or base_url option")
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.ttl_ns = int(float(options.get("freshness_ttl_ms", 0)) * 1e6)
 
     def partitions(self) -> list[InputPartition]:
         """Page planning = the API's pagination, done from metadata only
@@ -291,7 +314,7 @@ class QAApiReader(DataSourceReader):
             rows = _http_page(self.base_url, start, self.page_size)
             t = pa.Table.from_pylist(rows) if rows else None
         else:
-            t = _fetch_page_table(self.path, start, self.page_size)
+            t = _fetch_page_table(self.path, start, self.page_size, self.ttl_ns)
         if t is not None and t.num_rows:
             yield from _normalize_batches(t, self.page_size)
 
@@ -355,12 +378,13 @@ class QAApiStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("qa_api needs a path or base_url option")
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self.pages_per_batch = int(options.get("pages_per_batch", 1))
+        self.ttl_ns = int(float(options.get("freshness_ttl_ms", 0)) * 1e6)
 
     def _page(self, page: int) -> list[dict]:
         start = page * self.page_size
         if self.base_url:
             return _http_page(self.base_url, start, self.page_size)
-        return _fetch_page(self.path, start, self.page_size)
+        return _fetch_page(self.path, start, self.page_size, self.ttl_ns)
 
     def initialOffset(self) -> dict:
         return {"page": 0}

@@ -218,3 +218,44 @@ def test_rewritten_table_never_serves_stale_pages(tmp_path):
         st = os.stat(p)
         os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
     assert [r["doc_id"] for r in _fetch_page(npath, 0, 10)] == [40]
+
+
+def test_freshness_ttl_amortizes_but_default_stays_strict(tmp_path):
+    """ADVICE r11: the recursive freshness walk is O(files) per page
+    fetch. freshness_ttl_ms memoizes the token per process: within the
+    TTL a rewrite may serve the old bytes (documented trade), and after
+    the TTL the new bytes must appear; with the default ttl=0 the
+    rewrite is visible on the very next fetch (the review-r11 pin)."""
+    import time
+
+    from qa_data_pipeline_rag_llm_spark.sources.pyapi import (
+        _TOKEN_MEMO,
+        _fetch_page,
+    )
+
+    path = str(tmp_path / "t.parquet")
+
+    def write(vals):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(vals, pa.int64()),
+                    "text": pa.array([f"d{v}" for v in vals], pa.string()),
+                    "n_chars": pa.array([2] * len(vals), pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    write([1, 2])
+    ttl_ns = 300_000_000  # 300 ms
+    assert [r["doc_id"] for r in _fetch_page(path, 0, 10, ttl_ns)] == [1, 2]
+    assert path in _TOKEN_MEMO  # memo populated only on the TTL path
+    write([5, 6, 7])
+    # within the TTL the memoized token pins the old index / slab
+    assert [r["doc_id"] for r in _fetch_page(path, 0, 10, ttl_ns)] == [1, 2]
+    # ...but a strict (default) fetch of the same path sees fresh bytes
+    assert [r["doc_id"] for r in _fetch_page(path, 0, 10)] == [5, 6, 7]
+    # and after the TTL expires the amortized path converges too
+    time.sleep(0.35)
+    assert [r["doc_id"] for r in _fetch_page(path, 0, 10, ttl_ns)] == [5, 6, 7]
