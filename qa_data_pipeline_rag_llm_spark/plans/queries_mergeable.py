@@ -217,6 +217,7 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.streaming.events import (
         read_events_stream,
         run_to_completion,
+        state_partitions_for_input,
     )
 
     ev = read_events_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
@@ -225,7 +226,11 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("r").alias("m_reg"))
     )
-    regs = run_to_completion(regs_stream, "complete").select(
+    regs = run_to_completion(
+        regs_stream,
+        "complete",
+        state_partitions_for_input(spark, sf_dir, tables=("events",)),
+    ).select(
         F.lit("stream").alias("scope"), "bucket", "m_reg"
     )
     est = hll.estimate(regs, ["scope"])

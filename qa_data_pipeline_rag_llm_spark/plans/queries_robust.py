@@ -490,9 +490,15 @@ def streaming_quantile_sketch_events(
         .groupBy("bin")
         .count()
     )
-    bins = run_to_completion(bins_stream, "complete").select(
-        "bin", F.col("count").cast("long").alias("bc")
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        state_partitions_for_input,
     )
+
+    bins = run_to_completion(
+        bins_stream,
+        "complete",
+        state_partitions_for_input(spark, sf_dir, tables=("events",)),
+    ).select("bin", F.col("count").cast("long").alias("bc"))
     return _quantile_report(spark, sf_dir, bins, stats)
 
 

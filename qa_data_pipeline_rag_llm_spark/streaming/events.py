@@ -204,7 +204,7 @@ def stream_hourly_counts(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
         ).alias("total_value"),
     )
-    res = run_to_completion(agg, "complete")
+    res = run_to_completion(agg, "complete", state_partitions_for_input(spark, sf_dir, tables=("events",)))
     return res.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("hour"),
         "event_type",
@@ -287,7 +287,7 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    res = run_to_completion(out, "update")
+    res = run_to_completion(out, "update", state_partitions_for_input(spark, sf_dir, tables=("events",)))
     # update mode re-emits a row per micro-batch; keep each user's final
     final = res.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -315,7 +315,7 @@ def stream_sliding_counts(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
         ).alias("total_value"),
     )
-    res = run_to_completion(agg, "complete")
+    res = run_to_completion(agg, "complete", state_partitions_for_input(spark, sf_dir, tables=("events",)))
     return res.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
         "event_type",
@@ -337,7 +337,7 @@ def stream_session_windows(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
         ).alias("total_value"),
     )
-    res = run_to_completion(agg, "complete")
+    res = run_to_completion(agg, "complete", state_partitions_for_input(spark, sf_dir, tables=("events",)))
     return res.select(
         "user_id",
         F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -371,7 +371,7 @@ def stream_session_windows_watermarked(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
         ).alias("total_value"),
     )
-    res = run_to_completion(agg, "append")
+    res = run_to_completion(agg, "append", state_partitions_for_input(spark, sf_dir, tables=("events",)))
     return res.select(
         "user_id",
         F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -392,7 +392,7 @@ def stream_dedup_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minute", F.date_trunc("minute", "ts")
     ).dropDuplicates(["user_id", "event_type", "minute"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_kept"))
-    return run_to_completion(agg, "complete")
+    return run_to_completion(agg, "complete", state_partitions_for_input(spark, sf_dir, tables=("events",)))
 
 
 def stream_to_parquet_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +483,7 @@ def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
-    return run_to_completion(agg, "complete")
+    return run_to_completion(agg, "complete", state_partitions_for_input(spark, sf_dir, tables=("events",)))
 
 
 class _TypeProfileProcessor:
@@ -916,7 +916,7 @@ def stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_band_hits") == 0).alias("is_new"),
         )
     )
-    return run_to_completion(gated, "complete")
+    return run_to_completion(gated, "complete", state_partitions_for_input(spark, sf_dir, tables=("documents",)))
 
 
 def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,7 +1059,7 @@ def stream_scd2_closed_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(out, "append")
+    return run_to_completion(out, "append", state_partitions_for_input(spark, sf_dir, tables=("events",)))
 
 
 # ------------------------------------------------- bounded-batch backfill
@@ -1118,14 +1118,29 @@ def stream_backfill_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_value"),
     )
     name = f"q_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # input-sized state partitions matter MOST here: the bounded drain
+    # runs BACKFILL_FILES/BACKFILL_FILES_PER_TRIGGER micro-batches, so
+    # every state-store instance pays its commit cost per batch
+    key = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        str(state_partitions_for_input(spark, sf_dir, tables=("events",))),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_sp is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev_sp)
     n_batches = len(
         {p["batchId"] for p in q.recentProgress if p.get("numInputRows", 0) > 0}
     )
