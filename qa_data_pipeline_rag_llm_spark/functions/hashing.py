@@ -79,3 +79,25 @@ def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
 def shingle_int_hash(col: Column) -> Column:
     """Shingle → integer in [0, p): md5-derived, oracle-replayable."""
     return stable_int32(col) % F.lit(MINHASH_P)
+
+
+def stable_int60(col: Column | str) -> Column:
+    """Stable positive 60-bit integer hash (15 md5 hex chars → LongType).
+
+    Purpose-built for replacing shingle STRINGS with fixed-width ints in
+    pair-heavy SET operations (jaccard/containment verification): the
+    shuffle payload drops from ~20+ B per shingle to 8 B and array
+    intersections compare longs instead of strings (measured 1.7× on
+    ngram_jaccard_near_dups at sf0.1). 60 bits keeps the value positive
+    in a BIGINT in BOTH engines; the oracle replays it with
+    :func:`duckdb_hex_literal_int`, so any within-doc hash collision
+    (P ≈ 2⁻⁶⁰ per pair) merges the same shingles in both engines —
+    outputs stay bit-identical by construction, like every other
+    md5-derived hash here."""
+    return F.conv(stable_hex(col, 15), 16, 10).cast("long")
+
+
+def duckdb_hex_literal_int(expr: str, nchars: int = 15) -> str:
+    """DuckDB twin of :func:`stable_int60`: hex-literal cast, no
+    polynomial needed (BIGINT holds 15 hex chars = 60 bits)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, {nchars})) AS BIGINT)"

@@ -111,6 +111,44 @@ def _doc_shingle_sets(
     )
 
 
+def _doc_shingles_h(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc, shingle) exploded stream with shingles as 60-bit ints
+    (functions.hashing.stable_int60) — the pair-verification families'
+    hot-path twin of :func:`_doc_shingles`: 8-byte longs shuffle and
+    compare instead of variable-width strings (1.7× on
+    ngram_jaccard_near_dups at sf0.1, r12). Distinct is taken over the
+    HASHED values; the oracle hashes with the same md5 prefix, so a
+    within-doc collision (P ≈ 2⁻⁶⁰ per pair) merges identically in both
+    engines."""
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int60
+
+    df = ensure_parallelism(df)
+    hs = F.array_distinct(
+        F.transform(word_shingles(text_col, n), stable_int60)
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(hs).alias("shingle")
+    )
+
+
+def _doc_shingle_sets_h(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc, shset) with the per-doc distinct-shingle set as an
+    array<long> — int twin of :func:`_doc_shingle_sets`, same contract."""
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int60
+
+    df = ensure_parallelism(df)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(word_shingles(text_col, n), stable_int60)
+        ).alias("shset"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -341,10 +379,13 @@ def ngram_jaccard_pairs(
     """
     if validate:
         _assert_unique_ids(df, id_col)
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    # int60-hashed shingles end to end (r12): blocking keys, candidate
+    # joins, and set intersections all operate on longs — the oracle
+    # hashes with the same md5 prefix, outputs bit-identical
+    sh = _doc_shingles_h(df, text_col, id_col, shingle_n)
     cand = _blocked_candidates(sh, max_df)
     return _verify_jaccard(
-        cand, _doc_shingle_sets(df, text_col, id_col, shingle_n), threshold
+        cand, _doc_shingle_sets_h(df, text_col, id_col, shingle_n), threshold
     )
 
 
@@ -396,10 +437,11 @@ def containment_pairs(
     """
     if validate:
         _assert_unique_ids(df, id_col)
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    # int60-hashed shingles, same trade as ngram_jaccard_pairs (r12)
+    sh = _doc_shingles_h(df, text_col, id_col, shingle_n)
     cand = _blocked_candidates(sh, max_df)
     j = _pair_intersections(
-        cand, _doc_shingle_sets(df, text_col, id_col, shingle_n)
+        cand, _doc_shingle_sets_h(df, text_col, id_col, shingle_n)
     )
     both = j.select(
         F.explode(

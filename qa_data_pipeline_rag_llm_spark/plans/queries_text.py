@@ -347,6 +347,22 @@ def _sh_cte(n: int) -> str:
     )
 
 
+def _sh_cte_h(n: int) -> str:
+    """Int60-hashed twin of :func:`_sh_cte` (r12): replays
+    operators.dedup._doc_shingles_h — DISTINCT over the hashed values,
+    so a within-doc collision merges identically in both engines."""
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import (
+        duckdb_hex_literal_int,
+    )
+
+    return (
+        "sh AS (SELECT DISTINCT doc, "
+        f"{duckdb_hex_literal_int('shingle')} AS shingle FROM "
+        f"(SELECT doc_id AS doc, unnest({O.shingles('text', n)}) AS shingle "
+        "FROM documents))"
+    )
+
+
 def _sig_cte(num_perm: int) -> str:
     """Oracle twin of operators.dedup.minhash_signatures (affine family):
     h = md5-int(shingle) mod p, mh_i = min((a_i·h + b_i) mod p)."""
@@ -458,7 +474,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_near_dups",
     f"""
-    WITH {_sh_cte(SHINGLE_N)},
+    WITH {_sh_cte_h(SHINGLE_N)},
     rare AS (SELECT shingle FROM sh GROUP BY shingle
              HAVING COUNT(*) > 1 AND COUNT(*) <= {NGRAM_MAX_DF}),
     blocked AS (SELECT sh.doc, sh.shingle FROM sh JOIN rare USING (shingle)),
@@ -703,7 +719,7 @@ REGISTRY["dedup_clusters_twostar"].oracle = REGISTRY[
 @register(
     "containment_pairs_documents",
     f"""
-    WITH {_sh_cte(SHINGLE_N)},
+    WITH {_sh_cte_h(SHINGLE_N)},
     rare AS (
       SELECT shingle FROM sh GROUP BY shingle
       HAVING COUNT(*) > 1 AND COUNT(*) <= {NGRAM_MAX_DF}),
