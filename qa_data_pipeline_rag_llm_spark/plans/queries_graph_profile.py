@@ -81,6 +81,12 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r", F.lit(PR_ONE).cast("long")
     )
     base = PR_ONE * 15 // 100
+    # NOT a broadcast-join candidate despite the tiny rank vector:
+    # interleaved A/B (r12, 3 trials) measured forced-broadcast at
+    # parity-to-slightly-slower (6.4–6.7 s vs 6.3–6.4 s shuffle) — the
+    # checkpointed ranks are small enough that AQE already picks the
+    # right exchange, and the per-iteration wall is the dst aggregation
+    # shuffle, which broadcasting cannot remove.
     try:
         for _ in range(PR_ITERS):
             contrib = edges_deg.join(
