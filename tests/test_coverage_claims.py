@@ -22,6 +22,9 @@ _NON_QUERY = {
     "density_cluster_graph",  # operator name in the r11 M2 row
     "from_json",
     "pages_per_batch",  # reader option in the r11 S1 row
+    "freshness_ttl_ms",  # reader option in the r12 S1 row
+    "stable_int60",  # hashing helper in the r12 dedup row
+    "state_partitions_for_input",  # sizing helper in the r12 streaming row
     "sentence_transformers",  # package name in the r11 real-weights gate note
     "kmeans_assign",
     "pandas_udf",
@@ -90,3 +93,18 @@ def test_documented_knobs_exist_in_api():
         and "pages_per_batch" in inspect.signature(v).parameters
         for v in vars(pyapi).values()
     )
+
+    # r12 knobs: the freshness TTL reader option, the int60 hash pair,
+    # and the streaming state-sizing helper the coverage map cites
+    assert "freshness_ttl_ms" in inspect.getsource(pyapi)
+    from qa_data_pipeline_rag_llm_spark.functions.hashing import (
+        duckdb_hex_literal_int,
+        stable_int60,
+    )
+
+    assert callable(stable_int60) and callable(duckdb_hex_literal_int)
+    from qa_data_pipeline_rag_llm_spark.streaming.events import (
+        state_partitions_for_input,
+    )
+
+    assert "tables" in inspect.signature(state_partitions_for_input).parameters
