@@ -410,3 +410,108 @@ _R["split_leakage_audit_documents"].oracle = f"""
            (split_x <> split_y) AS is_leak
     FROM labeled GROUP BY split_x, split_y
 """
+
+
+@register(
+    "leakage_quarantine_documents",
+    None,  # injected below: composes the verified near-dup pair oracle
+    doc="The REPAIR step after split_leakage_audit_documents: every TRAIN "
+    "doc that is a verified MinHash near-dup of a VAL or TEST doc is "
+    "quarantined (removed from train), so no held-out document has a "
+    "near-copy inside the training split. Output: per-source train "
+    "counts before/after and the quarantine rate — the decontamination "
+    "summary a data-release report prints. Same banded pair stream as "
+    "the audit (never all-pairs); the quarantine set is a semi-join of "
+    "train docs against the cross-split pair frame.",
+)
+def leakage_quarantine_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY
+    from qa_data_pipeline_rag_llm_spark.plans.queries_sampling import (
+        _SPARK_BUCKET,
+    )
+
+    pairs = REGISTRY["minhash_near_dups"].spark(spark, sf_dir)
+    bucket = F.expr(_SPARK_BUCKET.format(key="doc_id"))
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", split.alias("split")
+    )
+    labeled = pairs.join(
+        d.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a")),
+        "doc_a",
+    ).join(
+        d.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b")),
+        "doc_b",
+    )
+    # train-side doc of every cross-split near-dup pair, either direction
+    tainted = (
+        labeled.filter(
+            (F.col("sp_a") == "train") & (F.col("sp_b") != "train")
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            labeled.filter(
+                (F.col("sp_b") == "train") & (F.col("sp_a") != "train")
+            ).select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    train = d.filter(F.col("split") == "train")
+    quarantined = train.join(tainted, "doc_id", "left_semi")
+    n_train = train.groupBy("source").agg(F.count("*").alias("n_train"))
+    n_q = quarantined.groupBy("source").agg(F.count("*").alias("n_quarantined"))
+    return (
+        n_train.join(n_q, "source", "left_outer")
+        .select(
+            "source",
+            "n_train",
+            F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+            (F.col("n_train") - F.coalesce("n_quarantined", F.lit(0))).alias(
+                "n_train_clean"
+            ),
+            F.round(
+                F.coalesce("n_quarantined", F.lit(0))
+                / F.col("n_train").cast("double"),
+                6,
+            ).alias("quarantine_rate"),
+        )
+    )
+
+
+_R["leakage_quarantine_documents"].oracle = f"""
+    WITH pairs AS ({_R["minhash_near_dups"].oracle}),
+    lab AS (SELECT doc_id, source,
+                   CASE WHEN {_DB.format(key="doc_id")} < 204 THEN 'train'
+                        WHEN {_DB.format(key="doc_id")} < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents),
+    labeled AS (
+      SELECT p.doc_a, p.doc_b, la.split AS sp_a, lb.split AS sp_b
+      FROM pairs p
+      JOIN lab la ON p.doc_a = la.doc_id
+      JOIN lab lb ON p.doc_b = lb.doc_id),
+    tainted AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM labeled
+        WHERE sp_a = 'train' AND sp_b != 'train'
+        UNION ALL
+        SELECT doc_b AS doc_id FROM labeled
+        WHERE sp_b = 'train' AND sp_a != 'train')),
+    train AS (SELECT doc_id, source FROM lab WHERE split = 'train'),
+    q AS (SELECT t.source, COUNT(*) AS n_quarantined
+          FROM train t JOIN tainted x ON t.doc_id = x.doc_id
+          GROUP BY t.source),
+    nt AS (SELECT source, COUNT(*) AS n_train FROM train GROUP BY source)
+    SELECT nt.source,
+           CAST(nt.n_train AS BIGINT) AS n_train,
+           CAST(COALESCE(q.n_quarantined, 0) AS BIGINT) AS n_quarantined,
+           CAST(nt.n_train - COALESCE(q.n_quarantined, 0) AS BIGINT)
+             AS n_train_clean,
+           round(COALESCE(q.n_quarantined, 0)
+                 / CAST(nt.n_train AS DOUBLE), 6) AS quarantine_rate
+    FROM nt LEFT JOIN q ON nt.source = q.source
+"""
