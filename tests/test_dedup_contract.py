@@ -275,3 +275,40 @@ def test_word_shingles_kernel_matches_sql_twin(spark, tables):
             )
         )
         assert got == want, n
+
+
+def test_int60_hashed_pairs_equal_string_pairs(spark):
+    """r12: the jaccard/containment families hash shingles to 60-bit
+    longs before blocking/intersection. The hash is injective on every
+    real corpus slice (P[collision] ≈ 2^-60 per within-doc pair), so the
+    pair set AND the jaccard values must equal the string-shingle path
+    exactly — pinned here on the sf0.001 documents table by rebuilding
+    the string variant inline."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    from qa_data_pipeline_rag_llm_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    hashed = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_pairs(docs, shingle_n=3, max_df=20, threshold=0.2)
+            .select("doc_a", "doc_b", "jaccard")
+            .collect(),
+        )
+    )
+    sh = D._doc_shingles(docs, "text", "doc_id", 3)
+    cand = D._blocked_candidates(sh, 20)
+    strings = sorted(
+        map(
+            tuple,
+            D._verify_jaccard(
+                cand, D._doc_shingle_sets(docs, "text", "doc_id", 3), 0.2
+            )
+            .select("doc_a", "doc_b", "jaccard")
+            .collect(),
+        )
+    )
+    assert hashed == strings and len(hashed) > 0
