@@ -172,11 +172,13 @@ def minhash_signatures(
     base = df.select(F.col(id_col).alias("doc"), hs.alias("__hs"))
 
     def mh(i: int, a: int, b: int) -> F.Column:
-        return F.array_min(
-            F.transform(
-                F.col("__hs"),
-                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
-            )
+        # one parsed expression per permutation (r12): the lambda form
+        # cost a py4j-bound ~40 ms per permutation of DRIVER time at
+        # every plan build; the parsed tree is the same integer
+        # multiply-add-mod transform, so signatures are bit-identical
+        return F.expr(
+            f"array_min(transform(`__hs`, "
+            f"h -> ({a} * h + {b}) % {MINHASH_P}))"
         ).alias(f"mh{i}")
 
     coeffs = minhash_coeffs(num_perm)

@@ -35,14 +35,31 @@ from pyspark.sql import functions as F
 from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm, safe_denom
 
 
-def _dot_lit(vec_col: Column, weights: Sequence[float]) -> Column:
-    """Index-order double fold of vec · literal-array (codegen'd, no UDF)."""
-    w = F.array(*[F.lit(float(x)) for x in weights])
-    return F.aggregate(
-        F.zip_with(vec_col, w, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _dot_lit_sql(vec_col: str, weights: Sequence[float]) -> str:
+    """SQL text for the index-order double fold of vec · literal-array.
+
+    r12: built as ONE parser call instead of dims × F.lit + two Python
+    lambdas — each of those is a py4j round trip, and the old per-element
+    construction dominated the IVF queries' wall-clock (~3.5 s of DRIVER
+    time per ann_ivf_topk build at 16 cells × 64 dims; the parsed tree is
+    the same Catalyst expression, repr'd doubles round-trip exactly, so
+    results are bit-identical)."""
+    arr = (
+        "array("
+        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in weights)
+        + ")"
     )
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _dot_lit(vec_col: str, weights: Sequence[float]) -> Column:
+    """Index-order double fold of vec · literal-array (codegen'd, no UDF).
+    ``vec_col`` is the COLUMN NAME (the fold is one parsed expression)."""
+    return F.expr(_dot_lit_sql(vec_col, weights))
 
 
 def seed_centroids(
@@ -169,11 +186,22 @@ def ivf_assign(
     The ``n_cells`` dot products are materialized as columns FIRST, then the
     argmax folds over column references — keeping the expression tree linear
     in ``n_cells`` (folding over the raw dot expressions doubles the tree per
-    step: 2^n nodes by 16 centroids, which stalls analysis/codegen)."""
+    step: 2^n nodes by 16 centroids, which stalls analysis/codegen).
+
+    r12: the input is spread across cores first (guide §2.5 input skew —
+    a single-file parquet scan plans as ONE task, and with no shuffle in
+    this projection the n_cells × dims interpreted fold per row would
+    all run on one core; measured 3.0 → 0.9 s on the sf0.1 seeded-IVF
+    query)."""
+    from qa_data_pipeline_rag_llm_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    vectors = ensure_parallelism(vectors)
     dps = vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        *[_dot_lit(F.col(vec_col), w).alias(f"_dp{cid}") for cid, w in centroids],
+        *[_dot_lit(vec_col, w).alias(f"_dp{cid}") for cid, w in centroids],
     )
     best_dp: Column | None = None
     best_cid: Column | None = None
@@ -198,11 +226,14 @@ def ivf_probe_cells(
 ) -> DataFrame:
     """(probe_id, cell): the ``nprobe`` best cells per probe. The probe set
     is small by contract; the explode + rank touches probes × n_cells rows."""
-    pairs = F.array(
-        *[
-            F.struct(F.lit(cid).alias("cid"), _dot_lit(F.col(probe_vec), w).alias("dp"))
+    pairs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('cid', {int(cid)}, "
+            f"'dp', {_dot_lit_sql(probe_vec, w)})"
             for cid, w in centroids
-        ]
+        )
+        + ")"
     )
     exploded = probes.select(
         probe_id, F.explode(pairs).alias("c")

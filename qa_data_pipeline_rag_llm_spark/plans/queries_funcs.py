@@ -75,7 +75,21 @@ def date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the unit of shuffle; never all-pairs.",
 )
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    from qa_data_pipeline_rag_llm_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    # r12 (guide §2.5 input skew): the probe side of this broadcast
+    # self-join is a single-file parquet scan — ONE task evaluating the
+    # banded levenshtein over all ~8M brand-blocked pairs on one core.
+    # Spreading the scan parallelizes the per-pair kernel (6.5 → 0.9 s at
+    # sf0.1). A char-count L1 prune was also A/B'd here and REJECTED: it
+    # only halves the pair count (color-word names share letter
+    # distributions) and its 16 integer ops/pair cost ≈ the early-exit
+    # banded kernel it saves — no win, extra complexity.
+    p = ensure_parallelism(
+        _t(spark, sf_dir, "part")
+    ).select("p_partkey", "p_brand", "p_name")
     a = p.alias("a")
     b = p.alias("b")
     return (

@@ -31,6 +31,9 @@ from qa_data_pipeline_rag_llm_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from qa_data_pipeline_rag_llm_spark.functions.hashing import (
+    duckdb_hex_literal_int,
+)
 from qa_data_pipeline_rag_llm_spark.operators.textstats import text_stats
 from qa_data_pipeline_rag_llm_spark.plans import oracle_fragments as O
 from qa_data_pipeline_rag_llm_spark.plans.queries import REGISTRY, _t, register
@@ -292,8 +295,14 @@ WINNOW_W = 4   # winnowing window (consecutive k-gram hashes)
 def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.functions.hashing import stable_int32
     from qa_data_pipeline_rag_llm_spark.functions.text import normalize_text
+    from qa_data_pipeline_rag_llm_spark.operators.util import (
+        ensure_parallelism,
+    )
 
-    d = _t(spark, sf_dir, "documents")
+    # r12: map-only plan (zero shuffles) + single-file scan = ONE task
+    # computing ~5M per-gram md5s on one core; spread the scan first
+    # (guide §2.5). 3.5 → 0.6 s at sf0.1.
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     n = normalize_text("text")
     base = d.select("doc_id", n.alias("n"))
     hs = F.when(
@@ -317,11 +326,15 @@ def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(F.size("hs") >= 1, F.array(F.array_min("hs")))
         .otherwise(F.array().cast("array<long>"))
     )
-    return g.select(
+    # materialize fps ONCE: referenced twice below, and higher-order
+    # functions run interpreted (no codegen subexpression elimination),
+    # so inlining would compute the window-min transform per reference
+    w = g.select("doc_id", F.size("hs").alias("n_grams"), fps.alias("fps"))
+    return w.select(
         "doc_id",
-        F.size("hs").alias("n_grams"),
-        F.size(fps).alias("n_fingerprints"),
-        F.array_min(fps).alias("min_fp"),
+        "n_grams",
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
     )
 
 
@@ -1048,6 +1061,11 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lsh_band_eval_documents",
     f"""
     WITH {_sh_cte(SHINGLE_N)}, {_sig_cte(NUM_PERM)},
+    shh AS (SELECT DISTINCT doc,
+                   {duckdb_hex_literal_int('shingle')} AS shingle
+            FROM (SELECT doc_id AS doc,
+                         unnest({O.shingles('text', SHINGLE_N)}) AS shingle
+                  FROM documents)),
     bands AS (SELECT doc, {_BAND_KEYS} FROM sig),
     banded AS ({_BANDED_UNION}),
     pred AS (
@@ -1057,13 +1075,13 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND a.doc < b.doc),
     tcand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc),
-    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+      FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc < b.doc),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM shh GROUP BY doc),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
       FROM tcand c
-      JOIN sh sa ON c.doc_a = sa.doc
-      JOIN sh sb ON c.doc_b = sb.doc AND sa.shingle = sb.shingle
+      JOIN shh sa ON c.doc_a = sa.doc
+      JOIN shh sb ON c.doc_b = sb.doc AND sa.shingle = sb.shingle
       GROUP BY c.doc_a, c.doc_b),
     truth AS (
       SELECT i.doc_a, i.doc_b
@@ -1100,15 +1118,24 @@ def lsh_band_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_band_eval(d: DataFrame) -> DataFrame:
+    # r12: the TRUTH arm (shared-shingle pair join + exact-Jaccard
+    # verification — the pair-quadratic piece) runs on int60-hashed
+    # shingles (guide §2.3 "narrower types"): 8-byte longs shuffle and
+    # intersect instead of variable-width strings, the same change the
+    # jaccard/containment families shipped earlier this round. The
+    # banding arm keeps string shingles (its signatures already hash
+    # per-shingle once). Oracle replays the identical md5-prefix hash
+    # (shh CTE), so within-doc collisions merge the same in both
+    # engines; output bit-identical at sf0.01/sf0.1 (A/B'd directly).
     from qa_data_pipeline_rag_llm_spark.operators.dedup import (
-        _doc_shingle_sets,
-        _doc_shingles,
+        _doc_shingle_sets_h,
+        _doc_shingles_h,
         _verify_jaccard,
         minhash_bands,
     )
 
-    sh = _doc_shingles(d, "text", "doc_id", SHINGLE_N)
-    sets = _doc_shingle_sets(d, "text", "doc_id", SHINGLE_N)
+    sh = _doc_shingles_h(d, "text", "doc_id", SHINGLE_N)
+    sets = _doc_shingle_sets_h(d, "text", "doc_id", SHINGLE_N)
     banded = minhash_bands(
         minhash_signatures(d, num_perm=NUM_PERM, shingle_n=SHINGLE_N),
         num_perm=NUM_PERM,

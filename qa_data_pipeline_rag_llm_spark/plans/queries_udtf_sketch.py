@@ -64,8 +64,20 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sketch_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw sketch estimates per event_type (internal; estimates are
-    impl-defined so they cannot be the registered driver-facing shape)."""
-    ev = _t(spark, sf_dir, "events")
+    impl-defined so they cannot be the registered driver-facing shape).
+
+    r12: the scan is spread first (guide §2.5) — a single-file events
+    scan plans as ONE task, and with only 4 groups the ENTIRE partial
+    aggregation (HLL sketches, two KLL percentile sketches, the exact
+    percentile buffer) ran on one core. The registered output is the
+    bounds VERDICT, which is invariant to the partition layout the
+    estimators see (budgets are 5% / ±0.01 rank; estimates themselves
+    stay pinned in tests/test_sketches.py)."""
+    from qa_data_pipeline_rag_llm_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    ev = ensure_parallelism(_t(spark, sf_dir, "events"))
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.approx_count_distinct("user_id").alias("approx_users"),

@@ -145,6 +145,51 @@ def test_audio_frames_drop_partial_tails(spark):
     assert all(r.zero_crossings == 0 and r.peak == 7936 for r in rows)
 
 
+def test_audio_frames_vectorized_parity(spark):
+    """The r12 numpy-vectorized frame kernel must be bit-identical to the
+    original per-sample Python reference (exact integer arithmetic:
+    sum|s|, peak, strict sign-flip count per 80-sample frame), across
+    empty / partial-frame / multibyte / capped payloads."""
+    from qa_data_pipeline_rag_llm_spark.operators.multimodal import (
+        _WAV_FRAME,
+        attach_wav_blobs,
+        audio_frame_features,
+        decode_wav,
+        render_wav,
+    )
+
+    texts = [
+        (1, ""),
+        (2, "a" * 79),
+        (3, "ab z!" * 40),          # sign flips (space < 128 < letters)
+        (4, "é" * 50),              # multibyte: one sample per byte
+        (5, "x" * 5000),            # capped at _WAV_MAX_SAMPLES
+        (6, "".join(chr(32 + (i * 7) % 90) for i in range(500))),
+    ]
+
+    # pure-Python reference: the pre-r12 per-sample loop
+    expected = set()
+    for doc_id, text in texts:
+        s = decode_wav(render_wav(text))["samples"]
+        for f_idx in range(len(s) // _WAV_FRAME):
+            fr = s[f_idx * _WAV_FRAME : (f_idx + 1) * _WAV_FRAME]
+            zc = sum(
+                1 for a, b in zip(fr, fr[1:]) if (a < 0 < b) or (b < 0 < a)
+            )
+            expected.add(
+                (doc_id, f_idx, len(fr), sum(abs(x) for x in fr),
+                 max(abs(x) for x in fr), zc)
+            )
+
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.frame_idx, r.n_samples, r.sum_abs, r.peak,
+         r.zero_crossings)
+        for r in audio_frame_features(attach_wav_blobs(docs)).collect()
+    }
+    assert got == expected
+
+
 def test_resize_nearest_neighbor_geometry():
     """Resize must be pure index remapping: a 2x2 image upscaled 2x
     replicates each source pixel into a 2x2 block, downscale to 1x1

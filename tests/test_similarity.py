@@ -199,3 +199,65 @@ def test_arrow_kernel_degenerate_batches(spark):
         .count()
         == 0
     )
+
+
+def test_lloyd_trainer_matches_reference(spark, tables):
+    """The r12 zero-shuffle Lloyd trainer (literal-centroid argmin
+    projection) must produce BIT-IDENTICAL centroids to a plain-Python
+    fixed-point reference implementing the documented recursion:
+    v6 = round((v+1)*1e6) as int, exact squared-L2 argmin with ties to
+    the smaller cluster id, integer floor-average update, empty
+    clusters dropping out."""
+    from qa_data_pipeline_rag_llm_spark.operators.ivf import (
+        train_centroids_lloyd,
+    )
+
+    emb = tables["embeddings"].filter(F.col("vec_id") < 200)
+    got = train_centroids_lloyd(emb, n_cells=8, iters=3)
+
+    # plain-Python reference over the collected vectors
+    rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+
+    def _v6(vec):
+        # Catalyst Round(double) = BigDecimal.valueOf(d) (shortest decimal
+        # repr, same as Python repr) setScale(0, HALF_UP)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        out = []
+        for v in vec:
+            x = (float(v) + 1.0) * 1_000_000.0
+            out.append(
+                int(
+                    Decimal(repr(x)).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+            )
+        return out
+
+    pts = [(vid, _v6(vec)) for vid, vec in rows]
+    cents = sorted((vid, v6) for vid, v6 in pts[:8])
+    for _ in range(3):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for _vid, v6 in pts:
+            best_c, best_d = None, None
+            for cid, c6 in cents:  # increasing cid; strict < keeps first
+                d = sum((x - y) * (x - y) for x, y in zip(v6, c6))
+                if best_d is None or d < best_d:
+                    best_d, best_c = d, cid
+            acc = sums.setdefault(best_c, [0] * len(v6))
+            for i, x in enumerate(v6):
+                acc[i] += x
+            counts[best_c] = counts.get(best_c, 0) + 1
+        cents = sorted(
+            (cid, [s // counts[cid] for s in acc])
+            for cid, acc in sums.items()
+        )
+    want = sorted(
+        (cid, [c / 1_000_000.0 - 1.0 for c in c6]) for cid, c6 in cents
+    )
+    assert got == want
