@@ -94,11 +94,15 @@ MIX_ALPHA = 0.3   # temperature exponent (mT5/XLM-R-style p ∝ n^alpha)
     "granular): every word position covered by any cross-document "
     "duplicated 8-gram is excised; emits the stitched clean text plus "
     "removal accounting. The transform twin of span_dup_fraction_documents "
-    "(which only measures). Distributed: dup grams by exact document "
-    "frequency over 32-bit hashes, coverage by exploding start→[s, s+7] "
-    "position ranges (interval union as a distinct, not a per-doc loop), "
-    "then one order-preserving per-doc stitch via sorted collect_list. "
-    "No suffix array, no pairs, no single-partition window.",
+    "(which only measures). Distributed (r12 single-pass shape): dup "
+    "grams by exact document frequency over 32-bit hashes, covered "
+    "positions aggregated per doc into ONE array<int> from the "
+    "duplicated start offsets, then every output column — including the "
+    "order-preserving clean-text stitch (array_except keeps ascending "
+    "positions) — is a map-side array expression over the doc's token "
+    "array. The only data-sized shuffles carry gram hashes and start "
+    "offsets, never the token stream. No suffix array, no pairs, no "
+    "single-partition window.",
 )
 def remove_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.operators.util import (

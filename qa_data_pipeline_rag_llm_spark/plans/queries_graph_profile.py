@@ -22,6 +22,7 @@ from qa_data_pipeline_rag_llm_spark.plans.queries import _t, register
 
 PR_ITERS = 5
 PR_ONE = 1_000_000_000  # rank 1.0 in fixed-point
+PR_CKPT_EVERY = 6  # lineage budget between eager checkpoints (see loop)
 
 
 @register(
@@ -88,7 +89,7 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right exchange, and the per-iteration wall is the dst aggregation
     # shuffle, which broadcasting cannot remove.
     try:
-        for _ in range(PR_ITERS):
+        for i in range(PR_ITERS):
             contrib = edges_deg.join(
                 ranks, edges_deg.src == ranks.node
             ).select("dst", F.expr("r div out_deg").alias("c"))
@@ -96,11 +97,18 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 contrib.groupBy("dst")
                 .agg(F.expr(f"CAST({base} + (85 * sum(c)) div 100 AS BIGINT)").alias("r"))
                 .withColumnRenamed("dst", "node")
-                # truncate lineage: a 5-deep nested join plan makes Catalyst+AQE
-                # re-planning dominate wall-clock (~10x slower unchecked); the
-                # rank table is tiny, so materializing per iteration is cheap
-                .localCheckpoint(eager=True)
             )
+            # Lineage-budget checkpointing (r12 A/B, outputs identical):
+            # with edges_deg PERSISTED, a 5-deep join/agg chain plans and
+            # runs fine in ONE job — per-iteration eager checkpoints paid
+            # 5 job launches for nothing (7.76 → 4.86 s at sf0.1). The
+            # earlier "~10x slower unchecked" adjudication predates the
+            # persisted edge frame. Truncate only when the unchecked
+            # depth hits the budget — the guard a higher PR_ITERS needs —
+            # and ALWAYS checkpoint the final ranks (the unpersist below
+            # relies on nothing returned still reading edges_deg).
+            if (i + 1) % PR_CKPT_EVERY == 0 or i == PR_ITERS - 1:
+                ranks = ranks.localCheckpoint(eager=True)
     finally:
         # the final ranks are an eager checkpoint — nothing returned still
         # reads edges_deg, so its cached blocks must not outlive the query
