@@ -19,7 +19,7 @@ al., "Connected Components in MapReduce and Beyond") — same contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,6 +44,13 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # r13: the change flag is computed INSIDE the label-update
+        # projection (new < old ⇔ a neighbor label undercut ours), so the
+        # convergence check needs no second join against the old labels —
+        # and the LAZY localCheckpoint is materialized by the count()
+        # itself: one job per round where r12 launched two (the eager
+        # checkpoint, then a join+count). Labels are identical rows; only
+        # the job cadence changes.
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.a, "left")
             .select(
@@ -51,16 +58,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             return labels
     # a silently-truncated labeling merges nothing visibly wrong into
@@ -75,41 +80,56 @@ def connected_components(
     )
 
 
-def _sym(e: DataFrame) -> DataFrame:
-    return (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+def _large_star(e_canon: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star over a CANONICAL (u > v, distinct) edge
+    set: connect every strictly-LARGER neighbor of u to
+    m = min({u} ∪ Γ(u)).
 
-
-def _large_star(e_sym: DataFrame) -> DataFrame:
-    """Kiveris et al. large-star: connect every strictly-LARGER neighbor
-    of u to m = min({u} ∪ Γ(u)). One groupBy + one join; output directed
-    (node, parent) edges."""
-    mins = e_sym.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
+    r13 shape: the symmetrization is a plain union of the two
+    orientations — for a canonical distinct input the orientations are
+    disjoint, so the old ``_sym`` distinct (one full exchange) is
+    provably a no-op and is gone. The neighborhood min is a WINDOW over
+    u instead of groupBy + self-join (two exchanges → one), and the
+    output is NOT deduplicated here: duplicate (v, m) rows cannot change
+    small-star's min and the round's final distinct removes them — the
+    same edge SET flows, one fewer exchange per round."""
+    sym = e_canon.union(
+        e_canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    w_u = Window.partitionBy("u")
     return (
-        e_sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
-def _small_star(e_sym: DataFrame) -> DataFrame:
+def _small_star(lt: DataFrame) -> DataFrame:
     """Kiveris et al. small-star: connect u and every strictly-SMALLER
-    neighbor to m = min of that set."""
-    lt = e_sym.filter(F.col("v") < F.col("u"))
-    mins = lt.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
-    nbrs = lt.join(mins, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    selfs = mins.select("u", F.col("m").alias("v"))
+    neighbor to m = min of that set.
+
+    r13 shape: the input is large-star's output directly — every
+    large-star edge already has u > v, so the old ``_sym`` +
+    ``filter(v < u)`` pair reconstructed exactly the frame it was handed
+    (one redundant union + distinct exchange per round, now gone). The
+    min is a window over u; neighbor and self edges are emitted in one
+    pass via explode; the single distinct both dedups and restores the
+    canonical invariant for the next round."""
+    w_u = Window.partitionBy("u")
     return (
-        nbrs.union(selfs).filter(F.col("u") != F.col("v")).distinct()
+        lt.withColumn("m", F.min("v").over(w_u))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
     )
 
 
@@ -144,14 +164,25 @@ def connected_components_twostar(
     # pairs) and was computed twice — once for verts, once for round 1.
     # The loop checkpoints every round anyway, so this only moves the
     # first materialization ahead of the fan-out.
-    e = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    # r13: canonicalized at entry (u > v, self-loops dropped, distinct) —
+    # the invariant both star passes now rely on to skip the per-round
+    # re-symmetrization distinct. Same edge SET the old first _sym built.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # verts is consumed exactly once (the final label join) and derives
+    # from the checkpointed e, so eagerly checkpointing it was one whole
+    # wasted job per call (r13; it predated the entry checkpoint of e).
     verts = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def signature(d: DataFrame):
@@ -169,13 +200,15 @@ def connected_components_twostar(
     prev = None
     converged = False
     for _ in range(max_iter):
-        # one materialization per round (r11): both star ops are pure
-        # row transformations, so chaining them under a single
-        # checkpoint halves the per-round fixed job cost without
-        # changing any row
-        e = _small_star(_sym(_large_star(_sym(e)))).localCheckpoint(
-            eager=True
-        )
+        # one materialization per round (r11), and as of r13 one JOB per
+        # round: the checkpoint is LAZY and the signature aggregate is
+        # the action that materializes it — the eager-checkpoint +
+        # separate-collect pair launched two jobs over the same rows.
+        # Both star passes are window-min shapes over the canonical edge
+        # set (3 exchanges per round where r12's groupBy+join+_sym chain
+        # had ~8); per-round edge SETS are unchanged, so signatures,
+        # round counts and final labels are identical.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = signature(e)
         if sig == prev:
             converged = True

@@ -426,7 +426,14 @@ def decode_wav(payload: bytes) -> dict:
     import wave
 
     w = wave.open(io.BytesIO(payload), "rb")
-    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+    # explicit raise, not assert (ADVICE r12): under python -O an assert
+    # is stripped and a stereo/24-bit payload would silently mis-parse
+    # as PCM16 mono instead of failing
+    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+        raise ValueError(
+            f"expected mono 16-bit PCM, got nchannels={w.getnchannels()} "
+            f"sampwidth={w.getsampwidth()}"
+        )
     n = w.getnframes()
     samples = list(struct.unpack(f"<{n}h", w.readframes(n)))
     return {"rate": w.getframerate(), "n_samples": n, "samples": samples}
@@ -490,7 +497,13 @@ def audio_frame_features(blobs: DataFrame) -> DataFrame:
             zc: list[np.ndarray] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w = wave.open(io.BytesIO(bytes(payload)), "rb")
-                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                # explicit raise, not assert — see decode_wav (ADVICE r12)
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    raise ValueError(
+                        "expected mono 16-bit PCM, got "
+                        f"nchannels={w.getnchannels()} "
+                        f"sampwidth={w.getsampwidth()}"
+                    )
                 n = w.getnframes()
                 nf = n // _WAV_FRAME
                 if nf == 0:

@@ -55,15 +55,17 @@ def cosine_topk(
         salted_top_k,
     )
 
-    v = vectors.withColumn("_vn", norm(F.col(vec_col)))
-    p = probes.withColumn("_pn", norm(F.col(probe_vec)))
+    # name-path dot/norm (r13): one parsed expression per fold instead of
+    # py4j lambda construction — bit-identical results, see functions/vectors
+    v = vectors.withColumn("_vn", norm(vec_col))
+    p = probes.withColumn("_pn", norm(probe_vec))
     scored = v.join(F.broadcast(p)).filter(
         F.col(id_col) != F.col(probe_id)
     ).select(
         F.col(probe_id),
         F.col(id_col),
         F.round(
-            dot(F.col(vec_col), F.col(probe_vec))
+            dot(vec_col, probe_vec)
             / safe_denom(F.col("_vn") * F.col("_pn")),
             6,
         ).alias("sim"),
@@ -127,9 +129,12 @@ def srp_signatures(
     # signatures are bit-identical (A/B'd at sf0.1; oracle unchanged).
     terms = []
     for p in range(planes):
+        # float(x)!r, matching ivf._dot_lit_sql (ADVICE r12): a numpy
+        # scalar reprs as 'np.float64(…)' under NumPy 2 and would parse
+        # to NULL/error; float() normalizes without changing the value
         arr = (
             "array("
-            + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in weights[p])
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in weights[p])
             + ")"
         )
         proj = (
@@ -194,7 +199,7 @@ def embedding_near_dup(
             )
         )
         return pairs.filter(F.col("sim") >= cosine_threshold)
-    v = vectors.join(sig, id_col).withColumn("_n", norm(F.col(vec_col)))
+    v = vectors.join(sig, id_col).withColumn("_n", norm(vec_col))
     pairs = (
         v.alias("a")
         .join(v.alias("b"), "sig")
@@ -203,7 +208,7 @@ def embedding_near_dup(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                dot(f"a.{vec_col}", f"b.{vec_col}")
                 / safe_denom(F.col("a._n") * F.col("b._n")),
                 6,
             ).alias("sim"),
@@ -309,10 +314,10 @@ def ann_lsh_topk(
         ]
 
     v = vectors.join(sig_v, id_col).select(
-        id_col, vec_col, norm(F.col(vec_col)).alias("_vn"), *bands("sig", "vb")
+        id_col, vec_col, norm(vec_col).alias("_vn"), *bands("sig", "vb")
     )
     p = probes.join(F.broadcast(sig_p), probe_id).select(
-        probe_id, probe_vec, norm(F.col(probe_vec)).alias("_pn"), *bands("psig", "pb")
+        probe_id, probe_vec, norm(probe_vec).alias("_pn"), *bands("psig", "pb")
     )
     band_match = None
     for b in range(nbands):
@@ -323,7 +328,7 @@ def ann_lsh_topk(
         probe_id,
         id_col,
         F.round(
-            dot(F.col(vec_col), F.col(probe_vec)) / safe_denom(F.col("_vn") * F.col("_pn")), 6
+            dot(vec_col, probe_vec) / safe_denom(F.col("_vn") * F.col("_pn")), 6
         ).alias("sim"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))

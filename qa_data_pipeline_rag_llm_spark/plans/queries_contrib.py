@@ -173,7 +173,15 @@ def remove_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("ws").cast("long").alias("n_words"),
-            F.coalesce(F.size("rem"), F.lit(0))
+            # size over the null-coalesced array, not coalesce over
+            # size(NULL): under Spark 3.x non-ANSI defaults size(NULL)
+            # is -1, which would silently make clean docs read
+            # n_removed=-1 (ADVICE r12). Same value on Spark 4.
+            F.size(
+                F.coalesce(
+                    F.col("rem"), F.expr("CAST(array() AS array<int>)")
+                )
+            )
             .cast("long")
             .alias("n_removed"),
             F.array_join(
@@ -333,7 +341,7 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    v = e.withColumn("_vn", norm(F.col("embedding")))
+    v = e.withColumn("_vn", norm("embedding"))
     p = (
         e.filter(F.col("vec_id") < HN_PROBES)
         .select(
@@ -341,7 +349,7 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("probe_label"),
             F.col("embedding").alias("probe_vec"),
         )
-        .withColumn("_pn", norm(F.col("probe_vec")))
+        .withColumn("_pn", norm("probe_vec"))
     )
     scored = v.join(
         F.broadcast(p), F.col("label") != F.col("probe_label")
@@ -351,7 +359,7 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("label").alias("neg_label"),
         F.round(
-            dot(F.col("embedding"), F.col("probe_vec"))
+            dot("embedding", "probe_vec")
             / safe_denom(F.col("_vn") * F.col("_pn")),
             6,
         ).alias("sim"),
