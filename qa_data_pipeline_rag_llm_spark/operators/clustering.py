@@ -215,7 +215,7 @@ def density_cluster_graph(
             arrow_cosine_udf()(F.col("__va"), F.col("__vb")), 6
         )
     else:
-        cos_expr = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+        cos_expr = F.round(cosine("__va", "__vb"), 6)
     verified = (
         cand.join(va, "id_a")
         .join(vb, "id_b")

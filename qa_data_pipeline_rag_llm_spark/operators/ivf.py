@@ -265,11 +265,11 @@ def ann_ivf_topk(
     if centroids is None:
         centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
     assigned = ivf_assign(vectors, centroids, id_col, vec_col).withColumn(
-        "_vn", norm(F.col(vec_col))
+        "_vn", norm(vec_col)
     )
     cells = ivf_probe_cells(probes, centroids, nprobe, probe_id, probe_vec)
     probe_full = probes.join(cells, probe_id).withColumn(
-        "_pn", norm(F.col(probe_vec))
+        "_pn", norm(probe_vec)
     )
     cand = assigned.join(
         F.broadcast(probe_full),
@@ -280,7 +280,7 @@ def ann_ivf_topk(
         probe_id,
         id_col,
         F.round(
-            dot(F.col(vec_col), F.col(probe_vec)) / safe_denom(F.col("_vn") * F.col("_pn")), 6
+            dot(vec_col, probe_vec) / safe_denom(F.col("_vn") * F.col("_pn")), 6
         ).alias("sim"),
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("sim"), F.col(id_col))

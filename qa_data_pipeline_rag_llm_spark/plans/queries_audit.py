@@ -518,7 +518,7 @@ def vector_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embeddings",
             F.sum(
                 F.when(
-                    dot(F.col("embedding"), F.col("embedding")) == 0, 1
+                    dot("embedding", "embedding") == 0, 1
                 ).otherwise(0)
             ),
         ),

@@ -313,7 +313,7 @@ def ann_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "vec_id",
-            dot(F.col("qvec"), F.col("pqvec")).alias("qscore"),
+            dot("qvec", "pqvec").alias("qscore"),
         )
     )
     wc = Window.partitionBy("probe_id").orderBy(F.desc("qscore"), "vec_id")
@@ -333,8 +333,8 @@ def ann_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "vec_id",
             F.round(
-                dot(F.col("embedding"), F.col("pvec"))
-                / safe_denom(norm(F.col("embedding")) * norm(F.col("pvec"))),
+                dot("embedding", "pvec")
+                / safe_denom(norm("embedding") * norm("pvec")),
                 6,
             ).alias("sim"),
         )

@@ -540,14 +540,14 @@ def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qa_data_pipeline_rag_llm_spark.operators.ranking import salted_top_k
 
     e = _t(spark, sf_dir, "embeddings")
-    v = e.withColumn("_vn", norm(F.col("embedding")))
+    v = e.withColumn("_vn", norm("embedding"))
     p = (
         e.filter(F.col("vec_id").isin(*MMR_PROBES))
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("probe_vec"),
         )
-        .withColumn("_pn", norm(F.col("probe_vec")))
+        .withColumn("_pn", norm("probe_vec"))
     )
     scored = v.join(
         F.broadcast(p), F.col("vec_id") != F.col("probe_id")
@@ -557,7 +557,7 @@ def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "_vn",
         F.round(
-            dot(F.col("embedding"), F.col("probe_vec"))
+            dot("embedding", "probe_vec")
             / safe_denom(F.col("_vn") * F.col("_pn"))
             * 1000000
         )
@@ -583,7 +583,7 @@ def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             F.round(
-                dot(F.col("_ea"), F.col("_eb"))
+                dot("_ea", "_eb")
                 / safe_denom(F.col("_an") * F.col("_bn"))
                 * 1000000
             )

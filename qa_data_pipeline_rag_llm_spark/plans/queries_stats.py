@@ -1077,8 +1077,8 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_a",
             "label_b",
             F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (norm(F.col("va")) * norm(F.col("vb"))),
+                dot("va", "vb")
+                / (norm("va") * norm("vb")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1131,7 +1131,7 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "label",
-        cos(F.col("embedding"), F.col("cvec")).alias("cos_own"),
+        cos("embedding", "cvec").alias("cos_own"),
     )
     other = (
         emb.join(
@@ -1144,7 +1144,7 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            cos(F.col("embedding"), F.col("ovec")).alias("cos_other"),
+            cos("embedding", "ovec").alias("cos_other"),
         )
         .groupBy("vec_id")
         .agg(F.max("cos_other").alias("cos_best_other"))

@@ -261,3 +261,60 @@ def test_lloyd_trainer_matches_reference(spark, tables):
         (cid, [c / 1_000_000.0 - 1.0 for c in c6]) for cid, c6 in cents
     )
     assert got == want
+
+
+def test_dot_norm_name_path_bit_identical(spark, tables):
+    """r13: dot/norm built from column NAMES parse to the same Catalyst
+    expression as the Column-lambda twins — results must be bit-identical
+    (the one-expr construction is a driver-time optimization only)."""
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import dot, norm
+
+    emb = tables["embeddings"]
+    pairs = (
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+            ),
+            F.col("ia") == F.col("ib") - 1,
+        )
+    )
+    got = pairs.select(
+        "ia",
+        dot("va", "vb").alias("d"),
+        norm("va").alias("n"),
+    ).collect()
+    want = pairs.select(
+        "ia",
+        dot(F.col("va"), F.col("vb")).alias("d"),
+        norm(F.col("va")).alias("n"),
+    ).collect()
+    assert sorted((r["ia"], repr(r["d"]), repr(r["n"])) for r in got) == sorted(
+        (r["ia"], repr(r["d"]), repr(r["n"])) for r in want
+    )
+
+
+def test_dot_name_path_qualified_alias(spark, tables):
+    """Alias-qualified names ('a.embedding') must resolve through the
+    part-wise backtick quoting."""
+    from qa_data_pipeline_rag_llm_spark.functions.vectors import dot
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    pairs = (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            F.col("a.vec_id") == F.col("b.vec_id") - 1,
+        )
+    )
+    got = pairs.select(
+        F.col("a.vec_id").alias("i"),
+        dot("a.embedding", "b.embedding").alias("d"),
+    ).collect()
+    want = pairs.select(
+        F.col("a.vec_id").alias("i"),
+        dot(F.col("a.embedding"), F.col("b.embedding")).alias("d"),
+    ).collect()
+    assert sorted((r["i"], repr(r["d"])) for r in got) == sorted(
+        (r["i"], repr(r["d"])) for r in want
+    )
