@@ -105,72 +105,85 @@ def train_centroids_lloyd(
     update. Returns float centroids ``c6/1e6 − 1`` — identical IEEE
     doubles from identical integers in any engine.
 
-    Scale shape: the loop is ``iters`` (small, fixed) rounds of one
-    pos-join + two shuffles over the flattened corpus; only the final
-    k×dims centroid table is collected (the bounded-driver-state
-    pattern shared with ``seed_centroids``). An empty cluster simply
-    drops out of the floor-average (GROUP BY semantics, mirrored by the
-    SQL twin) and the index serves fewer cells."""
-    flat = (
-        vectors.select(id_col, F.posexplode(vec_col).alias("pos0", "val"))
-        .select(
+    Scale shape (r13, VERDICT r12 ask #4): the r12 trainer ran one
+    pos-join + TWO corpus-sized shuffles per round (the flattened
+    (vid, pos, v6) frame through groupBy(vid, cluster) then a re-join);
+    this one assigns with ONE parsed SQL expression — an exact-integer
+    squared-L2 argmin over literal centroid arrays (the k × dims
+    centroid table collects to the driver each round: bounded state,
+    the same bound ``seed_centroids`` lives on) — so assignment is a
+    zero-shuffle projection and the only exchange per round is the
+    map-side-combined groupBy(cluster, pos) update (output bounded at
+    k × dims rows per task). Re-adjudicated at sf≈1 where shuffle bytes
+    dominate (tools/ab_lloyd.py, interleaved): 10.4–11.7 s → 1.65–2.06 s
+    per train call (6.3×), and 1.40 → 1.03 s at sf0.1 — centroid lists
+    EXACTLY equal at both scales (same v6 translation, same
+    lexicographic (dist, cid) tie-break, same floor average; pinned by
+    tests/test_similarity.py::test_lloyd_trainer_matches_reference).
+    An empty cluster simply drops out of the floor-average (GROUP BY
+    semantics, mirrored by the SQL twin) and the index serves fewer
+    cells."""
+    v6f = (
+        vectors.select(
             F.col(id_col).alias("vid"),
-            (F.col("pos0") + 1).alias("pos"),
-            F.round((F.col("val").cast("double") + 1.0) * 1_000_000)
-            .cast("long")
-            .alias("v6"),
+            F.expr(
+                f"transform(`{vec_col}`, x -> CAST(round((CAST(x AS "
+                "DOUBLE) + 1.0) * 1000000) AS BIGINT))"
+            ).alias("v6"),
         )
-        .persist()
+        # the integer translation feeds every round AND the seed collect;
+        # one materialization, released before returning
+        .localCheckpoint(eager=True)
     )
-    seeds = (
-        vectors.select(F.col(id_col).alias("vid")).orderBy("vid").limit(n_cells)
-    )
-    cents = flat.join(F.broadcast(seeds), "vid").select(
-        F.col("vid").cast("int").alias("cluster"), "pos", F.col("v6").alias("c6")
-    )
-
-    def _assign(cents_df: DataFrame) -> DataFrame:
-        dists = (
-            flat.join(cents_df, "pos")
-            .groupBy("vid", "cluster")
-            .agg(
-                F.sum(
-                    (F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6"))
-                ).alias("dist")
-            )
-        )
-        # lexicographic struct-min == (min dist, then min cluster id)
-        return (
-            dists.groupBy("vid")
-            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-            .select("vid", F.col("m.cluster").alias("cluster"))
-        )
-
     try:
-        for _ in range(iters):
-            cents = (
-                _assign(cents)
-                .join(flat, "vid")
-                .groupBy("cluster", "pos")
-                .agg(F.expr("sum(v6) div count(*)").cast("long").alias("c6"))
-                # materialize the tiny k×dims table per round (ADVICE
-                # r10): lazily stacking rounds on the previous round's
-                # unmaterialized plan grows lineage — and recomputation —
-                # superlinearly in `iters`; a localCheckpoint truncates
-                # it so raising `iters` stays linear
-                .localCheckpoint(eager=True)
-            )
-        rows = cents.collect()
-    finally:
-        flat.unpersist()
-    by_cluster: dict[int, dict[int, int]] = {}
-    for r in rows:
-        by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(
-            r["c6"]
+        seeds = v6f.orderBy("vid").limit(n_cells).collect()
+        cents: list[tuple[int, list[int]]] = sorted(
+            (int(r["vid"]), list(r["v6"])) for r in seeds
         )
+
+        def argmin_sql(cs: list[tuple[int, list[int]]]) -> str:
+            # exact integer squared-L2 per centroid; least() over
+            # (dist, cid) structs is the lexicographic min — the same
+            # tie-break as the r12 trainer's F.min(struct(dist, cluster))
+            terms = []
+            for cid, c6 in cs:
+                arr = (
+                    "array(" + ", ".join(f"{int(x)}L" for x in c6) + ")"
+                )
+                d = (
+                    f"aggregate(zip_with(v6, {arr}, "
+                    "(x, y) -> (x - y) * (x - y)), 0L, "
+                    "(acc, v) -> acc + v)"
+                )
+                terms.append(
+                    f"named_struct('dist', {d}, 'cluster', {int(cid)})"
+                )
+            if len(terms) == 1:
+                return f"{terms[0]}.cluster"
+            return f"least({', '.join(terms)}).cluster"
+
+        for _ in range(iters):
+            rows = (
+                v6f.select(
+                    F.expr(argmin_sql(cents)).alias("cluster"), "v6"
+                )
+                .select("cluster", F.posexplode("v6").alias("pos0", "val"))
+                .groupBy("cluster", "pos0")
+                .agg(F.expr("sum(val) div count(*)").cast("long").alias("c6"))
+                .collect()
+            )
+            by_c: dict[int, dict[int, int]] = {}
+            for r in rows:
+                by_c.setdefault(int(r["cluster"]), {})[int(r["pos0"])] = int(
+                    r["c6"]
+                )
+            cents = sorted(
+                (cid, [d[p] for p in sorted(d)]) for cid, d in by_c.items()
+            )
+    finally:
+        v6f.unpersist()
     return sorted(
-        (cid, [dims[p] / 1_000_000.0 - 1.0 for p in sorted(dims)])
-        for cid, dims in by_cluster.items()
+        (cid, [x / 1_000_000.0 - 1.0 for x in c6]) for cid, c6 in cents
     )
 
 
